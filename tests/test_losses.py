@@ -1,0 +1,206 @@
+"""Golden-value tests for the loss ops against an independent torch oracle.
+
+Pins the exact reference numerics (SURVEY §7.2 step 1) before any model
+exists: clip sims, regularizers, InfoNCE, stats, and agreement between the
+dense and chunked implementations (values and gradients).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import torch
+
+from triad_tpu.core.config import LossConfig
+from triad_tpu.ops import (
+    aggregate_crossbatch,
+    av_loss,
+    pairwise_similarity,
+    similarity_stats,
+    tv_loss,
+)
+from tests.torch_oracle import (
+    oracle_av_loss,
+    oracle_pairwise_similarity,
+    oracle_stats,
+    oracle_tv_loss,
+)
+
+B, NA, NT, NV, D = 6, 37, 16, 25, 32
+TEMP = 1.5
+
+
+@pytest.fixture(scope="module")
+def feats():
+    rng = np.random.default_rng(42)
+    audio = rng.normal(size=(B, NA, D)).astype(np.float32) * 0.5
+    text = rng.normal(size=(B, NT, D)).astype(np.float32) * 0.5
+    visual = rng.normal(size=(B, NV, D)).astype(np.float32) * 0.5
+    # Variable-length text mask with padding (valid lengths 3..NT).
+    lengths = rng.integers(3, NT + 1, size=B)
+    mask = (np.arange(NT)[None, :] < lengths[:, None]).astype(np.float32)
+    return audio, text, visual, mask
+
+
+def _cfg(impl="dense", **kw):
+    return LossConfig(implementation=impl, **kw)
+
+
+class TestAVLoss:
+    def test_matches_torch_oracle(self, feats):
+        audio, _, visual, _ = feats
+        out = av_loss(jnp.asarray(audio), jnp.asarray(visual), jnp.float32(TEMP), _cfg())
+        ref = oracle_av_loss(
+            torch.from_numpy(audio), torch.from_numpy(visual), torch.tensor(TEMP)
+        )
+        np.testing.assert_allclose(out.total, ref["total"].numpy(), rtol=2e-5)
+        np.testing.assert_allclose(
+            out.contrastive, ref["contrastive"].numpy(), rtol=2e-5
+        )
+        np.testing.assert_allclose(out.reg, ref["reg"].numpy(), rtol=2e-5)
+        # The smooth term differences adjacent near-equal sims (catastrophic
+        # cancellation) so fp32 contraction-order noise is amplified.
+        np.testing.assert_allclose(out.smooth, ref["smooth"].numpy(), rtol=1e-4, atol=1e-7)
+
+    def test_stats_match_torch(self, feats):
+        audio, _, visual, _ = feats
+        out = av_loss(jnp.asarray(audio), jnp.asarray(visual), jnp.float32(TEMP), _cfg())
+        ref = oracle_av_loss(
+            torch.from_numpy(audio), torch.from_numpy(visual), torch.tensor(TEMP)
+        )
+        ref_stats = oracle_stats(ref["clip_sims"], "av")
+        for k, v in ref_stats.items():
+            # std/separation amplify fp32 contraction-order noise in the sims
+            np.testing.assert_allclose(out.stats[k], v, rtol=1e-4, atol=1e-6)
+
+    def test_temperature_calibration_active_below_one(self, feats):
+        audio, _, visual, _ = feats
+        lo = av_loss(jnp.asarray(audio), jnp.asarray(visual), jnp.float32(0.5), _cfg())
+        ref = oracle_av_loss(
+            torch.from_numpy(audio), torch.from_numpy(visual), torch.tensor(0.5)
+        )
+        np.testing.assert_allclose(lo.reg, ref["reg"].numpy(), rtol=2e-5)
+        # The >2.0 branch is dead in the reference (model.py:422-424): a
+        # temperature of 3.0 incurs no calibration penalty.
+        hi = av_loss(jnp.asarray(audio), jnp.asarray(visual), jnp.float32(3.0), _cfg())
+        ref_hi = oracle_av_loss(
+            torch.from_numpy(audio), torch.from_numpy(visual), torch.tensor(3.0)
+        )
+        np.testing.assert_allclose(hi.reg, ref_hi["reg"].numpy(), rtol=2e-5)
+
+
+class TestTVLoss:
+    def test_matches_torch_oracle(self, feats):
+        _, text, visual, mask = feats
+        out = tv_loss(
+            jnp.asarray(text),
+            jnp.asarray(visual),
+            jnp.asarray(mask),
+            jnp.float32(TEMP),
+            _cfg(),
+        )
+        ref = oracle_tv_loss(
+            torch.from_numpy(text),
+            torch.from_numpy(visual),
+            torch.from_numpy(mask),
+            torch.tensor(TEMP),
+            threshold=0.8,
+            weight=0.01,
+        )
+        np.testing.assert_allclose(out.total, ref["total"].numpy(), rtol=2e-5)
+        np.testing.assert_allclose(out.reg, ref["reg"].numpy(), rtol=2e-5)
+
+    def test_padding_changes_nothing_when_masked_and_zero(self, feats):
+        """Zero-embedded padded tokens + mask must give the same clip sims
+        as the unpadded computation (mask-invariance of the masked mean)."""
+        _, text, visual, mask = feats
+        cfg = _cfg()
+        out = tv_loss(
+            jnp.asarray(text * mask[:, :, None]),
+            jnp.asarray(visual),
+            jnp.asarray(mask),
+            jnp.float32(TEMP),
+            cfg,
+        )
+        # extend padding by 5 more zero tokens
+        pad = np.zeros((B, 5, D), np.float32)
+        text_p = np.concatenate([text * mask[:, :, None], pad], axis=1)
+        mask_p = np.concatenate([mask, np.zeros((B, 5), np.float32)], axis=1)
+        agg = aggregate_crossbatch(
+            jnp.asarray(text_p),
+            jnp.asarray(visual),
+            jnp.float32(TEMP),
+            clamp_min=-20.0,
+            query_mask=jnp.asarray(mask_p),
+        )
+        agg0 = aggregate_crossbatch(
+            jnp.asarray(text * mask[:, :, None]),
+            jnp.asarray(visual),
+            jnp.float32(TEMP),
+            clamp_min=-20.0,
+            query_mask=jnp.asarray(mask),
+        )
+        np.testing.assert_allclose(agg.clip_sims, agg0.clip_sims, rtol=1e-5, atol=1e-6)
+
+
+class TestChunkedImplementation:
+    @pytest.mark.parametrize("chunk", [1, 2, 3, 6])
+    def test_values_match_dense(self, feats, chunk):
+        audio, _, visual, _ = feats
+        dense = av_loss(
+            jnp.asarray(audio), jnp.asarray(visual), jnp.float32(TEMP), _cfg("dense")
+        )
+        chunked = av_loss(
+            jnp.asarray(audio),
+            jnp.asarray(visual),
+            jnp.float32(TEMP),
+            _cfg("chunked", chunk_size=chunk),
+        )
+        np.testing.assert_allclose(chunked.total, dense.total, rtol=1e-6)
+        np.testing.assert_allclose(
+            chunked.stats["av_separation"], dense.stats["av_separation"], rtol=1e-5
+        )
+
+    def test_gradients_match_dense(self, feats):
+        audio, _, visual, _ = feats
+
+        def loss_fn(impl):
+            def f(a, v, t):
+                return av_loss(a, v, t, _cfg(impl, chunk_size=2)).total
+
+            return f
+
+        args = (jnp.asarray(audio), jnp.asarray(visual), jnp.float32(TEMP))
+        gd = jax.grad(loss_fn("dense"), argnums=(0, 1, 2))(*args)
+        gc = jax.grad(loss_fn("chunked"), argnums=(0, 1, 2))(*args)
+        for a, b in zip(gd, gc):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+    def test_gradients_match_torch(self, feats):
+        audio, _, visual, _ = feats
+        ta = torch.from_numpy(audio).requires_grad_(True)
+        tv = torch.from_numpy(visual).requires_grad_(True)
+        tt = torch.tensor(TEMP, requires_grad=True)
+        oracle_av_loss(ta, tv, tt)["total"].backward()
+
+        def f(a, v, t):
+            return av_loss(a, v, t, _cfg("chunked", chunk_size=3)).total
+
+        ga, gv, gt = jax.grad(f, argnums=(0, 1, 2))(
+            jnp.asarray(audio), jnp.asarray(visual), jnp.float32(TEMP)
+        )
+        np.testing.assert_allclose(ga, ta.grad.numpy(), rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(gv, tv.grad.numpy(), rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(gt, tt.grad.numpy(), rtol=2e-4, atol=1e-6)
+
+
+class TestPairwiseSimilarity:
+    def test_matches_torch(self, feats):
+        audio, _, visual, _ = feats
+        ours = pairwise_similarity(
+            jnp.asarray(audio), jnp.asarray(visual), jnp.float32(TEMP)
+        )
+        ref = oracle_pairwise_similarity(
+            torch.from_numpy(audio), torch.from_numpy(visual), torch.tensor(TEMP)
+        )
+        np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-5, atol=1e-6)

@@ -1,0 +1,290 @@
+"""Typed configuration for the triad_tpu framework.
+
+The reference has no config system (hard-coded kwargs at
+reference src/train.py:1148-1183 with ctor defaults at train.py:56-89, and
+hard-coded model hyperparameters at train.py:235-244 / model.py:331-353).
+Here every knob is a frozen dataclass; the full config travels inside
+checkpoints (mirroring the reference's ``self.config`` dict persisted at
+train.py:126-143, 427) and is serializable to/from plain dicts (JSON/YAML).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+
+# ---------------------------------------------------------------------------
+# Encoder configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ViTConfig:
+    """DINOv2 ViT-B/14 with register tokens (reference model.py:346:
+    ``ViTLoRAEmbedder(arch='dinov2_vitb14_reg', embedding_dim=512, ...)``).
+
+    Matches the HF ``Dinov2WithRegistersModel`` / facebookresearch DINOv2
+    architecture so pretrained weights port 1:1.
+    """
+
+    image_size: int = 224
+    patch_size: int = 14
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    num_register_tokens: int = 4
+    layerscale_init: float = 1.0
+    ffn_bias: bool = True
+    qkv_bias: bool = True
+    layer_norm_eps: float = 1e-6
+    # LoRA on attention qkv + output proj (reference model.py:227-248:
+    # r=8, alpha=16, targets ["attn.qkv", "attn.proj"], dropout 0.0).
+    lora_rank: int = 8
+    lora_alpha: float = 16.0
+
+    @property
+    def num_patches(self) -> int:
+        side = self.image_size // self.patch_size
+        return side * side
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_size // self.patch_size
+
+
+@dataclass(frozen=True)
+class HubertConfig:
+    """HuBERT-base (reference model.py:27-30: facebook/hubert-base-ls960).
+
+    Matches HF ``HubertModel`` base config: 7-layer conv feature encoder
+    with group norm on layer 0, conv positional embedding, 12-layer
+    post-LN transformer.
+    """
+
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    conv_dim: Tuple[int, ...] = (512, 512, 512, 512, 512, 512, 512)
+    conv_kernel: Tuple[int, ...] = (10, 3, 3, 3, 3, 2, 2)
+    conv_stride: Tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
+    conv_bias: bool = False
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    feat_proj_layer_norm: bool = True
+    layer_norm_eps: float = 1e-5
+    # HF processor quirk (reference model.py:56-62): zero-mean/unit-var
+    # normalization applied per padded batch row before the conv stack.
+    normalize_waveform: bool = True
+
+    def num_audio_tokens(self, num_samples: int) -> int:
+        """Output sequence length of the conv feature encoder."""
+        t = num_samples
+        for k, s in zip(self.conv_kernel, self.conv_stride):
+            t = (t - k) // s + 1
+        return t
+
+
+@dataclass(frozen=True)
+class DistilBertConfig:
+    """DistilBERT-base-uncased (reference model.py:335, 345; train.py:238)."""
+
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_layers: int = 6
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    pad_token_id: int = 0
+    layer_norm_eps: float = 1e-12
+    # Tokenization inside the reference forward (model.py:102-109):
+    # padding, truncation, add_special_tokens=False, max_length=128.
+    max_text_tokens: int = 128
+
+
+# ---------------------------------------------------------------------------
+# Model / loss configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """The combined tri-modal model (reference MultiModalModel,
+    model.py:331-353)."""
+
+    embedding_dim: int = 512
+    temperature_init: float = 1.5  # trainer value, train.py:239
+    visual_dropout_prob: float = 0.25  # train.py:242
+    vit: ViTConfig = field(default_factory=ViTConfig)
+    hubert: HubertConfig = field(default_factory=HubertConfig)
+    text: DistilBertConfig = field(default_factory=DistilBertConfig)
+    # bf16 compute for the encoders, fp32 for the loss path
+    # (reference autocast split, model.py:483-487, 603-607).
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Loss hyperparameters (reference model.py:331-353, 394-428, 516-542)."""
+
+    # AV regularizers (model.py:410-428)
+    av_nonneg_clamp_min: float = -60.0
+    av_nonneg_weight: float = 0.15
+    temp_cal_weight: float = 20.0
+    temp_cal_low: float = 1.0
+    temp_cal_high: float = 2.0  # computed but unused in reference (model.py:422-424)
+    smooth_weight: float = 0.01
+    # TV regularizers (model.py:516-542; values from train.py:240-241)
+    tv_nonneg_clamp_min: float = -20.0
+    tv_nonneg_weight: float = 0.15
+    patch_sparsity_threshold: float = 0.80
+    patch_sparsity_weight: float = 0.01
+    # Aggregation implementation: "dense" materializes the (B,B,Nq,Nk)
+    # volume (small batches / tests), "chunked" scans j-blocks with remat,
+    # "pallas" uses the fused TPU kernel.
+    implementation: str = "dense"
+    chunk_size: int = 8
+
+
+# ---------------------------------------------------------------------------
+# Data / train configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    # Fixed shapes (XLA requirement). The reference pads audio to the batch
+    # max (dataset.py:264-276) and tokenizes to the batch max (model.py:102-109);
+    # we pad to these static lengths instead.
+    audio_num_samples: int = 160_000  # 10 s @ 16 kHz
+    sample_rate: int = 16_000
+    image_size: int = 224
+    max_text_tokens: int = 128
+    batch_size_av: int = 22  # train.py:1157
+    batch_size_tv: int = 22  # train.py:1158
+    num_workers: int = 4
+    prefetch: int = 2
+    # Paths (None => synthetic data)
+    audio_visual_data_root: Optional[str] = None
+    text_dataset_path: Optional[str] = None
+    audio_visual_val_data_root: Optional[str] = None
+    text_dataset_val_path: Optional[str] = None
+    tokenizer_vocab: Optional[str] = None  # path to a WordPiece vocab.txt
+    # Synthetic dataset sizes when no real data is configured.
+    synthetic_av_size: int = 256
+    synthetic_tv_size: int = 256
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """4-group optimizer setup (reference train.py:246-348, 527-548)."""
+
+    learning_rate: float = 1e-4
+    # Per-group peak-LR scaling (train.py:302-343).
+    lr_scale_others: float = 1.0
+    lr_scale_audio: float = 0.25
+    lr_scale_text: float = 0.75
+    lr_scale_vit_lora: float = 0.5
+    # OneCycle shape (train.py:302-343).
+    pct_start: float = 0.1
+    div_factor: float = 10.0
+    final_div_factor: float = 1e4
+    # Unfreeze steps (train.py:1169-1171).
+    unfreeze_audio_step: int = 5000
+    unfreeze_text_step: int = 5000
+    unfreeze_vit_step: int = 5000
+    # Grad clip: reference clips audio_embedder.* and text_embedder.*
+    # subtrees to global-norm 10.0 (train.py:1004-1006).
+    clip_norm: float = 10.0
+    gradient_accumulation_steps: int = 4  # train.py:1168
+    weight_decay: float = 0.01  # torch AdamW default
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    num_epochs: int = 10  # train.py:1159
+    steps_per_epoch: Optional[int] = None  # None => derived from data size
+    # Curriculum phases (train.py:880-905; values train.py:1176-1180).
+    av_focus_epochs: int = 1
+    tv_warmup_epochs: int = 1
+    weighted_joint_epochs: int = 2
+    av_weight_start: float = 0.8
+    av_weight_end: float = 0.5
+    # Periodic hooks (train.py:1162-1175).
+    vis_every: int = 20000
+    save_every_steps: int = 10000
+    validation_frequency: int = 20000
+    retrieval_subset_size: int = 1000
+    num_vis_samples_av: int = 24
+    num_vis_samples_tv: int = 24
+    output_dir: str = "./outputs_triad_tpu"
+    use_wandb: bool = False
+    project_name: str = "triad-tpu"
+    seed: int = 0
+    optim: OptimConfig = field(default_factory=OptimConfig)
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh. Parity needs pure DP (SURVEY §2.6); the axis is kept
+    named so that model/sequence axes can be added later."""
+
+    data_axis: str = "data"
+    num_devices: Optional[int] = None  # None => all visible devices
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    # -- serialization -------------------------------------------------
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "Config":
+        return _from_dict(cls, d)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        return cls.from_dict(json.loads(s))
+
+
+def _from_dict(cls, d):
+    if not dataclasses.is_dataclass(cls):
+        return d
+    kwargs = {}
+    hints = {f.name: f.type for f in dataclasses.fields(cls)}
+    resolved = {f.name: f for f in dataclasses.fields(cls)}
+    for key, value in d.items():
+        if key not in resolved:
+            raise KeyError(f"Unknown config field {key!r} for {cls.__name__}")
+        f = resolved[key]
+        ftype = f.type
+        # Resolve nested dataclasses by inspecting the default factory.
+        default = (
+            f.default_factory() if f.default_factory is not dataclasses.MISSING else None
+        )
+        if dataclasses.is_dataclass(default) and isinstance(value, dict):
+            kwargs[key] = _from_dict(type(default), value)
+        elif isinstance(value, list):
+            kwargs[key] = tuple(value)
+        else:
+            kwargs[key] = value
+    return cls(**kwargs)

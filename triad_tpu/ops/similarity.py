@@ -1,0 +1,225 @@
+"""Dense token-similarity volumes and DenseAV-style max-mean aggregation.
+
+Reference semantics (all citations into /root/reference/src/model.py):
+
+* ``pairwise_similarity``  — inference/viz path (model.py:355-368):
+  L2-normalize both token sets, batched matmul, **multiply** by temperature,
+  computed in fp32.
+* ``aggregate_crossbatch`` — training path (model.py:370-392, 490-514):
+  token_sims[i, j, q, k] = <query_i_q, key_j_k> * temperature with **no
+  normalization**, max over key tokens, (masked) mean over query tokens
+  => clip_sims (B, B).  The reference materializes the full fp32
+  (B, B, Nq, Nk) volume; at global batch 512 that volume is intractable,
+  so we provide three implementations:
+
+  - ``dense``:   materialize the volume (tests / small batches).
+  - ``chunked``: lax.scan over key-batch chunks with rematerialization —
+                 O(B * chunk * Nq * Nk) live memory, gradients recompute
+                 each chunk (flash-attention-style).
+  - ``pallas``:  fused TPU kernel (triad_tpu.ops.pallas_maxmean).
+
+  All three return bitwise-comparable results (tested) and also accumulate
+  the non-negativity regularizer statistics (sum of clamp(ts, m, 0)^2 over
+  the full volume, model.py:417, 524) so no caller ever needs the volume.
+
+Gradient note: the subgradient of ``max`` at ties differs between torch
+(routes to the first argmax) and XLA (splits evenly among ties). Ties have
+measure zero for continuous features; parity tests use distinct values.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class AggregateOut(NamedTuple):
+    """Outputs of cross-batch max-mean aggregation.
+
+    clip_sims:  (B, B) fp32 — aggregated clip-level similarities; rows are
+                queries (audio/text), columns are keys (visual).
+    nonneg_sq_sum: () fp32 — sum over the *entire* (B,B,Nq,Nk) volume of
+                clamp(token_sims, clamp_min, 0)^2 (reference model.py:417,
+                524 take the mean; divide by ``volume_numel``).
+    volume_numel: () fp32 — B*B*Nq*Nk, denominator for the mean.
+    diag_token_sims: (B, Nq, Nk) fp32 — token sims of positive pairs
+                (i == j), needed by the temporal-smoothness (model.py:394-408)
+                and patch-sparsity (model.py:516-542) regularizers.
+    """
+
+    clip_sims: jax.Array
+    nonneg_sq_sum: jax.Array
+    volume_numel: jax.Array
+    diag_token_sims: jax.Array
+
+
+def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
+    """torch.nn.functional.normalize semantics: x / max(||x||, eps)."""
+    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(norm, eps)
+
+
+def pairwise_similarity(
+    feats1: jax.Array, feats2: jax.Array, temperature: jax.Array
+) -> jax.Array:
+    """Inference-path similarity (reference model.py:355-368).
+
+    feats1: (B, N1, D), feats2: (B, N2, D) -> (B, N1, N2) fp32,
+    both L2-normalized, scaled by (multiplied with) temperature.
+    """
+    f1 = l2_normalize(feats1.astype(jnp.float32))
+    f2 = l2_normalize(feats2.astype(jnp.float32))
+    sim = jnp.einsum("bnd,bmd->bnm", f1, f2, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    return sim * temperature.astype(jnp.float32)
+
+
+def _masked_mean_over_queries(
+    max_sims: jax.Array, query_mask: Optional[jax.Array]
+) -> jax.Array:
+    """Mean over the query-token axis (last axis of max_sims (..., Nq)).
+
+    With a mask, replicates the reference TV path (model.py:509-512):
+    masked sum / clamp(valid_count, 1e-7).
+    """
+    if query_mask is None:
+        return jnp.mean(max_sims, axis=-1)
+    # max_sims: (B, Bk, Nq); query_mask: (B, Nq) -> broadcast over Bk.
+    mask = query_mask.astype(jnp.float32)[:, None, :]
+    masked_sum = jnp.sum(max_sims * mask, axis=-1)
+    valid = jnp.maximum(jnp.sum(mask, axis=-1), 1e-7)
+    return masked_sum / valid
+
+
+def diag_token_sims(
+    query: jax.Array, key: jax.Array, temperature: jax.Array
+) -> jax.Array:
+    """Positive-pair (i == i) token sims: (B, Nq, Nk) fp32, unnormalized,
+    scaled by temperature (the diagonal of the reference's token_sims volume,
+    model.py:387/505)."""
+    q = query.astype(jnp.float32)
+    k = key.astype(jnp.float32)
+    ts = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    return ts * temperature.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Dense implementation (reference-shaped; materializes the volume)
+# ---------------------------------------------------------------------------
+
+
+def _aggregate_dense(
+    query: jax.Array,
+    key: jax.Array,
+    temperature: jax.Array,
+    clamp_min: float,
+    query_mask: Optional[jax.Array],
+) -> AggregateOut:
+    B, Nq, _ = query.shape
+    Nk = key.shape[1]
+    q = query.astype(jnp.float32)
+    k = key.astype(jnp.float32)
+    # token_sims[i,j,q,k] (model.py:384-387 / 502-505)
+    ts = jnp.einsum("iqd,jkd->ijqk", q, k, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    ts = ts * temperature.astype(jnp.float32)
+    max_sims = jnp.max(ts, axis=3)  # over key tokens (model.py:389/507)
+    clip_sims = _masked_mean_over_queries(max_sims, query_mask)
+    clamped = jnp.clip(ts, clamp_min, 0.0)
+    nonneg_sq_sum = jnp.sum(clamped * clamped)
+    numel = jnp.asarray(B * B * Nq * Nk, jnp.float32)
+    diag = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    diag = diag * temperature.astype(jnp.float32)
+    return AggregateOut(clip_sims, nonneg_sq_sum, numel, diag)
+
+
+# ---------------------------------------------------------------------------
+# Chunked implementation (scan over key-batch chunks, rematerialized)
+# ---------------------------------------------------------------------------
+
+
+def _aggregate_chunked(
+    query: jax.Array,
+    key: jax.Array,
+    temperature: jax.Array,
+    clamp_min: float,
+    query_mask: Optional[jax.Array],
+    chunk_size: int,
+) -> AggregateOut:
+    B, Nq, D = query.shape
+    Nk = key.shape[1]
+    q = query.astype(jnp.float32)
+    k = key.astype(jnp.float32)
+    temp = temperature.astype(jnp.float32)
+
+    chunk = min(chunk_size, B)
+    if B % chunk != 0:
+        # Fall back to the largest divisor <= chunk so shapes stay static.
+        while B % chunk != 0:
+            chunk -= 1
+    num_chunks = B // chunk
+    k_chunks = k.reshape(num_chunks, chunk, Nk, D)
+
+    @jax.checkpoint
+    def chunk_fn(k_chunk):
+        # (B, chunk, Nq, Nk) — the only live slice of the volume.
+        ts = jnp.einsum("iqd,jkd->ijqk", q, k_chunk, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        ts = ts * temp
+        max_sims = jnp.max(ts, axis=3)
+        clip = _masked_mean_over_queries(max_sims, query_mask)  # (B, chunk)
+        clamped = jnp.clip(ts, clamp_min, 0.0)
+        return clip, jnp.sum(clamped * clamped)
+
+    def scan_body(carry, k_chunk):
+        clip, nn = chunk_fn(k_chunk)
+        return carry + nn, clip
+
+    nonneg_sq_sum, clips = jax.lax.scan(
+        scan_body, jnp.zeros((), jnp.float32), k_chunks
+    )
+    # clips: (num_chunks, B, chunk) -> (B, B) with key order restored.
+    clip_sims = jnp.transpose(clips, (1, 0, 2)).reshape(B, B)
+    numel = jnp.asarray(B * B * Nq * Nk, jnp.float32)
+    diag = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) * temp
+    return AggregateOut(clip_sims, nonneg_sq_sum, numel, diag)
+
+
+# ---------------------------------------------------------------------------
+# Public entry
+# ---------------------------------------------------------------------------
+
+
+def aggregate_crossbatch(
+    query: jax.Array,
+    key: jax.Array,
+    temperature: jax.Array,
+    *,
+    clamp_min: float,
+    query_mask: Optional[jax.Array] = None,
+    implementation: str = "dense",
+    chunk_size: int = 8,
+) -> AggregateOut:
+    """Cross-batch max-mean aggregation (reference model.py:370-392/490-514).
+
+    query: (B, Nq, D) audio or text tokens (rows of clip_sims).
+    key:   (B, Nk, D) visual tokens (columns of clip_sims).
+    temperature: scalar (multiplied — training semantics, model.py:387).
+    clamp_min: lower clamp of the non-negativity regularizer
+        (-60 AV model.py:417, -20 TV model.py:524).
+    query_mask: optional (B, Nq) validity mask => masked mean over queries
+        (the reference TV path, model.py:509-512).
+    """
+    if implementation == "dense":
+        return _aggregate_dense(query, key, temperature, clamp_min, query_mask)
+    if implementation == "chunked":
+        return _aggregate_chunked(
+            query, key, temperature, clamp_min, query_mask, chunk_size
+        )
+    if implementation == "pallas":
+        from triad_tpu.ops.pallas_maxmean import aggregate_pallas
+
+        return aggregate_pallas(
+            query, key, temperature, clamp_min=clamp_min, query_mask=query_mask
+        )
+    raise ValueError(f"Unknown implementation {implementation!r}")
