@@ -16,6 +16,12 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
+
+# fp32 matmuls are downcast by default on this platform; parity tests
+# compare against torch fp32, so force full precision in tests.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,221 @@
+"""Encoder parity tests vs HF torch models instantiated from config.
+
+No network needed: HF models are built with random init from config
+objects, their weights ported via triad_tpu.models.weights, and outputs
+compared in fp32. This pins the numerics of every backbone (SURVEY §7.2
+step 2; BASELINE north star requires outputs matching the torch
+reference within tolerance).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import torch
+
+from triad_tpu.core.config import DistilBertConfig, HubertConfig, ViTConfig
+from triad_tpu.models.distilbert import DistilBertModel
+from triad_tpu.models.hubert import HubertModel, normalize_waveform
+from triad_tpu.models.vit import DinoViT
+from triad_tpu.models.weights import port_distilbert, port_dinov2, port_hubert
+
+torch.manual_seed(0)
+
+
+# Small configs keep CPU test time reasonable; architecture code paths are
+# identical to full size.
+SMALL_TEXT = dict(
+    vocab_size=120, hidden_size=32, num_layers=2, num_heads=4,
+    intermediate_size=64, max_position_embeddings=64,
+)
+SMALL_VIT = dict(
+    image_size=28, patch_size=14, hidden_size=32, num_layers=2, num_heads=4,
+    num_register_tokens=4,
+)
+SMALL_HUBERT = dict(
+    hidden_size=32, num_layers=2, num_heads=4, intermediate_size=64,
+    conv_dim=(16, 16, 16), conv_kernel=(10, 3, 3), conv_stride=(5, 2, 2),
+    num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+)
+
+
+class TestDistilBertParity:
+    @pytest.fixture(scope="class")
+    def models(self):
+        from transformers import DistilBertConfig as HFConfig
+        from transformers import DistilBertModel as HFModel
+
+        hf = HFModel(
+            HFConfig(
+                vocab_size=SMALL_TEXT["vocab_size"],
+                dim=SMALL_TEXT["hidden_size"],
+                n_layers=SMALL_TEXT["num_layers"],
+                n_heads=SMALL_TEXT["num_heads"],
+                hidden_dim=SMALL_TEXT["intermediate_size"],
+                max_position_embeddings=SMALL_TEXT["max_position_embeddings"],
+            )
+        ).eval()
+        cfg = DistilBertConfig(**SMALL_TEXT)
+        flax_model = DistilBertModel(cfg)
+        params = jax.tree.map(jnp.asarray, port_distilbert(hf))
+        return hf, flax_model, params
+
+    def test_forward_parity(self, models):
+        hf, flax_model, params = models
+        rng = np.random.default_rng(1)
+        ids = rng.integers(1, SMALL_TEXT["vocab_size"], size=(3, 12))
+        lengths = np.array([12, 7, 4])
+        mask = (np.arange(12)[None] < lengths[:, None]).astype(np.int64)
+        with torch.no_grad():
+            ref = hf(
+                input_ids=torch.from_numpy(ids),
+                attention_mask=torch.from_numpy(mask),
+            ).last_hidden_state.numpy()
+        ours = flax_model.apply(
+            {"params": params}, jnp.asarray(ids), jnp.asarray(mask)
+        )
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=2e-5)
+
+    def test_padding_positions_match_reference_behavior(self, models):
+        """Changing a padded token id must not change valid positions
+        (mask blocks attention to pads)."""
+        hf, flax_model, params = models
+        ids = np.full((1, 8), 5, np.int64)
+        mask = np.array([[1, 1, 1, 1, 0, 0, 0, 0]], np.int64)
+        out1 = flax_model.apply({"params": params}, jnp.asarray(ids), jnp.asarray(mask))
+        ids2 = ids.copy()
+        ids2[0, 6] = 9
+        out2 = flax_model.apply({"params": params}, jnp.asarray(ids2), jnp.asarray(mask))
+        np.testing.assert_allclose(out1[:, :4], out2[:, :4], atol=1e-6)
+
+
+class TestDinoViTParity:
+    @pytest.fixture(scope="class")
+    def models(self):
+        from transformers import Dinov2WithRegistersConfig as HFConfig
+        from transformers import Dinov2WithRegistersModel as HFModel
+
+        hf = HFModel(
+            HFConfig(
+                image_size=SMALL_VIT["image_size"],
+                patch_size=SMALL_VIT["patch_size"],
+                hidden_size=SMALL_VIT["hidden_size"],
+                num_hidden_layers=SMALL_VIT["num_layers"],
+                num_attention_heads=SMALL_VIT["num_heads"],
+                num_register_tokens=SMALL_VIT["num_register_tokens"],
+                mlp_ratio=4,
+                layerscale_value=1.0,
+            )
+        ).eval()
+        cfg = ViTConfig(**SMALL_VIT)
+        return hf, cfg
+
+    def test_forward_parity_no_lora(self, models):
+        hf, cfg = models
+        flax_model = DinoViT(cfg, use_lora=False)
+        params = jax.tree.map(jnp.asarray, port_dinov2(hf, lora_rank=0))
+        rng = np.random.default_rng(2)
+        imgs = rng.normal(size=(2, 28, 28, 3)).astype(np.float32)
+        with torch.no_grad():
+            ref = hf(
+                pixel_values=torch.from_numpy(imgs.transpose(0, 3, 1, 2))
+            ).last_hidden_state.numpy()
+        ours = flax_model.apply({"params": params}, jnp.asarray(imgs))
+        # HF last_hidden_state has the final layernorm applied, like ours.
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=2e-5)
+
+    def test_lora_starts_as_identity(self, models):
+        """Freshly ported LoRA (B=0) must reproduce the base model."""
+        hf, cfg = models
+        base = DinoViT(cfg, use_lora=False)
+        lora = DinoViT(cfg, use_lora=True)
+        p_base = jax.tree.map(jnp.asarray, port_dinov2(hf, lora_rank=0))
+        p_lora = jax.tree.map(jnp.asarray, port_dinov2(hf, lora_rank=cfg.lora_rank))
+        rng = np.random.default_rng(3)
+        imgs = jnp.asarray(rng.normal(size=(2, 28, 28, 3)).astype(np.float32))
+        out_b = base.apply({"params": p_base}, imgs)
+        out_l = lora.apply({"params": p_lora}, imgs)
+        np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_l), atol=1e-6)
+
+    def test_patch_tokens_slice(self, models):
+        """get_patch_tokens == get_intermediate_layers(x, 1)[0]: normed,
+        patch tokens only (no CLS, no registers)."""
+        hf, cfg = models
+        flax_model = DinoViT(cfg, use_lora=False)
+        params = jax.tree.map(jnp.asarray, port_dinov2(hf))
+        rng = np.random.default_rng(4)
+        imgs = rng.normal(size=(2, 28, 28, 3)).astype(np.float32)
+        tokens = flax_model.apply(
+            {"params": params}, jnp.asarray(imgs),
+            method=DinoViT.get_patch_tokens,
+        )
+        assert tokens.shape == (2, cfg.num_patches, cfg.hidden_size)
+        with torch.no_grad():
+            ref = hf(
+                pixel_values=torch.from_numpy(imgs.transpose(0, 3, 1, 2))
+            ).last_hidden_state.numpy()[:, 1 + cfg.num_register_tokens :]
+        np.testing.assert_allclose(np.asarray(tokens), ref, rtol=1e-4, atol=2e-5)
+
+
+class TestHubertParity:
+    @pytest.fixture(scope="class")
+    def models(self):
+        from transformers import HubertConfig as HFConfig
+        from transformers import HubertModel as HFModel
+
+        hf = HFModel(
+            HFConfig(
+                hidden_size=SMALL_HUBERT["hidden_size"],
+                num_hidden_layers=SMALL_HUBERT["num_layers"],
+                num_attention_heads=SMALL_HUBERT["num_heads"],
+                intermediate_size=SMALL_HUBERT["intermediate_size"],
+                conv_dim=list(SMALL_HUBERT["conv_dim"]),
+                conv_kernel=list(SMALL_HUBERT["conv_kernel"]),
+                conv_stride=list(SMALL_HUBERT["conv_stride"]),
+                num_feat_extract_layers=len(SMALL_HUBERT["conv_dim"]),
+                num_conv_pos_embeddings=SMALL_HUBERT["num_conv_pos_embeddings"],
+                num_conv_pos_embedding_groups=SMALL_HUBERT[
+                    "num_conv_pos_embedding_groups"
+                ],
+                do_stable_layer_norm=False,
+                feat_extract_norm="group",
+                conv_bias=False,
+            )
+        ).eval()
+        cfg = HubertConfig(**SMALL_HUBERT)
+        flax_model = HubertModel(cfg)
+        params = jax.tree.map(jnp.asarray, port_hubert(hf))
+        return hf, flax_model, params, cfg
+
+    def test_forward_parity(self, models):
+        hf, flax_model, params, cfg = models
+        rng = np.random.default_rng(5)
+        audio = rng.normal(size=(2, 2000)).astype(np.float32)
+        with torch.no_grad():
+            ref = hf(torch.from_numpy(audio)).last_hidden_state.numpy()
+        ours = flax_model.apply({"params": params}, jnp.asarray(audio))
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-3, atol=5e-5)
+
+    def test_token_count_formula(self, models):
+        _, flax_model, params, cfg = models
+        audio = jnp.zeros((1, 2000))
+        out = flax_model.apply({"params": params}, audio)
+        assert out.shape[1] == cfg.num_audio_tokens(2000)
+
+    def test_waveform_normalization_matches_hf_processor(self):
+        """Per-padded-row zero-mean/unit-var (reference model.py:56-62)."""
+        from transformers import Wav2Vec2FeatureExtractor
+
+        proc = Wav2Vec2FeatureExtractor(
+            do_normalize=True, return_attention_mask=True, feature_size=1,
+            sampling_rate=16000, padding_value=0.0,
+        )
+        rng = np.random.default_rng(6)
+        audio = rng.normal(size=(3, 1000)).astype(np.float32)
+        audio[1, 600:] = 0.0  # pre-padded row, stats still over full row
+        ref = proc(
+            [a for a in audio], sampling_rate=16000, padding=True,
+            return_tensors="np",
+        ).input_values
+        ours = normalize_waveform(jnp.asarray(audio))
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)

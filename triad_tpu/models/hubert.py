@@ -1,0 +1,196 @@
+"""Flax HuBERT-base encoder (reference audio backbone, model.py:27-30:
+``facebook/hubert-base-ls960``).
+
+From-scratch Flax implementation matching the HF ``HubertModel`` base
+computation graph (do_stable_layer_norm=False, feat_extract_norm="group",
+conv_bias=False):
+
+  7-layer conv waveform frontend (group norm on layer 0 only, GELU)
+  feature projection: LayerNorm -> Dense(512 -> 768)
+  conv positional embedding (kernel 128, 16 groups, weight-normed in
+  torch — ported as a plain kernel) with same-pad trim + GELU
+  x = x + pos; LayerNorm; 12 post-LN transformer blocks
+
+The HF processor's per-row zero-mean/unit-var normalization over the
+*padded* waveform (reference model.py:56-62 quirk — stats include the
+zero padding) lives in ``normalize_waveform`` and is applied by the
+caller before the conv stack.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from triad_tpu.core.config import HubertConfig
+from triad_tpu.models.layers import dot_product_attention
+
+Dtype = Any
+
+
+def normalize_waveform(audio: jax.Array) -> jax.Array:
+    """Wav2Vec2FeatureExtractor zero-mean/unit-var normalization, applied
+    per padded batch row (reference model.py:56-62): stats over the full
+    row including zero padding, eps 1e-7 inside the sqrt."""
+    audio = audio.astype(jnp.float32)
+    mean = jnp.mean(audio, axis=-1, keepdims=True)
+    var = jnp.var(audio, axis=-1, keepdims=True)
+    return (audio - mean) / jnp.sqrt(var + 1e-7)
+
+
+class ConvFeatureEncoder(nn.Module):
+    """(B, T) waveform -> (B, T', conv_dim[-1]) frame features."""
+
+    cfg: HubertConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, audio: jax.Array) -> jax.Array:
+        c = self.cfg
+        x = audio[:, :, None].astype(self.dtype)
+        for i, (dim, k, s) in enumerate(zip(c.conv_dim, c.conv_kernel, c.conv_stride)):
+            x = nn.Conv(
+                dim,
+                kernel_size=(k,),
+                strides=(s,),
+                padding="VALID",
+                use_bias=c.conv_bias,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"conv_{i}",
+            )(x)
+            if i == 0:
+                # Group norm with one group per channel == per-channel
+                # instance norm over time (HF GroupNormConvLayer).
+                x = nn.GroupNorm(
+                    num_groups=dim,
+                    epsilon=1e-5,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name="group_norm",
+                )(x)
+            x = nn.gelu(x, approximate=False)
+        return x
+
+
+class PositionalConvEmbedding(nn.Module):
+    cfg: HubertConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = self.cfg
+        k = c.num_conv_pos_embeddings
+        pad = k // 2
+        h = nn.Conv(
+            c.hidden_size,
+            kernel_size=(k,),
+            strides=(1,),
+            padding=[(pad, pad)],
+            feature_group_count=c.num_conv_pos_embedding_groups,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
+        )(x)
+        if k % 2 == 0:
+            # HubertSamePadLayer: trim the trailing element for even kernels.
+            h = h[:, :-1]
+        return nn.gelu(h, approximate=False)
+
+
+class HubertSelfAttention(nn.Module):
+    cfg: HubertConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = self.cfg
+        head_dim = c.hidden_size // c.num_heads
+        dense = lambda name: nn.Dense(
+            c.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        )
+        q = dense("q_proj")(x).reshape(*x.shape[:2], c.num_heads, head_dim)
+        k = dense("k_proj")(x).reshape(*x.shape[:2], c.num_heads, head_dim)
+        v = dense("v_proj")(x).reshape(*x.shape[:2], c.num_heads, head_dim)
+        out = dot_product_attention(q, k, v, None, self.dtype)
+        return dense("out_proj")(out.reshape(*x.shape[:2], c.hidden_size))
+
+
+class HubertEncoderLayer(nn.Module):
+    """Post-LN block (HF HubertEncoderLayer, base config)."""
+
+    cfg: HubertConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = self.cfg
+        attn = HubertSelfAttention(
+            c, dtype=self.dtype, param_dtype=self.param_dtype, name="attention"
+        )(x)
+        x = nn.LayerNorm(
+            epsilon=c.layer_norm_eps, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="layer_norm",
+        )(x + attn)
+        h = nn.Dense(
+            c.intermediate_size, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="intermediate_dense",
+        )(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(
+            c.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="output_dense",
+        )(h)
+        x = nn.LayerNorm(
+            epsilon=c.layer_norm_eps, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="final_layer_norm",
+        )(x + h)
+        return x
+
+
+class HubertModel(nn.Module):
+    """(B, T) normalized waveform -> (B, T', hidden) last hidden state.
+
+    The caller is responsible for ``normalize_waveform`` (matching the
+    reference's processor-inside-forward quirk, model.py:56-64).
+    """
+
+    cfg: HubertConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, audio: jax.Array) -> jax.Array:
+        c = self.cfg
+        x = ConvFeatureEncoder(
+            c, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="feature_extractor",
+        )(audio)
+        x = nn.LayerNorm(
+            epsilon=c.layer_norm_eps, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="feature_projection_norm",
+        )(x)
+        x = nn.Dense(
+            c.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="feature_projection",
+        )(x)
+        pos = PositionalConvEmbedding(
+            c, dtype=self.dtype, param_dtype=self.param_dtype, name="pos_conv_embed"
+        )(x)
+        x = x + pos
+        x = nn.LayerNorm(
+            epsilon=c.layer_norm_eps, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="encoder_layer_norm",
+        )(x)
+        for i in range(c.num_layers):
+            x = HubertEncoderLayer(
+                c, dtype=self.dtype, param_dtype=self.param_dtype, name=f"layer_{i}"
+            )(x)
+        return x

@@ -1,0 +1,159 @@
+"""Shared Flax building blocks for the triad_tpu encoders.
+
+Everything is written mask-first and fixed-shape (XLA requirement), with a
+``dtype`` knob implementing the reference's bf16-autocast-for-encoders
+policy (reference model.py:483-485, 603-605): parameters stay fp32
+(``param_dtype``), activations/matmuls run in ``dtype``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array],
+    dtype: Dtype,
+) -> jax.Array:
+    """Standard softmax attention.
+
+    q, k, v: (B, N, H, Dh). mask: optional (B, 1, 1, Nk) additive-style
+    boolean mask (True = attend). Softmax is computed in fp32 for
+    stability, output cast back to ``dtype``.
+    """
+    depth = q.shape[-1]
+    scale = jnp.asarray(1.0 / jnp.sqrt(depth), dtype)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+    scores = scores.astype(jnp.float32)
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+class LoRADense(nn.Module):
+    """Dense layer with an optional LoRA adapter: y = xW + b + (α/r)·xAB.
+
+    Mirrors peft LoRA on the reference ViT (model.py:235-248: r=8, α=16,
+    dropout 0, applied to the fused qkv and the attention output proj).
+    A is He-uniform initialized, B zeros, so the adapter starts as a
+    no-op (peft default init).
+    """
+
+    features: int
+    rank: int = 0
+    alpha: float = 16.0
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (in_features, self.features),
+            self.param_dtype,
+        )
+        y = jnp.dot(x, kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+            )
+            y = y + bias.astype(self.dtype)
+        if self.rank > 0:
+            lora_a = self.param(
+                "lora_a",
+                nn.initializers.he_uniform(),
+                (in_features, self.rank),
+                self.param_dtype,
+            )
+            lora_b = self.param(
+                "lora_b",
+                nn.initializers.zeros,
+                (self.rank, self.features),
+                self.param_dtype,
+            )
+            scaling = jnp.asarray(self.alpha / self.rank, self.dtype)
+            y = y + scaling * jnp.dot(
+                jnp.dot(x, lora_a.astype(self.dtype)), lora_b.astype(self.dtype)
+            )
+        return y
+
+
+class Mlp(nn.Module):
+    """Transformer FFN: Dense -> GELU -> Dense."""
+
+    hidden_features: int
+    out_features: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    # HF-style "exact" gelu vs tanh approximation; all three reference
+    # backbones use exact gelu.
+    approximate_gelu: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Dense(
+            self.hidden_features, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="fc1",
+        )(x)
+        x = nn.gelu(x, approximate=self.approximate_gelu)
+        x = nn.Dense(
+            self.out_features, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="fc2",
+        )(x)
+        return x
+
+
+class ProjectionHead(nn.Module):
+    """The reference's shared projection pattern (model.py:32-34, 81-83,
+    253-255): Linear(hidden -> 512) -> LayerNorm -> Linear(512 -> 512).
+
+    LayerNorm eps matches torch's default (1e-5).
+    """
+
+    embedding_dim: int = 512
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Dense(
+            self.embedding_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="projection1",
+        )(x)
+        x = nn.LayerNorm(
+            epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="layer_norm",
+        )(x)
+        x = nn.Dense(
+            self.embedding_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="projection2",
+        )(x)
+        return x
+
+
+def patch_dropout_mask(
+    rng: jax.Array, shape: tuple, drop_rate: float
+) -> jax.Array:
+    """Bernoulli keep-mask for token dropout.
+
+    TPU-idiomatic analog of the reference's physical token removal
+    (model.py:268-308): instead of gathering kept tokens per sample and
+    re-padding to the ragged batch max (shape-dynamic), we zero dropped
+    tokens. Under max-mean aggregation a zero token contributes sim 0,
+    exactly like the reference's zero-padding rows; eval mode is
+    identical (dropout off, model.py:275).
+    """
+    return jax.random.bernoulli(rng, 1.0 - drop_rate, shape)
