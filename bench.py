@@ -1,0 +1,94 @@
+"""Benchmark: tri-modal clips/sec/chip (fwd + loss) at bf16.
+
+BASELINE.json metric: "Tri-modal clips/sec/chip (fwd+loss)"; north-star
+target is >=5,000 clips/sec aggregate on a v5e-8 at global batch 512 =
+625 clips/sec/chip. This bench runs the flagship full-size tri-modal
+model (DINOv2 ViT-B/14+reg+LoRA, HuBERT-base on 10 s audio, DistilBERT)
+plus both max-mean InfoNCE losses on ONE chip at the per-chip batch
+(512/8 = 64) and reports clips/sec/chip. vs_baseline is the ratio to the
+625 target.
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from triad_tpu.core.config import LossConfig, ModelConfig
+    from triad_tpu.models import TriadModel, init_triad_model
+    from triad_tpu.ops import av_loss, tv_loss
+
+    B = 64  # per-chip share of the global-512 target config
+    AUDIO_SAMPLES = 160_000  # 10 s @ 16 kHz
+    TEXT_LEN = 32
+
+    cfg = ModelConfig()  # bf16 compute, fp32 params
+    loss_cfg = LossConfig(implementation="chunked", chunk_size=8)
+    model = TriadModel(cfg)
+    params = init_triad_model(cfg, jax.random.key(0))
+
+    def fwd_loss(params, images, audio, token_ids, text_mask):
+        out = model.apply(
+            {"params": params}, images, audio, token_ids, text_mask, train=False
+        )
+        temp = params["temperature"]
+        av = av_loss(out["audio"], out["visual"], temp, loss_cfg)
+        tv = tv_loss(out["text"], out["visual"], text_mask, temp, loss_cfg)
+        return av.total + tv.total
+
+    # Timing methodology: the axon tunnel's block_until_ready does not
+    # actually wait, and each host readback costs ~20-30 ms RTT — so the
+    # steps are chained *inside one jit* via lax.scan (each iteration's
+    # input depends on the previous loss so XLA cannot hoist or CSE the
+    # body) and a single scalar readback ends the clock.
+    def chained(params, images, audio, token_ids, text_mask, iters):
+        def body(carry, _):
+            loss = fwd_loss(
+                params, images + carry * 1e-12, audio, token_ids, text_mask
+            )
+            return loss, None
+
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return total
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(B, 224, 224, 3)).astype(np.float32))
+    audio = jnp.asarray(
+        (rng.normal(size=(B, AUDIO_SAMPLES)) * 0.1).astype(np.float32)
+    )
+    token_ids = jnp.asarray(rng.integers(1, 30_000, size=(B, TEXT_LEN)).astype(np.int32))
+    text_mask = jnp.ones((B, TEXT_LEN), jnp.float32)
+
+    iters = 5
+    run = jax.jit(chained, static_argnames="iters")
+    # Warm with the SAME static iters (a different value would recompile).
+    float(run(params, images, audio, token_ids, text_mask, iters=iters))
+    t0 = time.perf_counter()
+    float(run(params, images, audio, token_ids, text_mask, iters=iters))
+    dt = (time.perf_counter() - t0) / iters
+
+    clips_per_sec = B / dt
+    target_per_chip = 5000.0 / 8.0
+    print(
+        json.dumps(
+            {
+                "metric": "tri-modal clips/sec/chip (fwd+loss, bf16, B=64, 10s audio)",
+                "value": round(clips_per_sec, 1),
+                "unit": "clips/s/chip",
+                "vs_baseline": round(clips_per_sec / target_per_chip, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

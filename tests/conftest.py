@@ -7,9 +7,12 @@ before any test module imports jax.
 
 import os
 
-# Force CPU: the suite needs 8 virtual devices and fp32 determinism
-# (the "axon" TPU platform may be preset in the environment).
-os.environ["JAX_PLATFORMS"] = "cpu"
+# Force CPU with 8 virtual devices. NOTE: this image's sitecustomize
+# (PYTHONPATH=/root/.axon_site) imports jax before conftest runs and the
+# environment pins JAX_PLATFORMS=axon (the TPU tunnel), so the env var
+# is too late — jax.config.update still works because no backend has
+# initialized yet. XLA_FLAGS is read at backend init, so setting it here
+# is early enough.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +21,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 # fp32 matmuls are downcast by default on this platform; parity tests
 # compare against torch fp32, so force full precision in tests.
 jax.config.update("jax_default_matmul_precision", "highest")

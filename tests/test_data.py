@@ -1,0 +1,163 @@
+"""Data pipeline tests: tokenizer (vs HF algorithm), audio utils,
+augmentations, loaders, prefetch, resume cursor."""
+
+import numpy as np
+import pytest
+
+from triad_tpu.data import (
+    AVLoader,
+    Prefetcher,
+    SyntheticAVDataset,
+    SyntheticTVDataset,
+    TVLoader,
+    WordPieceTokenizer,
+    augment_av_frame,
+    imagenet_normalize,
+    pad_or_trim,
+    resample,
+    resize_bilinear,
+)
+
+
+class TestTokenizer:
+    @pytest.fixture(scope="class")
+    def tok(self):
+        vocab = {
+            "[PAD]": 0, "[UNK]": 1, "a": 2, "dog": 3, "play": 4, "##ing": 5,
+            "in": 6, "the": 7, "park": 8, "##s": 9, ",": 10, "!": 11,
+        }
+        return WordPieceTokenizer(vocab)
+
+    def test_wordpiece_continuation(self, tok):
+        assert tok.tokenize("a dog playing") == ["a", "dog", "play", "##ing"]
+        assert tok.tokenize("parks") == ["park", "##s"]
+
+    def test_punctuation_split_and_lowercase(self, tok):
+        assert tok.tokenize("A dog, playing!") == [
+            "a", "dog", ",", "play", "##ing", "!",
+        ]
+
+    def test_unknown(self, tok):
+        assert tok.tokenize("zebra") == ["[UNK]"]
+
+    def test_encode_batch_fixed_shape(self, tok):
+        ids, mask = tok.encode_batch(
+            ["a dog", "a dog playing in the park"], max_length=4, pad_to=6
+        )
+        assert ids.shape == (2, 6) and mask.shape == (2, 6)
+        assert mask[0].sum() == 2
+        assert mask[1].sum() == 4  # truncated at max_length=4
+        assert (ids[0, 2:] == 0).all()
+
+    def test_matches_hf_algorithm(self):
+        """Same vocab => same ids as the HF BERT WordPiece implementation."""
+        from transformers import BertTokenizer
+        import tempfile, os
+
+        vocab_tokens = [
+            "[PAD]", "[UNK]", "[CLS]", "[SEP]", "a", "the", "dog", "cat",
+            "play", "##ing", "##ed", "in", "park", "run", "##s", ",", ".",
+            "un", "##believ", "##able", "caf", "##e",
+        ]
+        with tempfile.NamedTemporaryFile(
+            "w", suffix=".txt", delete=False
+        ) as f:
+            f.write("\n".join(vocab_tokens))
+            path = f.name
+        try:
+            hf = BertTokenizer(path, do_lower_case=True)
+            ours = WordPieceTokenizer.from_vocab_file(path)
+            for text in [
+                "A dog playing in the park.",
+                "The cat runs, unbelievable!",
+                "Café dogs played.",
+                "  weird   spacing\tand\nnewlines ",
+            ]:
+                ref = hf.encode(text, add_special_tokens=False)
+                got = ours.encode(text)
+                assert got == ref, f"{text!r}: {got} != {ref}"
+        finally:
+            os.unlink(path)
+
+
+class TestAudio:
+    def test_pad_or_trim(self):
+        a = np.ones(10, np.float32)
+        padded = pad_or_trim(a, 16)
+        assert padded.shape == (16,) and padded[:10].sum() == 10 and padded[10:].sum() == 0
+        trimmed = pad_or_trim(a, 4)
+        assert trimmed.shape == (4,) and (trimmed == 1).all()
+
+    def test_resample_preserves_tone(self):
+        sr, target = 44_100, 16_000
+        t = np.arange(sr) / sr
+        tone = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+        out = resample(tone, sr, target)
+        assert abs(len(out) - target) <= 2
+        # dominant frequency preserved
+        spec = np.abs(np.fft.rfft(out[: target]))
+        peak_hz = np.argmax(spec) * target / target
+        assert abs(peak_hz - 440) < 5
+
+
+class TestImages:
+    def test_resize_shapes(self):
+        img = np.random.default_rng(0).uniform(size=(100, 160, 3)).astype(np.float32)
+        out = resize_bilinear(img, 224)
+        assert out.shape == (224, 224, 3)
+
+    def test_av_augment_output_range(self):
+        rng = np.random.default_rng(0)
+        img = rng.uniform(size=(224, 224, 3)).astype(np.float32)
+        out = augment_av_frame(img, rng)
+        # post-normalize range (reference viz asserts -3..3, viz.py:32-33)
+        assert out.min() >= -3 and out.max() <= 3
+
+    def test_normalize_values(self):
+        img = np.ones((2, 2, 3), np.float32) * 0.5
+        out = imagenet_normalize(img)
+        expected = (0.5 - np.array([0.485, 0.456, 0.406])) / np.array(
+            [0.229, 0.224, 0.225]
+        )
+        np.testing.assert_allclose(out[0, 0], expected, rtol=1e-5)
+
+
+class TestLoaders:
+    def test_av_loader_fixed_shapes(self):
+        ds = SyntheticAVDataset(size=10, audio_seconds=1.0)
+        loader = AVLoader(ds, batch_size=4, audio_num_samples=16_000, num_workers=2)
+        batches = list(loader.epoch(0))
+        assert len(batches) == 2  # drop_last
+        for b in batches:
+            assert b["images"].shape == (4, 224, 224, 3)
+            assert b["audio"].shape == (4, 16_000)
+
+    def test_tv_loader_fixed_shapes(self):
+        ds = SyntheticTVDataset(size=8)
+        tok = WordPieceTokenizer.build_from_corpus(ds.captions())
+        loader = TVLoader(ds, tok, batch_size=4, max_text_tokens=16, num_workers=2)
+        b = next(iter(loader))
+        assert b["images"].shape == (4, 224, 224, 3)
+        assert b["token_ids"].shape == (4, 16)
+        assert b["text_mask"].shape == (4, 16)
+        assert b["text_mask"].sum() > 0
+
+    def test_resume_cursor_reproduces_batches(self):
+        ds = SyntheticAVDataset(size=12, audio_seconds=0.5)
+        loader = AVLoader(
+            ds, batch_size=4, audio_num_samples=8000, num_workers=1, seed=3,
+            augment=False,
+        )
+        full = list(loader.epoch(epoch=2))
+        resumed = list(loader.epoch(epoch=2, start_batch=1))
+        assert len(resumed) == len(full) - 1
+        np.testing.assert_array_equal(full[1]["audio"], resumed[0]["audio"])
+
+    def test_prefetcher_delivers_all(self):
+        ds = SyntheticAVDataset(size=8, audio_seconds=0.5)
+        loader = AVLoader(ds, batch_size=4, audio_num_samples=8000, num_workers=1)
+        out = list(Prefetcher(loader.epoch(0), prefetch=2))
+        assert len(out) == 2
+        import jax
+
+        assert isinstance(out[0]["audio"], jax.Array)

@@ -206,6 +206,12 @@ class OptimConfig:
     b1: float = 0.9
     b2: float = 0.999
     eps: float = 1e-8
+    # torch OneCycleLR cycles beta1 by default (cycle_momentum=True) —
+    # the reference's 4 schedulers inherit this (train.py:302-343), so
+    # beta1 anneals 0.95 -> 0.85 -> 0.95 along each group's cycle.
+    cycle_momentum: bool = True
+    base_momentum: float = 0.85
+    max_momentum: float = 0.95
 
 
 @dataclass(frozen=True)

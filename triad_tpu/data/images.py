@@ -1,0 +1,151 @@
+"""Host-side image decode + augmentation in numpy (HWC float32).
+
+Replaces the reference's torchvision/torch augmentation with numpy
+equivalents producing the same distributions:
+
+* TV path (reference dataset.py:32-44, LocalCaptionDataset transform):
+  RandomHorizontalFlip, RandomAffine(translate 0.1), ColorJitter
+  (brightness/contrast/saturation 0.2), ImageNet normalize. No resize —
+  the reference assumes pre-sized 224x224 images on disk; we bilinear-
+  resize if needed (strictly more robust).
+* AV path (reference dataset.py:91-135, load_and_preprocess_video):
+  /255, bilinear resize to 224, hflip p=0.5, brightness U(0.6,1.4) p=0.8
+  with nested contrast p=0.5 and saturation p=0.5, clamp [0,1],
+  ImageNet normalize — replicated operation-for-operation.
+
+Output layout is HWC (NHWC batches — TPU-native); the reference's CHW
+exists only inside torch.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def imagenet_normalize(img: np.ndarray) -> np.ndarray:
+    """img (H, W, 3) in [0,1] -> normalized float32."""
+    return ((img - IMAGENET_MEAN) / IMAGENET_STD).astype(np.float32)
+
+
+def resize_bilinear(img: np.ndarray, size: int) -> np.ndarray:
+    """Bilinear resize (align_corners=False semantics, matching
+    torch.nn.functional.interpolate at dataset.py:98-100)."""
+    h, w = img.shape[:2]
+    if h == size and w == size:
+        return img.astype(np.float32)
+    try:
+        import cv2
+
+        return cv2.resize(
+            img.astype(np.float32), (size, size), interpolation=cv2.INTER_LINEAR
+        )
+    except ImportError:
+        # numpy fallback: half-pixel-center bilinear.
+        ys = (np.arange(size) + 0.5) * h / size - 0.5
+        xs = (np.arange(size) + 0.5) * w / size - 0.5
+        y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+        x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+        y1 = np.clip(y0 + 1, 0, h - 1)
+        x1 = np.clip(x0 + 1, 0, w - 1)
+        wy = np.clip(ys - y0, 0, 1)[:, None, None]
+        wx = np.clip(xs - x0, 0, 1)[None, :, None]
+        img = img.astype(np.float32)
+        top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+        bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+        return (top * (1 - wy) + bot * wy).astype(np.float32)
+
+
+def load_image(path: str, size: int = 224) -> np.ndarray:
+    """Decode to RGB float32 [0,1] (H, W, 3), resized to ``size``."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        img = np.asarray(im.convert("RGB"), np.float32) / 255.0
+    return resize_bilinear(img, size)
+
+
+# ---------------------------------------------------------------------------
+# AV-path augmentation (dataset.py:104-126, exact replica)
+# ---------------------------------------------------------------------------
+
+
+def augment_av_frame(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """img (H, W, 3) in [0,1]; returns augmented, clamped, normalized."""
+    if rng.random() < 0.5:
+        img = img[:, ::-1]  # hflip (dataset.py:106-107)
+    if rng.random() < 0.8:
+        img = img * rng.uniform(0.6, 1.4)  # brightness (dataset.py:110-113)
+        if rng.random() < 0.5:  # contrast (dataset.py:116-119)
+            factor = rng.uniform(0.6, 1.4)
+            mean = img.mean(axis=(0, 1), keepdims=True)
+            img = (img - mean) * factor + mean
+        if rng.random() < 0.5:  # saturation (dataset.py:122-126)
+            factor = rng.uniform(0.6, 1.4)
+            gray = img.mean(axis=2, keepdims=True)
+            img = img * factor + gray * (1 - factor)
+    img = np.clip(img, 0.0, 1.0)  # dataset.py:132
+    return imagenet_normalize(img)
+
+
+# ---------------------------------------------------------------------------
+# TV-path augmentation (dataset.py:32-44 semantics)
+# ---------------------------------------------------------------------------
+
+
+def _adjust_brightness(img: np.ndarray, factor: float) -> np.ndarray:
+    return np.clip(img * factor, 0.0, 1.0)
+
+
+def _adjust_contrast(img: np.ndarray, factor: float) -> np.ndarray:
+    # torchvision blends with the mean of the grayscale image.
+    gray_mean = (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]).mean()
+    return np.clip(factor * img + (1 - factor) * gray_mean, 0.0, 1.0)
+
+
+def _adjust_saturation(img: np.ndarray, factor: float) -> np.ndarray:
+    gray = (
+        0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    )[..., None]
+    return np.clip(factor * img + (1 - factor) * gray, 0.0, 1.0)
+
+
+def _translate(img: np.ndarray, dx: int, dy: int) -> np.ndarray:
+    """Integer translation with zero fill (RandomAffine translate)."""
+    out = np.zeros_like(img)
+    h, w = img.shape[:2]
+    ys = slice(max(dy, 0), min(h + dy, h))
+    xs = slice(max(dx, 0), min(w + dx, w))
+    ys_src = slice(max(-dy, 0), min(h - dy, h))
+    xs_src = slice(max(-dx, 0), min(w - dx, w))
+    out[ys, xs] = img[ys_src, xs_src]
+    return out
+
+
+def augment_tv_image(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Reference LocalCaptionDataset train transform (dataset.py:32-44):
+    hflip p=0.5, translate U(-0.1, 0.1) of the size, color jitter 0.2
+    (random order, as torchvision does), ImageNet normalize."""
+    h, w = img.shape[:2]
+    if rng.random() < 0.5:
+        img = img[:, ::-1]
+    dx = int(round(rng.uniform(-0.1, 0.1) * w))
+    dy = int(round(rng.uniform(-0.1, 0.1) * h))
+    img = _translate(img, dx, dy)
+    jitter_ops = [
+        lambda x: _adjust_brightness(x, rng.uniform(0.8, 1.2)),
+        lambda x: _adjust_contrast(x, rng.uniform(0.8, 1.2)),
+        lambda x: _adjust_saturation(x, rng.uniform(0.8, 1.2)),
+    ]
+    for i in rng.permutation(3):
+        img = jitter_ops[i](img)
+    return imagenet_normalize(img)
+
+
+def clean_image(img: np.ndarray) -> np.ndarray:
+    """Reference clean_transform (dataset.py:47-51): just normalize."""
+    return imagenet_normalize(img)

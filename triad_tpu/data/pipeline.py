@@ -1,0 +1,227 @@
+"""Fixed-shape batch assembly + background prefetch.
+
+The reference leans on torch DataLoader workers (train.py:157-181: 10
+workers, pin_memory, prefetch, persistent, drop_last). The TPU version
+assembles **fixed-shape** numpy batches on the host (audio padded to a
+configured static length instead of the batch max, text padded to
+max_text_tokens — SURVEY §7.1 "fixed shapes everywhere"), loads samples
+with a thread pool, and double-buffers device transfer with a background
+prefetch thread.
+
+Exact mid-epoch resume (the reference fast-forwards its iterators batch
+by batch, train.py:914-926): loaders are seeded per (seed, epoch) and
+accept ``start_batch`` — the permutation is recomputed and the cursor
+jumps in O(1), no decode replay.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from triad_tpu.data.audio import pad_or_trim
+from triad_tpu.data.tokenizer import WordPieceTokenizer
+
+
+class _IndexSampler:
+    """Deterministic shuffled epoch permutation with O(1) cursor jump."""
+
+    def __init__(self, size: int, batch_size: int, shuffle: bool, seed: int,
+                 epoch: int, drop_last: bool = True):
+        self.batch_size = batch_size
+        rng = np.random.default_rng((seed, epoch))
+        self.order = (
+            rng.permutation(size) if shuffle else np.arange(size)
+        )
+        n_full = size // batch_size
+        if not drop_last and size % batch_size:
+            n_full += 1
+        self.num_batches = n_full
+
+    def batch_indices(self, batch_idx: int) -> np.ndarray:
+        lo = batch_idx * self.batch_size
+        return self.order[lo : lo + self.batch_size]
+
+
+class AVLoader:
+    """Audio-visual batches: {"images": (B,H,W,3), "audio": (B,T)}."""
+
+    def __init__(
+        self,
+        dataset: Any,
+        batch_size: int,
+        audio_num_samples: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_workers: int = 4,
+        augment: bool = True,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.audio_num_samples = audio_num_samples
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = num_workers
+        self.augment = augment
+        self.drop_last = drop_last
+
+    def __len__(self) -> int:
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+    def _load(self, idx: int) -> Dict[str, np.ndarray]:
+        item = self.dataset.__getitem__(int(idx), apply_augmentation=self.augment)
+        return item
+
+    def epoch(self, epoch: int, start_batch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        sampler = _IndexSampler(
+            len(self.dataset), self.batch_size, self.shuffle, self.seed, epoch,
+            self.drop_last,
+        )
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            for b in range(start_batch, sampler.num_batches):
+                idx = sampler.batch_indices(b)
+                items = list(pool.map(self._load, idx))
+                images = np.stack([it["video_frames"] for it in items])
+                audio = np.stack(
+                    [pad_or_trim(it["audio"], self.audio_num_samples) for it in items]
+                )
+                yield {
+                    "images": images.astype(np.float32),
+                    "audio": audio,
+                    "video_paths": [it["video_path"] for it in items],
+                }
+
+    def __iter__(self):
+        return self.epoch(0)
+
+
+class TVLoader:
+    """Text-visual batches:
+    {"images": (B,H,W,3), "token_ids": (B,L), "text_mask": (B,L)}."""
+
+    def __init__(
+        self,
+        dataset: Any,
+        tokenizer: WordPieceTokenizer,
+        batch_size: int,
+        max_text_tokens: int = 128,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_workers: int = 4,
+        augment: bool = True,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+        self.max_text_tokens = max_text_tokens
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = num_workers
+        self.augment = augment
+        self.drop_last = drop_last
+
+    def __len__(self) -> int:
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+    def _load(self, idx: int):
+        return self.dataset.__getitem__(int(idx), apply_augmentation=self.augment)
+
+    def epoch(self, epoch: int, start_batch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        sampler = _IndexSampler(
+            len(self.dataset), self.batch_size, self.shuffle, self.seed, epoch,
+            self.drop_last,
+        )
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            for b in range(start_batch, sampler.num_batches):
+                idx = sampler.batch_indices(b)
+                items = list(pool.map(self._load, idx))
+                images = np.stack([img for img, _ in items])
+                captions = [cap for _, cap in items]
+                ids, mask = self.tokenizer.encode_batch(
+                    captions, max_length=self.max_text_tokens,
+                    pad_to=self.max_text_tokens,
+                )
+                yield {
+                    "images": images.astype(np.float32),
+                    "token_ids": ids,
+                    "text_mask": mask.astype(np.float32),
+                    "captions": captions,
+                }
+
+    def __iter__(self):
+        return self.epoch(0)
+
+
+class Prefetcher:
+    """Background-thread prefetch + device placement (double buffering —
+    the host assembles batch N+k while the device runs batch N)."""
+
+    def __init__(
+        self,
+        iterator: Iterator,
+        prefetch: int = 2,
+        device_put: Optional[Callable] = None,
+    ):
+        import jax
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._sentinel = object()
+        self._err: Optional[BaseException] = None
+        put = device_put or (
+            lambda b: {
+                k: jax.device_put(v) if isinstance(v, np.ndarray) else v
+                for k, v in b.items()
+            }
+        )
+
+        def worker():
+            try:
+                for batch in iterator:
+                    self._q.put(put(batch))
+            except BaseException as e:  # noqa: BLE001
+                self._err = e
+            finally:
+                self._q.put(self._sentinel)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._sentinel:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
+def cycling(make_epoch: Callable[[int, int], Iterator], start_epoch: int = 0,
+            start_batch: int = 0) -> Iterator:
+    """Endless iterator over epochs (the reference restarts exhausted
+    iterators mid-epoch, train.py:944-969)."""
+    epoch = start_epoch
+    batch = start_batch
+    while True:
+        yielded = False
+        for item in make_epoch(epoch, batch):
+            yielded = True
+            yield item
+        epoch += 1
+        batch = 0
+        if not yielded and epoch > start_epoch + 1:
+            raise RuntimeError("empty dataset")

@@ -116,9 +116,10 @@ def _aggregate_dense(
     temperature: jax.Array,
     clamp_min: float,
     query_mask: Optional[jax.Array],
+    compute_diag: bool = True,
 ) -> AggregateOut:
-    B, Nq, _ = query.shape
-    Nk = key.shape[1]
+    Bq, Nq, _ = query.shape
+    Bk, Nk = key.shape[0], key.shape[1]
     q = query.astype(jnp.float32)
     k = key.astype(jnp.float32)
     # token_sims[i,j,q,k] (model.py:384-387 / 502-505)
@@ -128,9 +129,11 @@ def _aggregate_dense(
     clip_sims = _masked_mean_over_queries(max_sims, query_mask)
     clamped = jnp.clip(ts, clamp_min, 0.0)
     nonneg_sq_sum = jnp.sum(clamped * clamped)
-    numel = jnp.asarray(B * B * Nq * Nk, jnp.float32)
-    diag = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-    diag = diag * temperature.astype(jnp.float32)
+    numel = jnp.asarray(Bq * Bk * Nq * Nk, jnp.float32)
+    diag = None
+    if compute_diag:
+        diag = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        diag = diag * temperature.astype(jnp.float32)
     return AggregateOut(clip_sims, nonneg_sq_sum, numel, diag)
 
 
@@ -146,42 +149,45 @@ def _aggregate_chunked(
     clamp_min: float,
     query_mask: Optional[jax.Array],
     chunk_size: int,
+    compute_diag: bool = True,
 ) -> AggregateOut:
-    B, Nq, D = query.shape
-    Nk = key.shape[1]
+    Bq, Nq, D = query.shape
+    Bk, Nk = key.shape[0], key.shape[1]
     q = query.astype(jnp.float32)
     k = key.astype(jnp.float32)
     temp = temperature.astype(jnp.float32)
 
-    chunk = min(chunk_size, B)
-    if B % chunk != 0:
+    chunk = min(chunk_size, Bk)
+    if Bk % chunk != 0:
         # Fall back to the largest divisor <= chunk so shapes stay static.
-        while B % chunk != 0:
+        while Bk % chunk != 0:
             chunk -= 1
-    num_chunks = B // chunk
+    num_chunks = Bk // chunk
     k_chunks = k.reshape(num_chunks, chunk, Nk, D)
 
     @jax.checkpoint
     def chunk_fn(k_chunk):
-        # (B, chunk, Nq, Nk) — the only live slice of the volume.
+        # (Bq, chunk, Nq, Nk) — the only live slice of the volume.
         ts = jnp.einsum("iqd,jkd->ijqk", q, k_chunk, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
         ts = ts * temp
         max_sims = jnp.max(ts, axis=3)
-        clip = _masked_mean_over_queries(max_sims, query_mask)  # (B, chunk)
+        clip = _masked_mean_over_queries(max_sims, query_mask)  # (Bq, chunk)
         clamped = jnp.clip(ts, clamp_min, 0.0)
         return clip, jnp.sum(clamped * clamped)
 
     def scan_body(carry, k_chunk):
-        clip, nn = chunk_fn(k_chunk)
-        return carry + nn, clip
+        # carry-free scan (stack + reduce) keeps the body's output types
+        # axis-varying-agnostic so the same code runs inside shard_map.
+        return carry, chunk_fn(k_chunk)
 
-    nonneg_sq_sum, clips = jax.lax.scan(
-        scan_body, jnp.zeros((), jnp.float32), k_chunks
-    )
-    # clips: (num_chunks, B, chunk) -> (B, B) with key order restored.
-    clip_sims = jnp.transpose(clips, (1, 0, 2)).reshape(B, B)
-    numel = jnp.asarray(B * B * Nq * Nk, jnp.float32)
-    diag = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) * temp
+    _, (clips, nns) = jax.lax.scan(scan_body, None, k_chunks)
+    nonneg_sq_sum = jnp.sum(nns)
+    # clips: (num_chunks, Bq, chunk) -> (Bq, Bk) with key order restored.
+    clip_sims = jnp.transpose(clips, (1, 0, 2)).reshape(Bq, Bk)
+    numel = jnp.asarray(Bq * Bk * Nq * Nk, jnp.float32)
+    diag = None
+    if compute_diag:
+        diag = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) * temp
     return AggregateOut(clip_sims, nonneg_sq_sum, numel, diag)
 
 
@@ -199,6 +205,7 @@ def aggregate_crossbatch(
     query_mask: Optional[jax.Array] = None,
     implementation: str = "dense",
     chunk_size: int = 8,
+    compute_diag: bool = True,
 ) -> AggregateOut:
     """Cross-batch max-mean aggregation (reference model.py:370-392/490-514).
 
@@ -211,10 +218,13 @@ def aggregate_crossbatch(
         (the reference TV path, model.py:509-512).
     """
     if implementation == "dense":
-        return _aggregate_dense(query, key, temperature, clamp_min, query_mask)
+        return _aggregate_dense(
+            query, key, temperature, clamp_min, query_mask, compute_diag
+        )
     if implementation == "chunked":
         return _aggregate_chunked(
-            query, key, temperature, clamp_min, query_mask, chunk_size
+            query, key, temperature, clamp_min, query_mask, chunk_size,
+            compute_diag,
         )
     if implementation == "pallas":
         from triad_tpu.ops.pallas_maxmean import aggregate_pallas
