@@ -1,0 +1,238 @@
+"""1000-way cross-modal retrieval (R@1/5/10/20, four directions).
+
+Reference protocol (/root/reference/src/retrieval.py):
+  * persisted random subset of 1000 items (retrieval.py:9-30);
+  * no-augmentation re-embedding (retrieval.py:32-104, 200-248):
+    AV features L2-normalized (retrieval.py:93-94), TV features NOT
+    normalized and text truncated to valid tokens (retrieval.py:236-246)
+    — asymmetric on purpose, kept for parity;
+  * per-pair aggregator: token_sims = Q·Kᵀ / temperature (DIVIDED here
+    vs multiplied in training — retrieval.py:108 vs model.py:387), max
+    over candidate tokens, mean over query tokens;
+  * R@K from the rank of the diagonal (retrieval.py:117-144).
+
+The reference scores N^2 pairs with a double Python loop — 1M tiny GPU
+kernels (SURVEY §3.3). Here each direction is a handful of big masked
+einsums: queries are processed in batched blocks against ALL candidate
+tokens at once, with padding masks replacing the ragged per-item token
+lists. ~1e6x fewer dispatches, same numbers (tested against a per-pair
+oracle).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def select_subset_indices(
+    dataset_size: int, subset_file: str, subset_size: int = 1000
+) -> List[int]:
+    """Load-or-create the persisted subset (reference retrieval.py:9-30)."""
+    if os.path.exists(subset_file):
+        with open(subset_file) as f:
+            indices = json.load(f)
+        print(f"Loaded {len(indices)} subset indices from {subset_file}")
+        return indices
+    indices = list(range(dataset_size))
+    random.shuffle(indices)
+    subset = indices[:subset_size]
+    with open(subset_file, "w") as f:
+        json.dump(subset, f)
+    print(f"Created new subset of size {len(subset)} -> {subset_file}")
+    return subset
+
+
+# ---------------------------------------------------------------------------
+# Vectorized scoring
+# ---------------------------------------------------------------------------
+
+
+def _block_scores(
+    q_block: jax.Array,  # (b, Nq, D) padded query tokens
+    q_mask: jax.Array,  # (b, Nq)
+    k_all: jax.Array,  # (N, Nk, D) padded candidate tokens
+    k_mask: jax.Array,  # (N, Nk)
+    inv_temp: jax.Array,
+) -> jax.Array:
+    """Aggregated scores (b, N): max over candidate tokens (masked),
+    mean over query tokens (masked) of token_sims / temperature."""
+    sims = jnp.einsum(
+        "bqd,nkd->bnqk", q_block, k_all,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) * inv_temp
+    neg_inf = jnp.finfo(jnp.float32).min
+    sims = jnp.where(k_mask[None, :, None, :] > 0, sims, neg_inf)
+    max_over_k = jnp.max(sims, axis=3)  # (b, N, Nq)
+    qm = q_mask[:, None, :]
+    summed = jnp.sum(max_over_k * qm, axis=2)
+    counts = jnp.maximum(jnp.sum(qm, axis=2), 1.0)
+    return summed / counts
+
+
+def score_matrix(
+    q_tokens: np.ndarray,
+    q_mask: np.ndarray,
+    k_tokens: np.ndarray,
+    k_mask: np.ndarray,
+    temperature: float,
+    block: int = 32,
+) -> np.ndarray:
+    """Full (N, N) aggregated similarity matrix, queries in blocks."""
+    N = q_tokens.shape[0]
+    inv_temp = jnp.float32(1.0 / temperature)
+    k_all = jnp.asarray(k_tokens)
+    k_m = jnp.asarray(k_mask)
+    fn = jax.jit(_block_scores)
+    rows = []
+    for lo in range(0, N, block):
+        hi = min(lo + block, N)
+        qb = jnp.asarray(q_tokens[lo:hi])
+        qm = jnp.asarray(q_mask[lo:hi])
+        rows.append(np.asarray(fn(qb, qm, k_all, k_m, inv_temp)))
+    return np.concatenate(rows, axis=0)
+
+
+def compute_recall_at_k(sim_matrix: np.ndarray) -> Dict[str, float]:
+    """R@{1,5,10,20} of the diagonal (reference retrieval.py:117-144)."""
+    N = sim_matrix.shape[0]
+    order = np.argsort(-sim_matrix, axis=1)
+    ranks = np.argmax(order == np.arange(N)[:, None], axis=1)
+    return {
+        "r1": float(np.mean(ranks < 1)),
+        "r5": float(np.mean(ranks < 5)),
+        "r10": float(np.mean(ranks < 10)),
+        "r20": float(np.mean(ranks < 20)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Embedding + metric drivers
+# ---------------------------------------------------------------------------
+
+
+def embed_av_subset(
+    encode_fn,
+    dataset,
+    indices: List[int],
+    audio_num_samples: int,
+    batch_size: int = 8,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """No-augmentation embedding of the AV subset, L2-normalized
+    (reference retrieval.py:32-104).
+
+    encode_fn(images (B,H,W,3), audio (B,T)) -> (audio_feats, visual_feats)
+    Returns (audio_tokens (N,Na,D), audio_mask (N,Na), visual_tokens
+    (N,Nv,D)); the audio mask flags frames from real (non-padding) audio.
+    """
+    from triad_tpu.data.audio import pad_or_trim
+
+    a_list, am_list, v_list = [], [], []
+    for lo in range(0, len(indices), batch_size):
+        chunk = indices[lo : lo + batch_size]
+        items = [
+            dataset.__getitem__(int(i), apply_augmentation=False) for i in chunk
+        ]
+        images = np.stack([it["video_frames"] for it in items]).astype(np.float32)
+        raw_lens = [min(len(it["audio"]), audio_num_samples) for it in items]
+        audio = np.stack(
+            [pad_or_trim(it["audio"], audio_num_samples) for it in items]
+        )
+        a_feats, v_feats = encode_fn(jnp.asarray(images), jnp.asarray(audio))
+        a_feats = np.asarray(a_feats, np.float32)
+        v_feats = np.asarray(v_feats, np.float32)
+        na = a_feats.shape[1]
+        for b, raw_len in enumerate(raw_lens):
+            # tokens produced by real audio: ceil-free conv length map —
+            # fraction of valid samples times token count.
+            valid = max(1, int(na * raw_len / audio_num_samples))
+            mask = np.zeros(na, np.float32)
+            mask[:valid] = 1.0
+            a_list.append(a_feats[b])
+            am_list.append(mask)
+            v_list.append(v_feats[b])
+    a = _l2(np.stack(a_list))
+    v = _l2(np.stack(v_list))
+    return a, np.stack(am_list), v
+
+
+def embed_tv_subset(
+    encode_fn,
+    dataset,
+    indices: List[int],
+    tokenizer,
+    max_text_tokens: int,
+    batch_size: int = 8,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """TV subset embedding: text mask-truncated, NOT normalized
+    (reference retrieval.py:200-248 asymmetry, kept)."""
+    t_list, tm_list, v_list = [], [], []
+    for lo in range(0, len(indices), batch_size):
+        chunk = indices[lo : lo + batch_size]
+        items = [
+            dataset.__getitem__(int(i), apply_augmentation=False) for i in chunk
+        ]
+        images = np.stack([img for img, _ in items]).astype(np.float32)
+        captions = [cap for _, cap in items]
+        ids, mask = tokenizer.encode_batch(
+            captions, max_length=max_text_tokens, pad_to=max_text_tokens
+        )
+        t_feats, v_feats = encode_fn(
+            jnp.asarray(images), jnp.asarray(ids), jnp.asarray(mask)
+        )
+        t_list.append(np.asarray(t_feats, np.float32))
+        tm_list.append(mask.astype(np.float32))
+        v_list.append(np.asarray(v_feats, np.float32))
+    return (
+        np.concatenate(t_list),
+        np.concatenate(tm_list),
+        np.concatenate(v_list),
+    )
+
+
+def _l2(x: np.ndarray, eps: float = 1e-12) -> np.ndarray:
+    norm = np.linalg.norm(x, axis=-1, keepdims=True)
+    return x / np.maximum(norm, eps)
+
+
+def av_retrieval_metrics(
+    audio_tokens: np.ndarray,
+    audio_mask: np.ndarray,
+    visual_tokens: np.ndarray,
+    temperature: float,
+) -> Dict[str, float]:
+    """A->V and V->A recall (reference retrieval.py:146-188)."""
+    N, Nv = visual_tokens.shape[0], visual_tokens.shape[1]
+    v_mask = np.ones((N, Nv), np.float32)
+    a2v = score_matrix(audio_tokens, audio_mask, visual_tokens, v_mask, temperature)
+    v2a = score_matrix(visual_tokens, v_mask, audio_tokens, audio_mask, temperature)
+    m_a2v = compute_recall_at_k(a2v)
+    m_v2a = compute_recall_at_k(v2a)
+    out = {f"A->V_r{k[1:]}": v for k, v in m_a2v.items()}
+    out.update({f"V->A_r{k[1:]}": v for k, v in m_v2a.items()})
+    return out
+
+
+def tv_retrieval_metrics(
+    text_tokens: np.ndarray,
+    text_mask: np.ndarray,
+    visual_tokens: np.ndarray,
+    temperature: float,
+) -> Dict[str, float]:
+    """T->V and V->T recall (reference retrieval.py:250-292)."""
+    N, Nv = visual_tokens.shape[0], visual_tokens.shape[1]
+    v_mask = np.ones((N, Nv), np.float32)
+    t2v = score_matrix(text_tokens, text_mask, visual_tokens, v_mask, temperature)
+    v2t = score_matrix(visual_tokens, v_mask, text_tokens, text_mask, temperature)
+    m_t2v = compute_recall_at_k(t2v)
+    m_v2t = compute_recall_at_k(v2t)
+    out = {f"T->V_r{k[1:]}": v for k, v in m_t2v.items()}
+    out.update({f"V->T_r{k[1:]}": v for k, v in m_v2t.items()})
+    return out

@@ -1,0 +1,541 @@
+"""The training orchestrator (reference MultiModalTrainer,
+train.py:43-1146), TPU-native.
+
+Owns: data loaders (real reference-layout datasets or synthetic),
+curriculum phases, the jitted per-phase train steps, validation,
+1000-way retrieval, grounding visualization, Orbax checkpoint/autoresume
+with mid-epoch exactness, and JSONL/wandb metrics.
+
+Curriculum (train.py:880-905): epoch-indexed
+  av_focus -> tv_warmup -> weighted_joint (AV weight start->end) -> full_joint.
+
+Periodic hooks (train.py:1108-1120): viz every ``vis_every`` steps,
+checkpoint every ``save_every_steps`` (mid-epoch cursor saved), validate
++ retrieval every ``validation_frequency``; per-epoch validation with
+best-model tracking (train.py:1129-1144).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from triad_tpu.core.config import Config
+from triad_tpu.data import (
+    AVLoader,
+    AudioVisualDataset,
+    FlatAudioVisualDataset,
+    LocalCaptionDataset,
+    SyntheticAVDataset,
+    SyntheticTVDataset,
+    TVLoader,
+    WordPieceTokenizer,
+)
+from triad_tpu.eval import (
+    av_retrieval_metrics,
+    embed_av_subset,
+    embed_tv_subset,
+    select_subset_indices,
+    tv_retrieval_metrics,
+)
+from triad_tpu.models import TriadModel, init_triad_model
+from triad_tpu.ops import pairwise_similarity
+from triad_tpu.train.checkpoint import (
+    CheckpointManager,
+    HostProgress,
+    warn_on_config_mismatch,
+)
+from triad_tpu.train.optim import OptimizerBank, ParamPartition
+from triad_tpu.train.step import StepFactory, TrainState, init_train_state
+from triad_tpu.utils import MetricsLogger, StepTimer
+from triad_tpu.viz import AudioVisualizer, TextVisualizer
+
+
+class Trainer:
+    def __init__(self, config: Config, force_new_training: bool = False):
+        self.config = config
+        tc = config.train
+        self.output_dir = Path(tc.output_dir)
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        self.metrics = MetricsLogger(
+            str(self.output_dir),
+            use_wandb=tc.use_wandb,
+            project_name=tc.project_name,
+            config=config.to_dict(),
+        )
+
+        # -- data ------------------------------------------------------
+        dc = config.data
+        if dc.audio_visual_data_root:
+            self.av_dataset = AudioVisualDataset(
+                dc.audio_visual_data_root, image_size=dc.image_size
+            )
+        else:
+            self.av_dataset = SyntheticAVDataset(
+                size=dc.synthetic_av_size,
+                image_size=dc.image_size,
+                audio_seconds=dc.audio_num_samples / dc.sample_rate,
+            )
+        if dc.text_dataset_path:
+            self.tv_dataset = LocalCaptionDataset(
+                dc.text_dataset_path, image_size=dc.image_size
+            )
+        else:
+            self.tv_dataset = SyntheticTVDataset(
+                size=dc.synthetic_tv_size, image_size=dc.image_size
+            )
+
+        self.val_av_dataset = None
+        if dc.audio_visual_val_data_root:
+            self.val_av_dataset = FlatAudioVisualDataset(
+                dc.audio_visual_val_data_root, image_size=dc.image_size
+            )
+        elif not dc.audio_visual_data_root:
+            self.val_av_dataset = SyntheticAVDataset(
+                size=max(8, dc.synthetic_av_size // 4),
+                image_size=dc.image_size,
+                audio_seconds=dc.audio_num_samples / dc.sample_rate,
+                seed=1,
+            )
+        self.val_tv_dataset = None
+        if dc.text_dataset_val_path:
+            self.val_tv_dataset = LocalCaptionDataset(
+                dc.text_dataset_val_path, image_size=dc.image_size, augment=False
+            )
+        elif not dc.text_dataset_path:
+            self.val_tv_dataset = SyntheticTVDataset(
+                size=max(8, dc.synthetic_tv_size // 4),
+                image_size=dc.image_size, seed=1,
+            )
+
+        if dc.tokenizer_vocab:
+            self.tokenizer = WordPieceTokenizer.from_vocab_file(dc.tokenizer_vocab)
+        else:
+            corpus = [
+                self.tv_dataset.__getitem__(i, apply_augmentation=False)[1]
+                for i in range(min(len(self.tv_dataset), 2000))
+            ]
+            self.tokenizer = WordPieceTokenizer.build_from_corpus(corpus)
+            self.metrics.info(
+                f"Built corpus tokenizer with {len(self.tokenizer.vocab)} entries "
+                "(pass data.tokenizer_vocab for the pretrained vocab)"
+            )
+
+        self.av_loader = AVLoader(
+            self.av_dataset, dc.batch_size_av, dc.audio_num_samples,
+            seed=tc.seed, num_workers=dc.num_workers,
+        )
+        self.tv_loader = TVLoader(
+            self.tv_dataset, self.tokenizer, dc.batch_size_tv,
+            max_text_tokens=dc.max_text_tokens, seed=tc.seed,
+            num_workers=dc.num_workers,
+        )
+
+        # -- model / optimizer ----------------------------------------
+        self.model = TriadModel(config.model)
+        params = init_triad_model(config.model, jax.random.key(tc.seed))
+        self.partition = ParamPartition(params)
+
+        self.steps_per_epoch = tc.steps_per_epoch or max(
+            len(self.av_loader), len(self.tv_loader)
+        )
+        self.total_updates = (
+            self.steps_per_epoch * tc.num_epochs
+        ) // tc.optim.gradient_accumulation_steps
+        self.bank = OptimizerBank(tc.optim, self.partition, self.total_updates)
+        self.factory = StepFactory(
+            config.model, config.loss, tc.optim, self.bank
+        )
+        self.state: TrainState = init_train_state(
+            params, self.bank, jax.random.key(tc.seed + 1)
+        )
+        self._steps = {
+            mode: jax.jit(self.factory.make_step(mode))
+            for mode in ("av", "tv", "joint")
+        }
+        self._eval_steps = {
+            mode: jax.jit(self.factory.make_eval_loss(mode))
+            for mode in ("av", "tv", "joint")
+        }
+
+        # -- progress / resume ----------------------------------------
+        self.progress = HostProgress()
+        self.ckpt = CheckpointManager(str(self.output_dir / "checkpoints"))
+        if not force_new_training and self.ckpt.latest_step() is not None:
+            self._resume()
+
+        self.audio_viz = AudioVisualizer(
+            patch_size=config.model.vit.patch_size,
+            image_size=config.model.vit.image_size,
+        )
+        self.text_viz = TextVisualizer(
+            patch_size=config.model.vit.patch_size,
+            image_size=config.model.vit.image_size,
+        )
+        self._vis_samples_av = self._cache_vis_samples_av(tc.num_vis_samples_av)
+        self._vis_samples_tv = self._cache_vis_samples_tv(tc.num_vis_samples_tv)
+        self.timer = StepTimer()
+        self.metrics.info(
+            f"Trainer ready: {self.steps_per_epoch} steps/epoch, "
+            f"{self.total_updates} total updates"
+        )
+
+    # ------------------------------------------------------------------
+    # Phases (train.py:880-905)
+    # ------------------------------------------------------------------
+
+    def phase_for_epoch(self, epoch: int) -> Tuple[str, float, float]:
+        tc = self.config.train
+        if epoch < tc.av_focus_epochs:
+            return "av_focus", 1.0, 0.0
+        if epoch < tc.av_focus_epochs + tc.tv_warmup_epochs:
+            return "tv_warmup", 0.0, 1.0
+        joint_start = tc.av_focus_epochs + tc.tv_warmup_epochs
+        if epoch < joint_start + tc.weighted_joint_epochs:
+            progress = (epoch - joint_start) / tc.weighted_joint_epochs
+            w_av = tc.av_weight_start - progress * (
+                tc.av_weight_start - tc.av_weight_end
+            )
+            return "weighted_joint", w_av, 1.0 - w_av
+        return "full_joint", 1.0, 1.0
+
+    @staticmethod
+    def _mode(phase: str) -> str:
+        return {"av_focus": "av", "tv_warmup": "tv"}.get(phase, "joint")
+
+    # ------------------------------------------------------------------
+    # Train loop (train.py:876-1146)
+    # ------------------------------------------------------------------
+
+    def train(self) -> None:
+        tc = self.config.train
+        for epoch in range(self.progress.epoch, tc.num_epochs):
+            phase, w_av, w_tv = self.phase_for_epoch(epoch)
+            self.metrics.info(f"Epoch {epoch} phase={phase} w_av={w_av:.2f}")
+
+            if self.progress.current_batch_idx == 0:
+                self.av_dataset.switch_segment()
+                self.progress.dataset_segment = getattr(
+                    self.av_dataset, "current_segment", 0
+                )
+
+            start_batch = self.progress.current_batch_idx
+            av_iter = self._cycling_iter(self.av_loader, epoch, start_batch)
+            tv_iter = self._cycling_iter(self.tv_loader, epoch, start_batch)
+            step_fn = self._steps[self._mode(phase)]
+            epoch_losses = []
+
+            for batch_idx in range(start_batch, self.steps_per_epoch):
+                av_batch = (
+                    self._device_av(next(av_iter)) if phase != "tv_warmup" else None
+                )
+                tv_batch = (
+                    self._device_tv(next(tv_iter)) if phase != "av_focus" else None
+                )
+                self.state, metrics = step_fn(
+                    self.state, av_batch, tv_batch,
+                    jnp.float32(w_av), jnp.float32(w_tv),
+                )
+                self.timer.tick()
+                gs = int(self.progress.global_step)
+                if batch_idx % 10 == 0 or batch_idx == self.steps_per_epoch - 1:
+                    host = {k: v for k, v in metrics.items()}
+                    host.update(
+                        epoch=epoch, training_phase=phase,
+                        av_weight=w_av, tv_weight=w_tv,
+                    )
+                    host.update(
+                        self.timer.metrics(
+                            self.config.data.batch_size_av
+                            + self.config.data.batch_size_tv
+                        )
+                    )
+                    self.metrics.log(host, step=gs)
+                epoch_losses.append(float(metrics["train_loss"]))
+
+                self.progress.global_step += 1
+                if gs > 0 and gs % tc.vis_every == 0:
+                    self.visualize_samples(epoch)
+                if gs > 0 and gs % tc.save_every_steps == 0:
+                    self.progress.epoch = epoch
+                    self.progress.current_batch_idx = batch_idx + 1
+                    self.save_checkpoint()
+                if gs > 0 and gs % tc.validation_frequency == 0:
+                    self.validate(phase)
+                    self.eval_1000_way_retrieval()
+
+            mean_loss = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
+            self.metrics.info(f"Epoch {epoch} done, mean loss {mean_loss:.4f}")
+
+            val = self.validate(phase)
+            self.eval_1000_way_retrieval()
+            is_best = False
+            if val is not None and val < self.progress.best_loss:
+                self.progress.best_loss = val
+                is_best = True
+                self.metrics.info(f"New best val loss {val:.4f}")
+            self.progress.epoch = epoch + 1
+            self.progress.current_batch_idx = 0
+            self.save_checkpoint(is_best=is_best)
+        self.metrics.info("Training complete!")
+
+    # ------------------------------------------------------------------
+    # Data plumbing
+    # ------------------------------------------------------------------
+
+    def _cycling_iter(self, loader, epoch: int, start_batch: int) -> Iterator:
+        def gen():
+            e, b = epoch, start_batch
+            while True:
+                yielded = False
+                for item in loader.epoch(e, b):
+                    yielded = True
+                    yield item
+                e, b = e + 1, 0
+                if not yielded:
+                    raise RuntimeError("empty loader")
+
+        return gen()
+
+    @staticmethod
+    def _device_av(batch) -> Dict[str, jax.Array]:
+        return {
+            "images": jnp.asarray(batch["images"]),
+            "audio": jnp.asarray(batch["audio"]),
+        }
+
+    @staticmethod
+    def _device_tv(batch) -> Dict[str, jax.Array]:
+        return {
+            "images": jnp.asarray(batch["images"]),
+            "token_ids": jnp.asarray(batch["token_ids"]),
+            "text_mask": jnp.asarray(batch["text_mask"]),
+        }
+
+    # ------------------------------------------------------------------
+    # Checkpointing (train.py:382-525)
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, is_best: bool = False) -> None:
+        self.ckpt.save(
+            step=self.progress.global_step,
+            train_state=self.state,
+            progress=self.progress,
+            config_dict=self.config.to_dict(),
+            is_best=is_best,
+        )
+        self.metrics.info(
+            f"Saved checkpoint at step {self.progress.global_step}"
+            + (" (best)" if is_best else "")
+        )
+
+    def _resume(self) -> None:
+        state, progress, saved_cfg, _ = self.ckpt.restore(self.state)
+        self.state = state
+        self.progress = progress
+        warn_on_config_mismatch(
+            saved_cfg.get("train", {}), self.config.to_dict().get("train", {}),
+            logger=self.metrics.info,
+        )
+        if hasattr(self.av_dataset, "set_segment"):
+            self.av_dataset.set_segment(progress.dataset_segment)
+        self.metrics.info(
+            f"Resumed from step {progress.global_step} "
+            f"(epoch {progress.epoch}, batch {progress.current_batch_idx})"
+        )
+
+    # ------------------------------------------------------------------
+    # Validation (train.py:710-832)
+    # ------------------------------------------------------------------
+
+    def validate(self, phase: str, max_batches: int = 10) -> Optional[float]:
+        _, w_av, w_tv = self.phase_for_epoch(max(self.progress.epoch, 0))
+        mode = self._mode(phase)
+        eval_fn = self._eval_steps[mode]
+        totals: Dict[str, list] = {}
+        count = 0
+
+        av_iter = tv_iter = None
+        if self.val_av_dataset is not None and mode in ("av", "joint"):
+            av_loader = AVLoader(
+                self.val_av_dataset, self.config.data.batch_size_av,
+                self.config.data.audio_num_samples, shuffle=False,
+                augment=False, num_workers=self.config.data.num_workers,
+            )
+            av_iter = iter(av_loader)
+        if self.val_tv_dataset is not None and mode in ("tv", "joint"):
+            tv_loader = TVLoader(
+                self.val_tv_dataset, self.tokenizer,
+                self.config.data.batch_size_tv,
+                max_text_tokens=self.config.data.max_text_tokens,
+                shuffle=False, augment=False,
+                num_workers=self.config.data.num_workers,
+            )
+            tv_iter = iter(tv_loader)
+        if av_iter is None and tv_iter is None:
+            return None
+
+        while count < max_batches:
+            try:
+                av_b = self._device_av(next(av_iter)) if av_iter else None
+                tv_b = self._device_tv(next(tv_iter)) if tv_iter else None
+            except StopIteration:
+                break
+            m = eval_fn(
+                self.state.params, av_b, tv_b, jnp.float32(w_av), jnp.float32(w_tv)
+            )
+            for k, v in m.items():
+                totals.setdefault(k, []).append(float(v))
+            count += 1
+        if not totals:
+            return None
+        avg = {f"val_{k}": float(np.mean(v)) for k, v in totals.items()}
+        self.metrics.log(avg, step=self.progress.global_step)
+        return avg.get("val_train_loss")
+
+    # ------------------------------------------------------------------
+    # Retrieval eval (train.py:835-874 -> eval/retrieval.py)
+    # ------------------------------------------------------------------
+
+    def eval_1000_way_retrieval(self) -> Dict[str, float]:
+        out: Dict[str, float] = {}
+        temp = float(self.state.params["temperature"])
+        subset_size = min(
+            self.config.train.retrieval_subset_size,
+            len(self.val_av_dataset or []) or 10**9,
+            len(self.val_tv_dataset or []) or 10**9,
+        )
+        if self.val_av_dataset is not None:
+            indices = select_subset_indices(
+                len(self.val_av_dataset),
+                str(self.output_dir / "retrieval_subset_av.json"),
+                subset_size,
+            )
+
+            @jax.jit
+            def enc_av(images, audio):
+                a = self.model.apply(
+                    {"params": self.state.params}, audio, train=False,
+                    method=TriadModel.encode_audio,
+                )
+                v = self.model.apply(
+                    {"params": self.state.params}, images, train=False,
+                    method=TriadModel.encode_visual,
+                )
+                return a, v
+
+            a, am, v = embed_av_subset(
+                enc_av, self.val_av_dataset, indices,
+                self.config.data.audio_num_samples,
+            )
+            out.update(av_retrieval_metrics(a, am, v, temp))
+        if self.val_tv_dataset is not None:
+            indices = select_subset_indices(
+                len(self.val_tv_dataset),
+                str(self.output_dir / "retrieval_subset_tv.json"),
+                subset_size,
+            )
+
+            @jax.jit
+            def enc_tv(images, ids, mask):
+                t = self.model.apply(
+                    {"params": self.state.params}, ids, mask, train=False,
+                    method=TriadModel.encode_text,
+                )
+                v = self.model.apply(
+                    {"params": self.state.params}, images, train=False,
+                    method=TriadModel.encode_visual,
+                )
+                return t, v
+
+            t, tm, v = embed_tv_subset(
+                enc_tv, self.val_tv_dataset, indices, self.tokenizer,
+                self.config.data.max_text_tokens,
+            )
+            out.update(tv_retrieval_metrics(t, tm, v, temp))
+        if out:
+            self.metrics.log(
+                {f"retrieval_{k}": v for k, v in out.items()},
+                step=self.progress.global_step,
+            )
+        return out
+
+    # ------------------------------------------------------------------
+    # Visualization hook (train.py:550-708)
+    # ------------------------------------------------------------------
+
+    def _cache_vis_samples_av(self, n: int):
+        ds = self.val_av_dataset or self.av_dataset
+        n = min(n, len(ds))
+        items = [ds.__getitem__(i, apply_augmentation=False) for i in range(n)]
+        return items
+
+    def _cache_vis_samples_tv(self, n: int):
+        ds = self.val_tv_dataset or self.tv_dataset
+        n = min(n, len(ds))
+        return [ds.__getitem__(i, apply_augmentation=False) for i in range(n)]
+
+    def visualize_samples(self, epoch: int, max_samples: int = 4) -> None:
+        from triad_tpu.data.audio import pad_or_trim
+
+        phase, _, _ = self.phase_for_epoch(epoch)
+        viz_dir = self.output_dir / "viz" / f"epoch_{epoch}"
+        viz_dir.mkdir(parents=True, exist_ok=True)
+        params = self.state.params
+
+        def sim_av(frame, audio):
+            a = self.model.apply(
+                {"params": params}, jnp.asarray(audio), train=False,
+                method=TriadModel.encode_audio,
+            )
+            v = self.model.apply(
+                {"params": params}, jnp.asarray(frame), train=False,
+                method=TriadModel.encode_visual,
+            )
+            return np.asarray(
+                pairwise_similarity(a, v, params["temperature"])[0]
+            )
+
+        if phase != "tv_warmup":
+            for i, item in enumerate(self._vis_samples_av[:max_samples]):
+                audio = pad_or_trim(
+                    item["audio"], self.config.data.audio_num_samples
+                )
+                self.audio_viz.plot_audio_token_attentions(
+                    sim_av, item["video_frames"], audio,
+                    str(viz_dir / f"av_{i}.png"), num_tokens_to_show=8,
+                )
+
+        def sim_tv(frame, text):
+            ids, mask = self.tokenizer.encode_batch(
+                [text], max_length=self.config.data.max_text_tokens,
+                pad_to=self.config.data.max_text_tokens,
+            )
+            t = self.model.apply(
+                {"params": params}, jnp.asarray(ids), jnp.asarray(mask),
+                train=False, method=TriadModel.encode_text,
+            )
+            v = self.model.apply(
+                {"params": params}, jnp.asarray(frame), train=False,
+                method=TriadModel.encode_visual,
+            )
+            sims = np.asarray(
+                pairwise_similarity(t, v, params["temperature"])[0]
+            )
+            n_valid = int(mask.sum())
+            tokens = self.tokenizer.tokenize(text)[:n_valid]
+            return sims[:n_valid], tokens
+
+        if phase != "av_focus":
+            for i, (img, caption) in enumerate(self._vis_samples_tv[:max_samples]):
+                if not caption:
+                    continue
+                self.text_viz.plot_token_attentions(
+                    sim_tv, img, caption, str(viz_dir / f"tv_{i}.png")
+                )
+        self.metrics.info(f"Wrote visualizations to {viz_dir}")
