@@ -149,6 +149,11 @@ class LossConfig:
     # "pallas" uses the fused TPU kernel.
     implementation: str = "dense"
     chunk_size: int = 8
+    # Matmul precision of the aggregation einsums: "highest" reproduces
+    # the reference's fp32 loss math bit-closely (parity tests);
+    # "default" lets bf16 features ride the MXU natively (~3.5x faster
+    # aggregation, production path).
+    matmul_precision: str = "highest"
 
 
 # ---------------------------------------------------------------------------

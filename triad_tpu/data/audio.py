@@ -33,6 +33,18 @@ def resample(audio: np.ndarray, orig_sr: int, target_sr: int = TARGET_SR) -> np.
     return out.astype(np.float32)
 
 
+def resample_preferred(
+    audio: np.ndarray, orig_sr: int, target_sr: int = TARGET_SR
+) -> np.ndarray:
+    """Native kaiser-sinc resampler when the C++ library is built
+    (native/triad_data.cc), scipy polyphase otherwise."""
+    from triad_tpu.data import native
+
+    if native.available():
+        return native.resample(audio, orig_sr, target_sr)
+    return resample(audio, orig_sr, target_sr)
+
+
 def load_wav(path: str) -> Tuple[np.ndarray, int]:
     from scipy.io import wavfile
 
@@ -75,7 +87,7 @@ def extract_audio(path: str, target_sr: int = TARGET_SR) -> np.ndarray:
         p = Path(path)
         if p.suffix.lower() == ".wav":
             data, sr = load_wav(str(p))
-            return resample(data, sr, target_sr)
+            return resample_preferred(data, sr, target_sr)
         if _ffmpeg_available():
             return load_audio_ffmpeg(str(p), target_sr)
         raise RuntimeError(

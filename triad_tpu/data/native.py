@@ -1,0 +1,121 @@
+"""ctypes bindings for the native data-ops library (native/triad_data.cc).
+
+Auto-builds ``libtriad_data.so`` with the repo Makefile on first use if
+g++ is available; every entry point has a numpy/scipy fallback so the
+pipeline works without the native library (pure-Python environments).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libtriad_data.so"
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    try:
+        if not _LIB_PATH.exists():
+            subprocess.run(
+                ["make", "-s"], cwd=_NATIVE_DIR, check=True, capture_output=True
+            )
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.resample_output_length.restype = ctypes.c_int64
+        lib.resample_output_length.argtypes = [
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ]
+        f32p = ctypes.POINTER(ctypes.c_float)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.resample_kaiser.argtypes = [
+            f32p, ctypes.c_int64, ctypes.c_int32,
+            f32p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_double,
+        ]
+        lib.normalize_pad_waveform.argtypes = [
+            f32p, ctypes.c_int64, f32p, ctypes.c_int64,
+        ]
+        lib.resize_normalize_u8.argtypes = [
+            u8p, ctypes.c_int32, ctypes.c_int32,
+            f32p, ctypes.c_int32, ctypes.c_int32,
+        ]
+        _lib = lib
+    except Exception as e:  # noqa: BLE001 — fall back to numpy paths
+        print(f"native triad_data unavailable ({e}); using numpy fallbacks")
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _f32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def resample(audio: np.ndarray, orig_sr: int, target_sr: int,
+             width: int = 16, beta: float = 14.77) -> np.ndarray:
+    """Kaiser-windowed sinc resample (native), scipy polyphase fallback."""
+    lib = _load()
+    if lib is None:
+        from triad_tpu.data.audio import resample as scipy_resample
+
+        return scipy_resample(audio, orig_sr, target_sr)
+    audio = np.ascontiguousarray(audio, np.float32)
+    n_out = lib.resample_output_length(len(audio), orig_sr, target_sr)
+    out = np.empty(n_out, np.float32)
+    lib.resample_kaiser(
+        _f32p(audio), len(audio), orig_sr, _f32p(out), n_out, target_sr,
+        width, beta,
+    )
+    return out
+
+
+def normalize_pad_waveform(audio: np.ndarray, num_samples: int) -> np.ndarray:
+    """Fused zero-mean/unit-var (over the padded row, eps 1e-7 — the HF
+    processor quirk, reference model.py:56-62) + pad/trim to the static
+    length. Numpy fallback reproduces the same math."""
+    lib = _load()
+    audio = np.ascontiguousarray(audio, np.float32)
+    if lib is None:
+        from triad_tpu.data.audio import pad_or_trim
+
+        padded = pad_or_trim(audio, num_samples)
+        mean = padded.mean()
+        var = padded.var()
+        return ((padded - mean) / np.sqrt(var + 1e-7)).astype(np.float32)
+    out = np.empty(num_samples, np.float32)
+    lib.normalize_pad_waveform(_f32p(audio), len(audio), _f32p(out), num_samples)
+    return out
+
+
+def resize_normalize_image(img_u8: np.ndarray, size: int,
+                           normalize: bool = True) -> np.ndarray:
+    """uint8 (H, W, 3) -> float32 (size, size, 3), bilinear + ImageNet
+    normalize, fused natively; numpy/cv2 fallback."""
+    lib = _load()
+    if lib is None:
+        from triad_tpu.data.images import imagenet_normalize, resize_bilinear
+
+        img = img_u8.astype(np.float32) / 255.0
+        img = resize_bilinear(img, size)
+        return imagenet_normalize(img) if normalize else img
+    img_u8 = np.ascontiguousarray(img_u8, np.uint8)
+    h, w = img_u8.shape[:2]
+    out = np.empty((size, size, 3), np.float32)
+    lib.resize_normalize_u8(
+        img_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+        _f32p(out), size, 1 if normalize else 0,
+    )
+    return out

@@ -160,6 +160,7 @@ def av_loss(
         clamp_min=cfg.av_nonneg_clamp_min,
         implementation=cfg.implementation,
         chunk_size=cfg.chunk_size,
+        precision=cfg.matmul_precision,
     )
     return av_loss_from_aggregate(agg, temperature, cfg)
 
@@ -201,5 +202,6 @@ def tv_loss(
         query_mask=text_mask,
         implementation=cfg.implementation,
         chunk_size=cfg.chunk_size,
+        precision=cfg.matmul_precision,
     )
     return tv_loss_from_aggregate(agg, cfg)

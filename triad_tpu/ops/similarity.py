@@ -36,6 +36,14 @@ import jax
 import jax.numpy as jnp
 
 
+def _prec(precision: str):
+    return (
+        jax.lax.Precision.HIGHEST
+        if precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
+
+
 class AggregateOut(NamedTuple):
     """Outputs of cross-batch max-mean aggregation.
 
@@ -117,13 +125,15 @@ def _aggregate_dense(
     clamp_min: float,
     query_mask: Optional[jax.Array],
     compute_diag: bool = True,
+    precision: str = "highest",
 ) -> AggregateOut:
     Bq, Nq, _ = query.shape
     Bk, Nk = key.shape[0], key.shape[1]
-    q = query.astype(jnp.float32)
-    k = key.astype(jnp.float32)
+    keep = query.dtype if precision != "highest" else jnp.float32
+    q = query.astype(keep)
+    k = key.astype(keep)
     # token_sims[i,j,q,k] (model.py:384-387 / 502-505)
-    ts = jnp.einsum("iqd,jkd->ijqk", q, k, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    ts = jnp.einsum("iqd,jkd->ijqk", q, k, preferred_element_type=jnp.float32, precision=_prec(precision))
     ts = ts * temperature.astype(jnp.float32)
     max_sims = jnp.max(ts, axis=3)  # over key tokens (model.py:389/507)
     clip_sims = _masked_mean_over_queries(max_sims, query_mask)
@@ -150,11 +160,13 @@ def _aggregate_chunked(
     query_mask: Optional[jax.Array],
     chunk_size: int,
     compute_diag: bool = True,
+    precision: str = "highest",
 ) -> AggregateOut:
     Bq, Nq, D = query.shape
     Bk, Nk = key.shape[0], key.shape[1]
-    q = query.astype(jnp.float32)
-    k = key.astype(jnp.float32)
+    keep = query.dtype if precision != "highest" else jnp.float32
+    q = query.astype(keep)
+    k = key.astype(keep)
     temp = temperature.astype(jnp.float32)
 
     chunk = min(chunk_size, Bk)
@@ -168,7 +180,7 @@ def _aggregate_chunked(
     @jax.checkpoint
     def chunk_fn(k_chunk):
         # (Bq, chunk, Nq, Nk) — the only live slice of the volume.
-        ts = jnp.einsum("iqd,jkd->ijqk", q, k_chunk, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        ts = jnp.einsum("iqd,jkd->ijqk", q, k_chunk, preferred_element_type=jnp.float32, precision=_prec(precision))
         ts = ts * temp
         max_sims = jnp.max(ts, axis=3)
         clip = _masked_mean_over_queries(max_sims, query_mask)  # (Bq, chunk)
@@ -206,6 +218,7 @@ def aggregate_crossbatch(
     implementation: str = "dense",
     chunk_size: int = 8,
     compute_diag: bool = True,
+    precision: str = "highest",
 ) -> AggregateOut:
     """Cross-batch max-mean aggregation (reference model.py:370-392/490-514).
 
@@ -219,17 +232,19 @@ def aggregate_crossbatch(
     """
     if implementation == "dense":
         return _aggregate_dense(
-            query, key, temperature, clamp_min, query_mask, compute_diag
+            query, key, temperature, clamp_min, query_mask, compute_diag,
+            precision,
         )
     if implementation == "chunked":
         return _aggregate_chunked(
             query, key, temperature, clamp_min, query_mask, chunk_size,
-            compute_diag,
+            compute_diag, precision,
         )
     if implementation == "pallas":
         from triad_tpu.ops.pallas_maxmean import aggregate_pallas
 
         return aggregate_pallas(
-            query, key, temperature, clamp_min=clamp_min, query_mask=query_mask
+            query, key, temperature, clamp_min=clamp_min,
+            query_mask=query_mask, compute_diag=compute_diag,
         )
     raise ValueError(f"Unknown implementation {implementation!r}")

@@ -154,6 +154,7 @@ def _av_loss_shard(
         implementation="chunked" if cfg.implementation == "dense" else cfg.implementation,
         chunk_size=cfg.chunk_size,
         compute_diag=False,
+        precision=cfg.matmul_precision,
     )
     contrastive, diag_vals = _distributed_symmetric_infonce(agg.clip_sims, axis)
 
@@ -199,6 +200,7 @@ def _tv_loss_shard(
         implementation="chunked" if cfg.implementation == "dense" else cfg.implementation,
         chunk_size=cfg.chunk_size,
         compute_diag=False,
+        precision=cfg.matmul_precision,
     )
     contrastive, diag_vals = _distributed_symmetric_infonce(agg.clip_sims, axis)
 
