@@ -21,6 +21,11 @@ import numpy as np
 
 def main() -> None:
     import jax
+
+    # Persistent compile cache: the tunneled TPU compile is slow (~min);
+    # cached reruns start instantly.
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from triad_tpu.core.config import LossConfig, ModelConfig
@@ -32,7 +37,10 @@ def main() -> None:
     TEXT_LEN = 32
 
     cfg = ModelConfig()  # bf16 compute, fp32 params
-    loss_cfg = LossConfig(implementation="chunked", chunk_size=8)
+    # Production loss path: chunked bf16-in/fp32-accum aggregation.
+    loss_cfg = LossConfig(
+        implementation="chunked", chunk_size=8, matmul_precision="default"
+    )
     model = TriadModel(cfg)
     params = init_triad_model(cfg, jax.random.key(0))
 
