@@ -71,12 +71,18 @@ class StepFactory:
         loss_cfg: LossConfig,
         optim_cfg: OptimConfig,
         bank: OptimizerBank,
+        mesh=None,
     ):
+        """``mesh``: optional jax.sharding.Mesh with a 'data' axis. When
+        set, the losses use the distributed all-gathered-negatives path
+        (triad_tpu.parallel.dp) — batches must be sharded along 'data'
+        and params replicated; gradients flow through the collectives."""
         self.model = TriadModel(model_cfg)
         self.loss_cfg = loss_cfg
         self.optim_cfg = optim_cfg
         self.bank = bank
         self.partition = bank.partition
+        self.mesh = mesh
 
     # -- loss -----------------------------------------------------------
 
@@ -109,7 +115,17 @@ class StepFactory:
                 rngs={"dropout": rng_av},
                 method=_encode_av,
             )
-            av = av_loss(feats["audio"], feats["visual"], temp, self.loss_cfg)
+            if self.mesh is not None:
+                from triad_tpu.parallel.dp import distributed_av_loss
+
+                av = distributed_av_loss(
+                    feats["audio"], feats["visual"], temp, self.loss_cfg,
+                    self.mesh,
+                )
+            else:
+                av = av_loss(
+                    feats["audio"], feats["visual"], temp, self.loss_cfg
+                )
             total = total + w_av * av.total
             metrics.update(av.stats)
             metrics.update(
@@ -129,10 +145,18 @@ class StepFactory:
                 rngs={"dropout": rng_tv},
                 method=_encode_tv,
             )
-            tv = tv_loss(
-                feats["text"], feats["visual"], tv_batch["text_mask"], temp,
-                self.loss_cfg,
-            )
+            if self.mesh is not None:
+                from triad_tpu.parallel.dp import distributed_tv_loss
+
+                tv = distributed_tv_loss(
+                    feats["text"], feats["visual"], tv_batch["text_mask"],
+                    temp, self.loss_cfg, self.mesh,
+                )
+            else:
+                tv = tv_loss(
+                    feats["text"], feats["visual"], tv_batch["text_mask"],
+                    temp, self.loss_cfg,
+                )
             total = total + w_tv * tv.total
             metrics.update(tv.stats)
             metrics.update(loss_tv=tv.total, tv_contrastive_loss=tv.contrastive)

@@ -24,6 +24,7 @@ from typing import Any, Dict, Iterator, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from triad_tpu.core.config import Config
 from triad_tpu.data import (
@@ -136,6 +137,26 @@ class Trainer:
             num_workers=dc.num_workers,
         )
 
+        # -- mesh (DP scale-out; opt-in via mesh.num_devices) ----------
+        n_dev = config.mesh.num_devices or 1
+        if n_dev > 1:
+            from triad_tpu.parallel import make_mesh
+
+            self.mesh = make_mesh(n_dev, axis=config.mesh.data_axis)
+            for name, bs in (
+                ("batch_size_av", dc.batch_size_av),
+                ("batch_size_tv", dc.batch_size_tv),
+            ):
+                if bs % n_dev:
+                    raise ValueError(
+                        f"{name}={bs} not divisible by {n_dev} devices"
+                    )
+            self.metrics.info(
+                f"Data-parallel over {n_dev} devices (all-gathered negatives)"
+            )
+        else:
+            self.mesh = None
+
         # -- model / optimizer ----------------------------------------
         self.model = TriadModel(config.model)
         params = init_triad_model(config.model, jax.random.key(tc.seed))
@@ -149,11 +170,15 @@ class Trainer:
         ) // tc.optim.gradient_accumulation_steps
         self.bank = OptimizerBank(tc.optim, self.partition, self.total_updates)
         self.factory = StepFactory(
-            config.model, config.loss, tc.optim, self.bank
+            config.model, config.loss, tc.optim, self.bank, mesh=self.mesh
         )
         self.state: TrainState = init_train_state(
             params, self.bank, jax.random.key(tc.seed + 1)
         )
+        if self.mesh is not None:
+            self.state = jax.device_put(
+                self.state, NamedSharding(self.mesh, P())
+            )
         self._steps = {
             mode: jax.jit(self.factory.make_step(mode))
             for mode in ("av", "tv", "joint")
@@ -302,19 +327,25 @@ class Trainer:
 
         return gen()
 
-    @staticmethod
-    def _device_av(batch) -> Dict[str, jax.Array]:
+    def _put(self, arr) -> jax.Array:
+        if self.mesh is not None:
+            return jax.device_put(
+                jnp.asarray(arr),
+                NamedSharding(self.mesh, P(self.config.mesh.data_axis)),
+            )
+        return jnp.asarray(arr)
+
+    def _device_av(self, batch) -> Dict[str, jax.Array]:
         return {
-            "images": jnp.asarray(batch["images"]),
-            "audio": jnp.asarray(batch["audio"]),
+            "images": self._put(batch["images"]),
+            "audio": self._put(batch["audio"]),
         }
 
-    @staticmethod
-    def _device_tv(batch) -> Dict[str, jax.Array]:
+    def _device_tv(self, batch) -> Dict[str, jax.Array]:
         return {
-            "images": jnp.asarray(batch["images"]),
-            "token_ids": jnp.asarray(batch["token_ids"]),
-            "text_mask": jnp.asarray(batch["text_mask"]),
+            "images": self._put(batch["images"]),
+            "token_ids": self._put(batch["token_ids"]),
+            "text_mask": self._put(batch["text_mask"]),
         }
 
     # ------------------------------------------------------------------
