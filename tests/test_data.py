@@ -161,3 +161,38 @@ class TestLoaders:
         import jax
 
         assert isinstance(out[0]["audio"], jax.Array)
+
+
+class TestUniqueVideoSampler:
+    def test_no_duplicate_videos_in_batch(self):
+        from triad_tpu.data.pipeline import UniqueVideoSampler
+
+        ids = [0, 0, 0, 1, 1, 2, 2, 3, 4, 5, 6, 7]
+        s = UniqueVideoSampler(ids, batch_size=4, seed=1, epoch=0)
+        assert s.num_batches >= 1
+        for b in range(s.num_batches):
+            vids = [ids[i] for i in s.batch_indices(b)]
+            assert len(set(vids)) == len(vids)
+
+    def test_deterministic_per_epoch(self):
+        from triad_tpu.data.pipeline import UniqueVideoSampler
+
+        ids = list(range(16))
+        a = UniqueVideoSampler(ids, 4, seed=0, epoch=3)
+        b = UniqueVideoSampler(ids, 4, seed=0, epoch=3)
+        c = UniqueVideoSampler(ids, 4, seed=0, epoch=4)
+        import numpy as np
+
+        np.testing.assert_array_equal(a.batch_indices(0), b.batch_indices(0))
+        assert not np.array_equal(a.batch_indices(0), c.batch_indices(0))
+
+    def test_av_loader_integration(self):
+        from triad_tpu.data import AVLoader, SyntheticAVDataset
+
+        ds = SyntheticAVDataset(size=8, audio_seconds=0.5)
+        loader = AVLoader(
+            ds, batch_size=4, audio_num_samples=8000, num_workers=1,
+            unique_video_ids=[0, 0, 1, 1, 2, 2, 3, 3],
+        )
+        batches = list(loader.epoch(0))
+        assert len(batches) == 1  # only 4 unique videos fit one batch

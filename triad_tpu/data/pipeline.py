@@ -47,6 +47,41 @@ class _IndexSampler:
         return self.order[lo : lo + self.batch_size]
 
 
+class UniqueVideoSampler:
+    """Batches with unique source-video ids — no same-video false
+    negatives inside a contrastive batch.
+
+    The reference defines (but never wires) exactly this
+    (VideoBatchSampler, dataset.py:137-164 — SURVEY §2.2 'dead code,
+    but reveals intent'); here it is a first-class, deterministic,
+    cursor-resumable alternative to _IndexSampler: pass
+    ``video_ids[i]`` = the source id of sample i.
+    """
+
+    def __init__(self, video_ids, batch_size: int, seed: int, epoch: int):
+        self.batch_size = batch_size
+        video_ids = np.asarray(video_ids)
+        rng = np.random.default_rng((seed, epoch, 7))
+        order = rng.permutation(len(video_ids))
+        batches: List[np.ndarray] = []
+        current: List[int] = []
+        used: set = set()
+        for idx in order:
+            vid = video_ids[idx]
+            if vid in used:
+                continue
+            current.append(int(idx))
+            used.add(vid)
+            if len(current) == batch_size:
+                batches.append(np.asarray(current))
+                current, used = [], set()
+        self._batches = batches
+        self.num_batches = len(batches)
+
+    def batch_indices(self, batch_idx: int) -> np.ndarray:
+        return self._batches[batch_idx]
+
+
 class AVLoader:
     """Audio-visual batches: {"images": (B,H,W,3), "audio": (B,T)}."""
 
@@ -60,7 +95,12 @@ class AVLoader:
         num_workers: int = 4,
         augment: bool = True,
         drop_last: bool = True,
+        unique_video_ids=None,
     ):
+        """``unique_video_ids``: optional per-sample source-video ids;
+        when given, batches are drawn with the UniqueVideoSampler (no
+        same-video false negatives — the reference's VideoBatchSampler
+        intent, dataset.py:137-164)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.audio_num_samples = audio_num_samples
@@ -69,6 +109,7 @@ class AVLoader:
         self.num_workers = num_workers
         self.augment = augment
         self.drop_last = drop_last
+        self.unique_video_ids = unique_video_ids
 
     def __len__(self) -> int:
         n = len(self.dataset) // self.batch_size
@@ -81,10 +122,15 @@ class AVLoader:
         return item
 
     def epoch(self, epoch: int, start_batch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
-        sampler = _IndexSampler(
-            len(self.dataset), self.batch_size, self.shuffle, self.seed, epoch,
-            self.drop_last,
-        )
+        if self.unique_video_ids is not None:
+            sampler = UniqueVideoSampler(
+                self.unique_video_ids, self.batch_size, self.seed, epoch
+            )
+        else:
+            sampler = _IndexSampler(
+                len(self.dataset), self.batch_size, self.shuffle, self.seed,
+                epoch, self.drop_last,
+            )
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             for b in range(start_batch, sampler.num_batches):
                 idx = sampler.batch_indices(b)
