@@ -219,3 +219,41 @@ class TestHubertParity:
         ).input_values
         ours = normalize_waveform(jnp.asarray(audio))
         np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
+
+
+class TestFastVariants:
+    def test_matmul_frontend_equals_conv(self):
+        """frontend_impl='matmul' (im2col + MXU matmul) is numerically
+        identical to the XLA conv path, sharing the same param layout."""
+        import dataclasses
+        cfg = HubertConfig(**SMALL_HUBERT)
+        conv_model = HubertModel(cfg)
+        mm_model = HubertModel(dataclasses.replace(cfg, frontend_impl="matmul"))
+        rng = np.random.default_rng(7)
+        audio = jnp.asarray(rng.normal(size=(2, 2000)).astype(np.float32))
+        params = conv_model.init(jax.random.key(0), audio)["params"]
+        out_conv = conv_model.apply({"params": params}, audio)
+        out_mm = mm_model.apply({"params": params}, audio)
+        np.testing.assert_allclose(
+            np.asarray(out_mm), np.asarray(out_conv), rtol=1e-4, atol=1e-5
+        )
+
+    def test_bf16_scores_attention_close_to_f32(self):
+        from triad_tpu.models.layers import dot_product_attention
+
+        rng = np.random.default_rng(8)
+        q = jnp.asarray(rng.normal(size=(2, 10, 4, 8)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(2, 12, 4, 8)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(2, 12, 4, 8)).astype(np.float32))
+        mask = jnp.asarray(
+            (np.arange(12)[None] < np.array([[12], [7]])).astype(bool)
+        )[:, None, None, :]
+        f32 = dot_product_attention(q, k, v, mask, jnp.float32)
+        bf = dot_product_attention(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16), mask, jnp.bfloat16,
+            scores_dtype=jnp.bfloat16,
+        )
+        np.testing.assert_allclose(
+            np.asarray(bf, np.float32), np.asarray(f32), atol=0.05
+        )

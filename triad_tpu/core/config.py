@@ -45,6 +45,8 @@ class ViTConfig:
     # r=8, alpha=16, targets ["attn.qkv", "attn.proj"], dropout 0.0).
     lora_rank: int = 8
     lora_alpha: float = 16.0
+    # "float32" = torch-parity softmax; "bfloat16" = fast TPU softmax.
+    attention_scores_dtype: str = "float32"
 
     @property
     def num_patches(self) -> int:
@@ -80,6 +82,11 @@ class HubertConfig:
     # HF processor quirk (reference model.py:56-62): zero-mean/unit-var
     # normalization applied per padded batch row before the conv stack.
     normalize_waveform: bool = True
+    # "float32" = torch-parity softmax; "bfloat16" = fast TPU softmax.
+    attention_scores_dtype: str = "float32"
+    # "conv" = XLA conv lowering; "matmul" = im2col reshape + MXU matmul
+    # for the waveform frontend (identical numerics, often faster).
+    frontend_impl: str = "conv"
 
     def num_audio_tokens(self, num_samples: int) -> int:
         """Output sequence length of the conv feature encoder."""
@@ -101,6 +108,8 @@ class DistilBertConfig:
     max_position_embeddings: int = 512
     pad_token_id: int = 0
     layer_norm_eps: float = 1e-12
+    # "float32" = torch-parity softmax; "bfloat16" = fast TPU softmax.
+    attention_scores_dtype: str = "float32"
     # Tokenization inside the reference forward (model.py:102-109):
     # padding, truncation, add_special_tokens=False, max_length=128.
     max_text_tokens: int = 128

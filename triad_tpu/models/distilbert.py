@@ -43,7 +43,10 @@ class DistilBertAttention(nn.Module):
         if attn_mask is not None:
             # (B, Nk) -> (B, 1, 1, Nk); True = attend.
             mask = attn_mask.astype(bool)[:, None, None, :]
-        out = dot_product_attention(q, k, v, mask, self.dtype)
+        out = dot_product_attention(
+            q, k, v, mask, self.dtype,
+            scores_dtype=jnp.dtype(c.attention_scores_dtype),
+        )
         out = out.reshape(*x.shape[:2], c.hidden_size)
         return dense("out_lin")(out)
 

@@ -41,8 +41,62 @@ def normalize_waveform(audio: jax.Array) -> jax.Array:
     return (audio - mean) / jnp.sqrt(var + 1e-7)
 
 
+def _im2col_1d(x: jax.Array, kernel: int, stride: int) -> jax.Array:
+    """(B, T, C) -> (B, T_out, kernel*C) windows, VALID padding.
+
+    Built from strided slices (no gather): window position t covers rows
+    [t*stride, t*stride + kernel). Turns a conv into one MXU matmul.
+    """
+    B, T, C = x.shape
+    t_out = (T - kernel) // stride + 1
+    cols = []
+    for off in range(kernel):
+        end = off + (t_out - 1) * stride + 1
+        cols.append(x[:, off:end:stride, :])
+    return jnp.concatenate(cols, axis=-1)
+
+
+class _ConvAsMatmul(nn.Module):
+    """Owns nn.Conv-compatible params (kernel (k, in, out) [+ bias]) but
+    evaluates as im2col + one MXU matmul. Same param path as nn.Conv, so
+    checkpoints/ports are layout-identical."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    use_bias: bool
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, in_features, self.features),
+            self.param_dtype,
+        )
+        cols = _im2col_1d(x, self.kernel_size, self.stride)
+        # im2col layout is [off0 | off1 | ...] blocks of channels, which
+        # matches kernel.reshape(k*in, out) row order.
+        y = jnp.dot(cols, kernel.reshape(-1, self.features).astype(self.dtype))
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class ConvFeatureEncoder(nn.Module):
-    """(B, T) waveform -> (B, T', conv_dim[-1]) frame features."""
+    """(B, T) waveform -> (B, T', conv_dim[-1]) frame features.
+
+    ``cfg.frontend_impl``: "conv" uses XLA's conv lowering; "matmul"
+    evaluates each layer as im2col (strided slices) + a single MXU
+    matmul — same parameters and numerics, often faster on TPU for the
+    stride-5 single-channel first layer.
+    """
 
     cfg: HubertConfig
     dtype: Dtype = jnp.float32
@@ -53,16 +107,22 @@ class ConvFeatureEncoder(nn.Module):
         c = self.cfg
         x = audio[:, :, None].astype(self.dtype)
         for i, (dim, k, s) in enumerate(zip(c.conv_dim, c.conv_kernel, c.conv_stride)):
-            x = nn.Conv(
-                dim,
-                kernel_size=(k,),
-                strides=(s,),
-                padding="VALID",
-                use_bias=c.conv_bias,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                name=f"conv_{i}",
-            )(x)
+            if c.frontend_impl == "matmul":
+                x = _ConvAsMatmul(
+                    dim, k, s, use_bias=c.conv_bias, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name=f"conv_{i}",
+                )(x)
+            else:
+                x = nn.Conv(
+                    dim,
+                    kernel_size=(k,),
+                    strides=(s,),
+                    padding="VALID",
+                    use_bias=c.conv_bias,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name=f"conv_{i}",
+                )(x)
             if i == 0:
                 # Group norm with one group per channel == per-channel
                 # instance norm over time (HF GroupNormConvLayer).
@@ -118,7 +178,10 @@ class HubertSelfAttention(nn.Module):
         q = dense("q_proj")(x).reshape(*x.shape[:2], c.num_heads, head_dim)
         k = dense("k_proj")(x).reshape(*x.shape[:2], c.num_heads, head_dim)
         v = dense("v_proj")(x).reshape(*x.shape[:2], c.num_heads, head_dim)
-        out = dot_product_attention(q, k, v, None, self.dtype)
+        out = dot_product_attention(
+            q, k, v, None, self.dtype,
+            scores_dtype=jnp.dtype(c.attention_scores_dtype),
+        )
         return dense("out_proj")(out.reshape(*x.shape[:2], c.hidden_size))
 
 

