@@ -140,3 +140,28 @@ class TestTriadModel:
         assert np.isfinite(float(gnorm)) and float(gnorm) > 0
         # temperature must receive gradient (it is a live parameter)
         assert float(jnp.abs(grads["temperature"])) > 0
+
+
+def test_train_mode_dropouts_are_stochastic(model_and_params, batch):
+    """HF-style dropouts (hubert hidden/attention/activation + layerdrop,
+    distilbert dropout) are active in train mode and keyed by the rng."""
+    model, params, _ = model_and_params
+    out1 = model.apply(
+        {"params": params}, batch["audio"], train=True,
+        method=TriadModel.encode_audio, rngs={"dropout": jax.random.key(1)},
+    )
+    out2 = model.apply(
+        {"params": params}, batch["audio"], train=True,
+        method=TriadModel.encode_audio, rngs={"dropout": jax.random.key(2)},
+    )
+    assert np.abs(np.asarray(out1) - np.asarray(out2)).max() > 1e-6
+    # eval mode: identical regardless of rng
+    e1 = model.apply(
+        {"params": params}, batch["audio"], train=False,
+        method=TriadModel.encode_audio,
+    )
+    e2 = model.apply(
+        {"params": params}, batch["audio"], train=False,
+        method=TriadModel.encode_audio,
+    )
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))

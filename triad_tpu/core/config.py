@@ -85,8 +85,16 @@ class HubertConfig:
     # "float32" = torch-parity softmax; "bfloat16" = fast TPU softmax.
     attention_scores_dtype: str = "float32"
     # "conv" = XLA conv lowering; "matmul" = im2col reshape + MXU matmul
-    # for the waveform frontend (identical numerics, often faster).
+    # for the waveform frontend (identical numerics; measured slower
+    # end-to-end on v5e — XLA's conv path wins, keep "conv").
     frontend_impl: str = "conv"
+    # Training dropouts (HF HubertConfig defaults — active in the
+    # reference because model.train() leaves HF dropouts on).
+    hidden_dropout: float = 0.1
+    activation_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    feat_proj_dropout: float = 0.0
+    layerdrop: float = 0.1
 
     def num_audio_tokens(self, num_samples: int) -> int:
         """Output sequence length of the conv feature encoder."""
@@ -110,6 +118,9 @@ class DistilBertConfig:
     layer_norm_eps: float = 1e-12
     # "float32" = torch-parity softmax; "bfloat16" = fast TPU softmax.
     attention_scores_dtype: str = "float32"
+    # Training dropouts (HF DistilBertConfig defaults).
+    dropout: float = 0.1
+    attention_dropout: float = 0.1
     # Tokenization inside the reference forward (model.py:102-109):
     # padding, truncation, add_special_tokens=False, max_length=128.
     max_text_tokens: int = 128

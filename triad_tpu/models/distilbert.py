@@ -30,7 +30,10 @@ class DistilBertAttention(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, attn_mask: Optional[jax.Array]) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, attn_mask: Optional[jax.Array],
+        deterministic: bool = True,
+    ) -> jax.Array:
         c = self.cfg
         head_dim = c.hidden_size // c.num_heads
         dense = lambda name: nn.Dense(
@@ -43,9 +46,15 @@ class DistilBertAttention(nn.Module):
         if attn_mask is not None:
             # (B, Nk) -> (B, 1, 1, Nk); True = attend.
             mask = attn_mask.astype(bool)[:, None, None, :]
+        # HF DistilBERT drops attention weights (attention_dropout).
+        probs_dropout = None
+        if c.attention_dropout > 0:
+            drop = nn.Dropout(c.attention_dropout, name="attn_dropout")
+            probs_dropout = lambda p: drop(p, deterministic=deterministic)
         out = dot_product_attention(
             q, k, v, mask, self.dtype,
             scores_dtype=jnp.dtype(c.attention_scores_dtype),
+            probs_dropout=probs_dropout,
         )
         out = out.reshape(*x.shape[:2], c.hidden_size)
         return dense("out_lin")(out)
@@ -57,11 +66,14 @@ class DistilBertBlock(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, attn_mask: Optional[jax.Array]) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, attn_mask: Optional[jax.Array],
+        deterministic: bool = True,
+    ) -> jax.Array:
         c = self.cfg
         attn_out = DistilBertAttention(
             c, dtype=self.dtype, param_dtype=self.param_dtype, name="attention"
-        )(x, attn_mask)
+        )(x, attn_mask, deterministic=deterministic)
         x = nn.LayerNorm(
             epsilon=c.layer_norm_eps, dtype=self.dtype, param_dtype=self.param_dtype,
             name="sa_layer_norm",
@@ -70,6 +82,10 @@ class DistilBertBlock(nn.Module):
             c.intermediate_size, c.hidden_size, dtype=self.dtype,
             param_dtype=self.param_dtype, name="ffn",
         )(x)
+        # HF DistilBERT FFN ends with dropout before the residual.
+        ffn_out = nn.Dropout(c.dropout, name="ffn_dropout")(
+            ffn_out, deterministic=deterministic
+        )
         x = nn.LayerNorm(
             epsilon=c.layer_norm_eps, dtype=self.dtype, param_dtype=self.param_dtype,
             name="output_layer_norm",
@@ -116,5 +132,5 @@ class DistilBertModel(nn.Module):
         for i in range(c.num_layers):
             x = DistilBertBlock(
                 c, dtype=self.dtype, param_dtype=self.param_dtype, name=f"layer_{i}"
-            )(x, attention_mask)
+            )(x, attention_mask, deterministic=deterministic)
         return x

@@ -169,7 +169,7 @@ class HubertSelfAttention(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         c = self.cfg
         head_dim = c.hidden_size // c.num_heads
         dense = lambda name: nn.Dense(
@@ -178,9 +178,14 @@ class HubertSelfAttention(nn.Module):
         q = dense("q_proj")(x).reshape(*x.shape[:2], c.num_heads, head_dim)
         k = dense("k_proj")(x).reshape(*x.shape[:2], c.num_heads, head_dim)
         v = dense("v_proj")(x).reshape(*x.shape[:2], c.num_heads, head_dim)
+        probs_dropout = None
+        if c.attention_dropout > 0:
+            drop = nn.Dropout(c.attention_dropout, name="attn_dropout")
+            probs_dropout = lambda p: drop(p, deterministic=deterministic)
         out = dot_product_attention(
             q, k, v, None, self.dtype,
             scores_dtype=jnp.dtype(c.attention_scores_dtype),
+            probs_dropout=probs_dropout,
         )
         return dense("out_proj")(out.reshape(*x.shape[:2], c.hidden_size))
 
@@ -193,11 +198,14 @@ class HubertEncoderLayer(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         c = self.cfg
         attn = HubertSelfAttention(
             c, dtype=self.dtype, param_dtype=self.param_dtype, name="attention"
-        )(x)
+        )(x, deterministic=deterministic)
+        attn = nn.Dropout(c.hidden_dropout, name="attn_out_dropout")(
+            attn, deterministic=deterministic
+        )
         x = nn.LayerNorm(
             epsilon=c.layer_norm_eps, dtype=self.dtype, param_dtype=self.param_dtype,
             name="layer_norm",
@@ -207,10 +215,16 @@ class HubertEncoderLayer(nn.Module):
             name="intermediate_dense",
         )(x)
         h = nn.gelu(h, approximate=False)
+        h = nn.Dropout(c.activation_dropout, name="intermediate_dropout")(
+            h, deterministic=deterministic
+        )
         h = nn.Dense(
             c.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype,
             name="output_dense",
         )(h)
+        h = nn.Dropout(c.hidden_dropout, name="output_dropout")(
+            h, deterministic=deterministic
+        )
         x = nn.LayerNorm(
             epsilon=c.layer_norm_eps, dtype=self.dtype, param_dtype=self.param_dtype,
             name="final_layer_norm",
@@ -230,7 +244,7 @@ class HubertModel(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, audio: jax.Array) -> jax.Array:
+    def __call__(self, audio: jax.Array, deterministic: bool = True) -> jax.Array:
         c = self.cfg
         x = ConvFeatureEncoder(
             c, dtype=self.dtype, param_dtype=self.param_dtype,
@@ -244,6 +258,9 @@ class HubertModel(nn.Module):
             c.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype,
             name="feature_projection",
         )(x)
+        x = nn.Dropout(c.feat_proj_dropout, name="feat_proj_dropout")(
+            x, deterministic=deterministic
+        )
         pos = PositionalConvEmbedding(
             c, dtype=self.dtype, param_dtype=self.param_dtype, name="pos_conv_embed"
         )(x)
@@ -252,8 +269,21 @@ class HubertModel(nn.Module):
             epsilon=c.layer_norm_eps, dtype=self.dtype, param_dtype=self.param_dtype,
             name="encoder_layer_norm",
         )(x)
+        x = nn.Dropout(c.hidden_dropout, name="encoder_dropout")(
+            x, deterministic=deterministic
+        )
         for i in range(c.num_layers):
-            x = HubertEncoderLayer(
+            layer = HubertEncoderLayer(
                 c, dtype=self.dtype, param_dtype=self.param_dtype, name=f"layer_{i}"
-            )(x)
+            )
+            y = layer(x, deterministic=deterministic)
+            if not deterministic and c.layerdrop > 0:
+                # HF LayerDrop: the whole layer is skipped with prob p
+                # per call during training (one decision for the batch).
+                keep = jax.random.bernoulli(
+                    self.make_rng("dropout"), 1.0 - c.layerdrop
+                )
+                x = jnp.where(keep, y, x)
+            else:
+                x = y
         return x

@@ -24,6 +24,7 @@ def dot_product_attention(
     mask: Optional[jax.Array],
     dtype: Dtype,
     scores_dtype: Dtype = jnp.float32,
+    probs_dropout=None,
 ) -> jax.Array:
     """Standard softmax attention.
 
@@ -44,6 +45,8 @@ def dot_product_attention(
         if mask is not None:
             scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
         probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+        if probs_dropout is not None:
+            probs = probs_dropout(probs)
         return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
     scores = jnp.einsum(
         "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=scores_dtype
@@ -53,6 +56,8 @@ def dot_product_attention(
     m = jax.lax.stop_gradient(jnp.max(scores, axis=-1, keepdims=True))
     e = jnp.exp((scores - m).astype(jnp.float32)).astype(dtype)
     probs = e / jnp.sum(e, axis=-1, keepdims=True).astype(dtype)
+    if probs_dropout is not None:
+        probs = probs_dropout(probs)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 

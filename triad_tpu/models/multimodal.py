@@ -93,7 +93,7 @@ class TriadModel(nn.Module):
         """audio (B, T) raw 16 kHz waveform -> (B, Na, D)."""
         if self.cfg.hubert.normalize_waveform:
             audio = normalize_waveform(audio)
-        hidden = self.audio_backbone(audio)
+        hidden = self.audio_backbone(audio, deterministic=not train)
         return self.audio_projection(hidden)
 
     def encode_text(
