@@ -225,6 +225,7 @@ class Prefetcher:
         self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._sentinel = object()
         self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
         put = device_put or (
             lambda b: {
                 k: jax.device_put(v) if isinstance(v, np.ndarray) else v
@@ -235,14 +236,30 @@ class Prefetcher:
         def worker():
             try:
                 for batch in iterator:
-                    self._q.put(put(batch))
+                    item = put(batch)
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(item, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
             except BaseException as e:  # noqa: BLE001
                 self._err = e
             finally:
-                self._q.put(self._sentinel)
+                try:
+                    self._q.put_nowait(self._sentinel)
+                except queue.Full:
+                    pass
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
+
+    def close(self) -> None:
+        """Stop the background thread (used between epochs — the wrapped
+        iterator may be endless)."""
+        self._stop.set()
 
     def __iter__(self):
         return self

@@ -250,18 +250,31 @@ class Trainer:
                 )
 
             start_batch = self.progress.current_batch_idx
-            av_iter = self._cycling_iter(self.av_loader, epoch, start_batch)
-            tv_iter = self._cycling_iter(self.tv_loader, epoch, start_batch)
+            # Background prefetch: the host assembles + device_puts the
+            # next batches while the device runs the current step
+            # (replaces the reference's DataLoader worker prefetch,
+            # train.py:157-181).
+            from triad_tpu.data import Prefetcher
+
+            av_iter = tv_iter = None
+            if phase != "tv_warmup":
+                av_iter = Prefetcher(
+                    self._cycling_iter(self.av_loader, epoch, start_batch),
+                    prefetch=self.config.data.prefetch,
+                    device_put=self._device_av,
+                )
+            if phase != "av_focus":
+                tv_iter = Prefetcher(
+                    self._cycling_iter(self.tv_loader, epoch, start_batch),
+                    prefetch=self.config.data.prefetch,
+                    device_put=self._device_tv,
+                )
             step_fn = self._steps[self._mode(phase)]
             epoch_losses = []
 
             for batch_idx in range(start_batch, self.steps_per_epoch):
-                av_batch = (
-                    self._device_av(next(av_iter)) if phase != "tv_warmup" else None
-                )
-                tv_batch = (
-                    self._device_tv(next(tv_iter)) if phase != "av_focus" else None
-                )
+                av_batch = next(av_iter) if av_iter is not None else None
+                tv_batch = next(tv_iter) if tv_iter is not None else None
                 self.state, metrics = step_fn(
                     self.state, av_batch, tv_batch,
                     jnp.float32(w_av), jnp.float32(w_tv),
@@ -294,6 +307,9 @@ class Trainer:
                     self.validate(phase)
                     self.eval_1000_way_retrieval()
 
+            for it in (av_iter, tv_iter):
+                if it is not None:
+                    it.close()
             mean_loss = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
             self.metrics.info(f"Epoch {epoch} done, mean loss {mean_loss:.4f}")
 
