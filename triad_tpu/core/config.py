@@ -256,6 +256,9 @@ class TrainConfig:
     retrieval_subset_size: int = 1000
     num_vis_samples_av: int = 24
     num_vis_samples_tv: int = 24
+    # jax.profiler trace of the first N steps (0 = off); trace lands in
+    # <output_dir>/profile for TensorBoard.
+    profile_steps: int = 0
     output_dir: str = "./outputs_triad_tpu"
     use_wandb: bool = False
     project_name: str = "triad-tpu"

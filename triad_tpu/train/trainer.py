@@ -272,6 +272,19 @@ class Trainer:
             step_fn = self._steps[self._mode(phase)]
             epoch_losses = []
 
+            # Optional jax.profiler trace of the first profile_steps steps
+            # of the first trained epoch (SURVEY §5 tracing hook).
+            profile_left = (
+                self.config.train.profile_steps
+                if epoch == self.progress.epoch
+                else 0
+            )
+            if profile_left > 0:
+                from triad_tpu.utils import profile_trace
+
+                self._prof = profile_trace(str(self.output_dir / "profile"))
+                self._prof.__enter__()
+
             for batch_idx in range(start_batch, self.steps_per_epoch):
                 av_batch = next(av_iter) if av_iter is not None else None
                 tv_batch = next(tv_iter) if tv_iter is not None else None
@@ -280,6 +293,11 @@ class Trainer:
                     jnp.float32(w_av), jnp.float32(w_tv),
                 )
                 self.timer.tick()
+                if profile_left > 0:
+                    profile_left -= 1
+                    if profile_left == 0:
+                        jax.block_until_ready(self.state.params)
+                        self._prof.__exit__(None, None, None)
                 gs = int(self.progress.global_step)
                 if batch_idx % 10 == 0 or batch_idx == self.steps_per_epoch - 1:
                     host = {k: v for k, v in metrics.items()}
@@ -557,6 +575,15 @@ class Trainer:
                     sim_av, item["video_frames"], audio,
                     str(viz_dir / f"av_{i}.png"), num_tokens_to_show=8,
                 )
+                if i == 0:
+                    # attention mp4 with the original audio muxed when the
+                    # source file + ffmpeg exist (train.py:658-680).
+                    src = item.get("video_path")
+                    self.audio_viz.make_attention_video(
+                        sim_av, item["video_frames"], audio,
+                        str(viz_dir / "av_0_attention.mp4"),
+                        video_path=src if src and not str(src).startswith("synthetic") else None,
+                    )
 
         def sim_tv(frame, text):
             ids, mask = self.tokenizer.encode_batch(
