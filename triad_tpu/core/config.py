@@ -88,6 +88,10 @@ class HubertConfig:
     # for the waveform frontend (identical numerics; measured slower
     # end-to-end on v5e — XLA's conv path wins, keep "conv").
     frontend_impl: str = "conv"
+    # Rematerialization for the backward pass: "none", "conv" (recompute
+    # the waveform-frontend activations — they dominate HBM: ~9 GB at
+    # B=64/10 s), or "full" (also remat each transformer layer).
+    remat: str = "conv"
     # Training dropouts (HF HubertConfig defaults — active in the
     # reference because model.train() leaves HF dropouts on).
     hidden_dropout: float = 0.1

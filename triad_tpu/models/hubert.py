@@ -246,7 +246,14 @@ class HubertModel(nn.Module):
     @nn.compact
     def __call__(self, audio: jax.Array, deterministic: bool = True) -> jax.Array:
         c = self.cfg
-        x = ConvFeatureEncoder(
+        # Remat (jax.checkpoint) the conv frontend: its activations are
+        # the HBM hot spot of the backward (bf16[B, T/5, 512] ~2 GB per
+        # layer at B=64/10 s); recompute is cheap relative to the
+        # transformer. "full" also remats each encoder layer.
+        frontend_cls = ConvFeatureEncoder
+        if c.remat in ("conv", "full"):
+            frontend_cls = nn.remat(ConvFeatureEncoder)
+        x = frontend_cls(
             c, dtype=self.dtype, param_dtype=self.param_dtype,
             name="feature_extractor",
         )(audio)
@@ -272,11 +279,16 @@ class HubertModel(nn.Module):
         x = nn.Dropout(c.hidden_dropout, name="encoder_dropout")(
             x, deterministic=deterministic
         )
+        layer_cls = HubertEncoderLayer
+        if c.remat == "full":
+            # static_argnums counts the bound method's args with self=0:
+            # (self, x, deterministic) -> deterministic is arg 2.
+            layer_cls = nn.remat(HubertEncoderLayer, static_argnums=(2,))
         for i in range(c.num_layers):
-            layer = HubertEncoderLayer(
+            layer = layer_cls(
                 c, dtype=self.dtype, param_dtype=self.param_dtype, name=f"layer_{i}"
             )
-            y = layer(x, deterministic=deterministic)
+            y = layer(x, deterministic)
             if not deterministic and c.layerdrop > 0:
                 # HF LayerDrop: the whole layer is skipped with prob p
                 # per call during training (one decision for the batch).
