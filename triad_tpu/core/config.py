@@ -88,10 +88,14 @@ class HubertConfig:
     # for the waveform frontend (identical numerics; measured slower
     # end-to-end on v5e — XLA's conv path wins, keep "conv").
     frontend_impl: str = "conv"
-    # Rematerialization for the backward pass: "none", "conv" (recompute
-    # the waveform-frontend activations — they dominate HBM: ~9 GB at
-    # B=64/10 s), or "full" (also remat each transformer layer).
-    remat: str = "conv"
+    # Rematerialization for the backward pass: "none", "conv" (remat the
+    # whole waveform frontend), "chunked_conv" (default: evaluate the
+    # frontend in independent token blocks, each rematted — its
+    # activations dominate HBM, ~9 GB at B=64/10 s, and VALID convs are
+    # temporally local so chunks are exact), or "full" (also remat each
+    # transformer layer; measured worse — fights XLA's own scheduler).
+    remat: str = "chunked_conv"
+    frontend_chunk_tokens: int = 128
     # Training dropouts (HF HubertConfig defaults — active in the
     # reference because model.train() leaves HF dropouts on).
     hidden_dropout: float = 0.1

@@ -124,13 +124,17 @@ def embed_av_subset(
     indices: List[int],
     audio_num_samples: int,
     batch_size: int = 8,
+    num_tokens_fn=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """No-augmentation embedding of the AV subset, L2-normalized
     (reference retrieval.py:32-104).
 
     encode_fn(images (B,H,W,3), audio (B,T)) -> (audio_feats, visual_feats)
     Returns (audio_tokens (N,Na,D), audio_mask (N,Na), visual_tokens
-    (N,Nv,D)); the audio mask flags frames from real (non-padding) audio.
+    (N,Nv,D)); the audio mask flags frames produced by real (non-padding)
+    audio. ``num_tokens_fn(num_samples) -> num_tokens`` gives the exact
+    conv-stack length map (HubertConfig.num_audio_tokens); without it a
+    proportional approximation is used.
     """
     from triad_tpu.data.audio import pad_or_trim
 
@@ -150,9 +154,10 @@ def embed_av_subset(
         v_feats = np.asarray(v_feats, np.float32)
         na = a_feats.shape[1]
         for b, raw_len in enumerate(raw_lens):
-            # tokens produced by real audio: ceil-free conv length map —
-            # fraction of valid samples times token count.
-            valid = max(1, int(na * raw_len / audio_num_samples))
+            if num_tokens_fn is not None:
+                valid = max(1, min(na, num_tokens_fn(raw_len)))
+            else:
+                valid = max(1, int(na * raw_len / audio_num_samples))
             mask = np.zeros(na, np.float32)
             mask[:valid] = 1.0
             a_list.append(a_feats[b])

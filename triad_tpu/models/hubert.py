@@ -89,52 +89,97 @@ class _ConvAsMatmul(nn.Module):
         return y
 
 
+class _ChannelNorm(nn.Module):
+    """Per-channel affine normalization with externally supplied
+    statistics. Param layout identical to nn.GroupNorm (scale, bias), so
+    ports/checkpoints are unaffected. With num_groups == channels,
+    GroupNorm IS per-(batch, channel)-over-time normalization — exactly
+    what this applies given full-sequence stats."""
+
+    dim: int
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mean: jax.Array, var: jax.Array) -> jax.Array:
+        scale = self.param("scale", nn.initializers.ones, (self.dim,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,), self.param_dtype)
+        xn = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        out = xn * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return out.astype(self.dtype)
+
+
 class ConvFeatureEncoder(nn.Module):
     """(B, T) waveform -> (B, T', conv_dim[-1]) frame features.
 
     ``cfg.frontend_impl``: "conv" uses XLA's conv lowering; "matmul"
     evaluates each layer as im2col (strided slices) + a single MXU
-    matmul — same parameters and numerics, often faster on TPU for the
-    stride-5 single-channel first layer.
+    matmul — same parameters and numerics.
+
+    setup-based so ``conv0`` / ``norm`` / ``tail`` share parameters with
+    ``__call__``: the chunked-remat path (HubertModel._chunked_frontend)
+    splits the stack around the group norm — conv_0 is local in the
+    waveform and conv_1..n are local in conv_0's output; only the
+    group-norm statistics couple time steps, so they are computed in a
+    separate cheap streaming pass.
     """
 
     cfg: HubertConfig
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, audio: jax.Array) -> jax.Array:
+    def setup(self):
         c = self.cfg
-        x = audio[:, :, None].astype(self.dtype)
+        convs = []
         for i, (dim, k, s) in enumerate(zip(c.conv_dim, c.conv_kernel, c.conv_stride)):
             if c.frontend_impl == "matmul":
-                x = _ConvAsMatmul(
-                    dim, k, s, use_bias=c.conv_bias, dtype=self.dtype,
-                    param_dtype=self.param_dtype, name=f"conv_{i}",
-                )(x)
+                convs.append(
+                    _ConvAsMatmul(
+                        dim, k, s, use_bias=c.conv_bias, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name=f"conv_{i}",
+                    )
+                )
             else:
-                x = nn.Conv(
-                    dim,
-                    kernel_size=(k,),
-                    strides=(s,),
-                    padding="VALID",
-                    use_bias=c.conv_bias,
-                    dtype=self.dtype,
-                    param_dtype=self.param_dtype,
-                    name=f"conv_{i}",
-                )(x)
-            if i == 0:
-                # Group norm with one group per channel == per-channel
-                # instance norm over time (HF GroupNormConvLayer).
-                x = nn.GroupNorm(
-                    num_groups=dim,
-                    epsilon=1e-5,
-                    dtype=self.dtype,
-                    param_dtype=self.param_dtype,
-                    name="group_norm",
-                )(x)
-            x = nn.gelu(x, approximate=False)
+                convs.append(
+                    nn.Conv(
+                        dim, kernel_size=(k,), strides=(s,), padding="VALID",
+                        use_bias=c.conv_bias, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name=f"conv_{i}",
+                    )
+                )
+        self.convs = convs
+        self.group_norm = _ChannelNorm(
+            c.conv_dim[0], epsilon=1e-5, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="group_norm",
+        )
+
+    # -- pieces (used by both the monolithic and chunked paths) ---------
+
+    def conv0(self, audio: jax.Array) -> jax.Array:
+        """First conv, pre-norm: (B, T) -> (B, T0, dim0)."""
+        return self.convs[0](audio[:, :, None].astype(self.dtype))
+
+    @staticmethod
+    def stats(y0: jax.Array):
+        """Full-sequence per-(batch, channel) mean/var of conv_0 output
+        (the group-norm statistics): (B, 1, C) each, fp32, biased var."""
+        y = y0.astype(jnp.float32)
+        mean = jnp.mean(y, axis=1, keepdims=True)
+        var = jnp.mean(jnp.square(y), axis=1, keepdims=True) - jnp.square(mean)
+        return mean, var
+
+    def tail(self, y0: jax.Array, mean: jax.Array, var: jax.Array) -> jax.Array:
+        """norm(with given stats) -> gelu -> conv_1..n (+gelu each)."""
+        x = nn.gelu(self.group_norm(y0, mean, var), approximate=False)
+        for conv in self.convs[1:]:
+            x = nn.gelu(conv(x), approximate=False)
         return x
+
+    def __call__(self, audio: jax.Array) -> jax.Array:
+        y0 = self.conv0(audio)
+        mean, var = self.stats(y0)
+        return self.tail(y0, mean, var)
 
 
 class PositionalConvEmbedding(nn.Module):
@@ -243,20 +288,90 @@ class HubertModel(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
+    def _chunked_frontend(self, frontend, audio: jax.Array) -> jax.Array:
+        """Two-pass chunked evaluation of the conv frontend, each chunk
+        under jax.checkpoint.
+
+        The only temporal coupling in the stack is the group norm's
+        full-sequence statistics, so:
+          pass A streams conv_0 over waveform chunks accumulating the
+          per-(batch, channel) sum / sum-of-squares (fp32 scalars per
+          channel — negligible memory);
+          pass B recomputes conv_0 per token block, applies the norm
+          with the global stats, and runs conv_1..n (both halves are
+          VALID convs => temporally local, so blocks are exact).
+        Live activations drop from O(T) to O(T / n_chunks) in forward
+        AND backward; numerics match the monolithic path (tested).
+        """
+        c = self.cfg
+        k0, s0 = c.conv_kernel[0], c.conv_stride[0]
+        T = audio.shape[1]
+        t0_len = (T - k0) // s0 + 1  # conv_0 output length
+        stride_tail = 1
+        for s in c.conv_stride[1:]:
+            stride_tail *= s
+        receptive_tail = 1
+        for k, s in zip(reversed(c.conv_kernel[1:]), reversed(c.conv_stride[1:])):
+            receptive_tail = (receptive_tail - 1) * s + k
+        total_tokens = c.num_audio_tokens(T)
+
+        conv0_fn = nn.checkpoint(lambda mdl, a: mdl.conv0(a))
+        tail_fn = nn.checkpoint(
+            lambda mdl, a, m, v: mdl.tail(mdl.conv0(a), m, v)
+        )
+
+        # Pass A: streaming group-norm statistics.
+        chunk0 = min(c.frontend_chunk_tokens * stride_tail, t0_len)
+        total = jnp.zeros((audio.shape[0], 1, c.conv_dim[0]), jnp.float32)
+        total_sq = jnp.zeros_like(total)
+        u0 = 0
+        while u0 < t0_len:
+            u1 = min(t0_len, u0 + chunk0)
+            y0 = conv0_fn(
+                frontend, audio[:, u0 * s0 : (u1 - 1) * s0 + k0]
+            ).astype(jnp.float32)
+            total = total + jnp.sum(y0, axis=1, keepdims=True)
+            total_sq = total_sq + jnp.sum(jnp.square(y0), axis=1, keepdims=True)
+            u0 = u1
+        mean = total / t0_len
+        var = total_sq / t0_len - jnp.square(mean)
+
+        # Pass B: normalized frontend per token block.
+        chunk_t = min(c.frontend_chunk_tokens, total_tokens)
+        outs = []
+        t0 = 0
+        while t0 < total_tokens:
+            t1 = min(total_tokens, t0 + chunk_t)
+            v0 = t0 * stride_tail
+            v1 = (t1 - 1) * stride_tail + receptive_tail
+            a0, a1 = v0 * s0, (v1 - 1) * s0 + k0
+            outs.append(tail_fn(frontend, audio[:, a0:a1], mean, var))
+            t0 = t1
+        return jnp.concatenate(outs, axis=1)
+
     @nn.compact
     def __call__(self, audio: jax.Array, deterministic: bool = True) -> jax.Array:
         c = self.cfg
-        # Remat (jax.checkpoint) the conv frontend: its activations are
-        # the HBM hot spot of the backward (bf16[B, T/5, 512] ~2 GB per
-        # layer at B=64/10 s); recompute is cheap relative to the
-        # transformer. "full" also remats each encoder layer.
+        # The conv-frontend activations are the HBM hot spot of the
+        # backward (bf16[B, T/5, 512] ~2 GB per layer at B=64/10 s).
+        # remat="conv" checkpoints the whole frontend; the default
+        # "chunked_conv" additionally exploits temporal locality: a VALID
+        # conv chain maps output token t to input window
+        # [t*stride_total, t*stride_total + receptive_field), so token
+        # blocks are computed independently, each rematted — live memory
+        # drops by the chunk factor in BOTH fwd and bwd, numerics
+        # unchanged (tested vs the monolithic conv).
         frontend_cls = ConvFeatureEncoder
         if c.remat in ("conv", "full"):
             frontend_cls = nn.remat(ConvFeatureEncoder)
-        x = frontend_cls(
+        frontend = frontend_cls(
             c, dtype=self.dtype, param_dtype=self.param_dtype,
             name="feature_extractor",
-        )(audio)
+        )
+        if c.remat == "chunked_conv":
+            x = self._chunked_frontend(frontend, audio)
+        else:
+            x = frontend(audio)
         x = nn.LayerNorm(
             epsilon=c.layer_norm_eps, dtype=self.dtype, param_dtype=self.param_dtype,
             name="feature_projection_norm",

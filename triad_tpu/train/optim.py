@@ -187,8 +187,11 @@ def scale_by_cycled_adam(b1_schedule, b2: float, eps: float):
     """
 
     def init(params):
-        zeros = jax.tree.map(jnp.zeros_like, params)
-        return CycledAdamState(jnp.zeros((), jnp.int32), zeros, zeros)
+        # mu and nu must be DISTINCT buffers (sharing one zeros tree
+        # breaks jit donation: the same buffer would be donated twice).
+        mu = jax.tree.map(jnp.zeros_like, params)
+        nu = jax.tree.map(jnp.zeros_like, params)
+        return CycledAdamState(jnp.zeros((), jnp.int32), mu, nu)
 
     def update(updates, state, params=None):
         del params

@@ -52,7 +52,12 @@ class TrainState(struct.PyTreeNode):
 def init_train_state(
     params: Any, bank: OptimizerBank, rng: jax.Array
 ) -> TrainState:
-    zeros = jax.tree.map(jnp.zeros_like, params)
+    # The grad accumulator (a params-sized buffer) only exists when
+    # gradient accumulation is on; with accum == 1 the step applies
+    # grads directly (saves ~1 GB HBM + a round of memory traffic at
+    # full size).
+    accum = bank.cfg.gradient_accumulation_steps
+    zeros = jax.tree.map(jnp.zeros_like, params) if accum > 1 else None
     return TrainState(
         params=params,
         opt=bank.init(params),
@@ -197,15 +202,13 @@ class StepFactory:
             )
             # loss / accum before backward (train.py:986); freeze-gating per
             # micro step (torch requires_grad semantics, train.py:934).
-            grads = jax.tree.map(lambda g: g / accum, grads)
+            if accum > 1:
+                grads = jax.tree.map(lambda g: g / accum, grads)
             grads = gate_grads(
                 grads, self.partition, self.optim_cfg, state.global_step
             )
-            acc = jax.tree.map(jnp.add, state.grad_accum, grads)
 
-            is_boundary = (state.global_step + 1) % accum == 0
-
-            def apply_update(_):
+            def do_update(acc):
                 clipped, norm_metrics = clip_grads(
                     acc, self.partition, self.optim_cfg
                 )
@@ -213,25 +216,38 @@ class StepFactory:
                     clipped, state.opt, state.params, state.global_step
                 )
                 new_params = jax.tree.map(jnp.add, state.params, updates)
-                zeros = jax.tree.map(jnp.zeros_like, acc)
-                return new_params, opt_state, zeros, {**norm_metrics, **lr_metrics}
+                return new_params, opt_state, {**norm_metrics, **lr_metrics}
 
-            def no_update(_):
-                zero_metrics = {
-                    **{
-                        f"grad_norm_{n}": jnp.zeros((), jnp.float32)
-                        for n in ("others", "audio", "text", "vit_lora", "vit")
-                    },
-                    **{
-                        f"lr_{g}": jnp.zeros((), jnp.float32)
-                        for g in ("others", "audio", "text", "vit_lora")
-                    },
-                }
-                return state.params, state.opt, acc, zero_metrics
+            if accum == 1:
+                # No accumulator buffer, no boundary cond: every micro
+                # step is an update step.
+                params, opt_state, upd_metrics = do_update(grads)
+                grad_accum = None
+            else:
+                acc = jax.tree.map(jnp.add, state.grad_accum, grads)
+                is_boundary = (state.global_step + 1) % accum == 0
 
-            params, opt_state, grad_accum, upd_metrics = jax.lax.cond(
-                is_boundary, apply_update, no_update, None
-            )
+                def apply_update(_):
+                    new_params, opt_state, m = do_update(acc)
+                    zeros = jax.tree.map(jnp.zeros_like, acc)
+                    return new_params, opt_state, zeros, m
+
+                def no_update(_):
+                    zero_metrics = {
+                        **{
+                            f"grad_norm_{n}": jnp.zeros((), jnp.float32)
+                            for n in ("others", "audio", "text", "vit_lora", "vit")
+                        },
+                        **{
+                            f"lr_{g}": jnp.zeros((), jnp.float32)
+                            for g in ("others", "audio", "text", "vit_lora")
+                        },
+                    }
+                    return state.params, state.opt, acc, zero_metrics
+
+                params, opt_state, grad_accum, upd_metrics = jax.lax.cond(
+                    is_boundary, apply_update, no_update, None
+                )
             metrics.update(upd_metrics)
             metrics["global_step"] = state.global_step
 

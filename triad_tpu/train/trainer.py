@@ -179,8 +179,11 @@ class Trainer:
             self.state = jax.device_put(
                 self.state, NamedSharding(self.mesh, P())
             )
+        # donate_argnums=0: the previous TrainState's buffers (params +
+        # Adam moments + accumulator, ~4 GB at full size) are reused for
+        # the new state instead of coexisting with it.
         self._steps = {
-            mode: jax.jit(self.factory.make_step(mode))
+            mode: jax.jit(self.factory.make_step(mode), donate_argnums=0)
             for mode in ("av", "tv", "joint")
         }
         self._eval_steps = {
@@ -497,6 +500,7 @@ class Trainer:
             a, am, v = embed_av_subset(
                 enc_av, self.val_av_dataset, indices,
                 self.config.data.audio_num_samples,
+                num_tokens_fn=self.config.model.hubert.num_audio_tokens,
             )
             out.update(av_retrieval_metrics(a, am, v, temp))
         if self.val_tv_dataset is not None:
