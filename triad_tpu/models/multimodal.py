@@ -36,6 +36,25 @@ from triad_tpu.models.vit import DinoViT
 from triad_tpu.ops.similarity import pairwise_similarity
 
 
+def _freeze_non_lora(variables):
+    """stop_gradient on every non-LoRA leaf of the ViT base.
+
+    The reference never optimizes the ViT base (train.py:296: no
+    optimizer for vit_params; requires_grad=False means torch never
+    computes their weight gradients either). stop_gradient makes XLA
+    drop those dW matmuls from the backward — pure win; LoRA factors
+    keep full gradients.
+    """
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(variables)
+    out = {
+        k: (v if "lora" in k[-1] else jax.lax.stop_gradient(v))
+        for k, v in flat.items()
+    }
+    return flax.traverse_util.unflatten_dict(out)
+
+
 class TriadModel(nn.Module):
     cfg: ModelConfig
 
@@ -43,7 +62,14 @@ class TriadModel(nn.Module):
         c = self.cfg
         dtype = jnp.dtype(c.compute_dtype)
         param_dtype = jnp.dtype(c.param_dtype)
-        self.visual_backbone = DinoViT(
+        frozen_vit_cls = nn.map_variables(
+            DinoViT, "params",
+            trans_in_fn=_freeze_non_lora,
+            trans_out_fn=lambda x: x,
+            init=True,
+            mutable=True,
+        )
+        self.visual_backbone = frozen_vit_cls(
             c.vit, use_lora=True, dtype=dtype, param_dtype=param_dtype,
             name="visual_backbone",
         )

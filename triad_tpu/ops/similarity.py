@@ -161,6 +161,7 @@ def _aggregate_chunked(
     chunk_size: int,
     compute_diag: bool = True,
     precision: str = "highest",
+    unroll: bool = False,
 ) -> AggregateOut:
     Bq, Nq, D = query.shape
     Bk, Nk = key.shape[0], key.shape[1]
@@ -187,13 +188,20 @@ def _aggregate_chunked(
         clamped = jnp.clip(ts, clamp_min, 0.0)
         return clip, jnp.sum(clamped * clamped)
 
-    def scan_body(carry, k_chunk):
-        # carry-free scan (stack + reduce) keeps the body's output types
-        # axis-varying-agnostic so the same code runs inside shard_map.
-        return carry, chunk_fn(k_chunk)
+    if unroll:
+        # Python-unrolled chunks: XLA schedules/overlaps freely (the
+        # scan's sequential while-loop constrains the backward).
+        results = [chunk_fn(k_chunks[i]) for i in range(num_chunks)]
+        clips = jnp.stack([r[0] for r in results])
+        nonneg_sq_sum = sum(r[1] for r in results)
+    else:
+        def scan_body(carry, k_chunk):
+            # carry-free scan (stack + reduce) keeps the body's output
+            # types axis-varying-agnostic for shard_map.
+            return carry, chunk_fn(k_chunk)
 
-    _, (clips, nns) = jax.lax.scan(scan_body, None, k_chunks)
-    nonneg_sq_sum = jnp.sum(nns)
+        _, (clips, nns) = jax.lax.scan(scan_body, None, k_chunks)
+        nonneg_sq_sum = jnp.sum(nns)
     # clips: (num_chunks, Bq, chunk) -> (Bq, Bk) with key order restored.
     clip_sims = jnp.transpose(clips, (1, 0, 2)).reshape(Bq, Bk)
     numel = jnp.asarray(Bq * Bk * Nq * Nk, jnp.float32)
@@ -220,6 +228,9 @@ def aggregate_crossbatch(
     compute_diag: bool = True,
     precision: str = "highest",
 ) -> AggregateOut:
+    unroll = False
+    if implementation == "chunked_unrolled":
+        implementation, unroll = "chunked", True
     """Cross-batch max-mean aggregation (reference model.py:370-392/490-514).
 
     query: (B, Nq, D) audio or text tokens (rows of clip_sims).
@@ -238,7 +249,7 @@ def aggregate_crossbatch(
     if implementation == "chunked":
         return _aggregate_chunked(
             query, key, temperature, clamp_min, query_mask, chunk_size,
-            compute_diag, precision,
+            compute_diag, precision, unroll,
         )
     if implementation == "pallas":
         from triad_tpu.ops.pallas_maxmean import aggregate_pallas
