@@ -12,7 +12,6 @@ mode for smoke runs.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 from typing import Any, Dict
 

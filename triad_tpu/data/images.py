@@ -19,7 +19,7 @@ exists only inside torch.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+
 
 import numpy as np
 

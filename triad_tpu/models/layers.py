@@ -8,7 +8,7 @@ policy (reference model.py:483-485, 603-605): parameters stay fp32
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ Quirks preserved on purpose (parity demands them — SURVEY §7.3 item 4):
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

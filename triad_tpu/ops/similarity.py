@@ -29,7 +29,6 @@ measure zero for continuous features; parity tests use distinct values.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax

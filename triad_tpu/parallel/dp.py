@@ -31,7 +31,7 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from triad_tpu.core.config import LossConfig
 from triad_tpu.ops.losses import (
@@ -39,7 +39,6 @@ from triad_tpu.ops.losses import (
     TVLossOut,
     patch_sparsity,
     temperature_calibration,
-    temporal_smoothness,
 )
 from triad_tpu.ops.similarity import aggregate_crossbatch, diag_token_sims
 

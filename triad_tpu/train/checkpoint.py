@@ -30,7 +30,6 @@ from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 

@@ -20,7 +20,7 @@ single fetch after the step.
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +32,6 @@ from triad_tpu.ops import av_loss, tv_loss
 from triad_tpu.train.optim import (
     BankState,
     OptimizerBank,
-    ParamPartition,
     clip_grads,
     gate_grads,
 )

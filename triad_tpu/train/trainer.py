@@ -17,9 +17,8 @@ best-model tracking (train.py:1129-1144).
 
 from __future__ import annotations
 
-import time
 from pathlib import Path
-from typing import Any, Dict, Iterator, Optional, Tuple
+from typing import Dict, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
