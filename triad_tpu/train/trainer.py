@@ -420,7 +420,11 @@ class Trainer:
     # Validation (train.py:710-832)
     # ------------------------------------------------------------------
 
-    def validate(self, phase: str, max_batches: int = 10) -> Optional[float]:
+    def validate(
+        self, phase: str, max_batches: Optional[int] = None
+    ) -> Optional[float]:
+        """Phase-aware validation over the val loaders (reference
+        train.py:710-832 iterates them fully; cap with max_batches)."""
         _, w_av, w_tv = self.phase_for_epoch(max(self.progress.epoch, 0))
         mode = self._mode(phase)
         eval_fn = self._eval_steps[mode]
@@ -447,7 +451,8 @@ class Trainer:
         if av_iter is None and tv_iter is None:
             return None
 
-        while count < max_batches:
+        limit = max_batches if max_batches is not None else 10**9
+        while count < limit:
             try:
                 av_b = self._device_av(next(av_iter)) if av_iter else None
                 tv_b = self._device_tv(next(tv_iter)) if tv_iter else None
