@@ -75,8 +75,8 @@ def _fwd_kernel(
     coeff_ref,  # VMEM (TQ, Nq)
     k_hbm,  # ANY (Bk, Nk, D)
     clip_ref,  # out VMEM (TQ, Bk)
-    nonneg_ref,  # out SMEM (1, 1)
-    tsq_ref,  # out SMEM (1, 1)
+    nonneg_ref,  # out SMEM (gi, 1), row per grid cell
+    tsq_ref,  # out SMEM (gi, 1)
     k_scratch,  # VMEM (2, Nk, D)
     sems,  # DMA (2,)
     *,
@@ -122,8 +122,9 @@ def _fwd_kernel(
         ),
     )
     clip_ref[:] = clip_acc
-    nonneg_ref[0, 0] = nn
-    tsq_ref[0, 0] = tsq
+    i = pl.program_id(0)
+    nonneg_ref[i, 0] = nn
+    tsq_ref[i, 0] = tsq
 
 
 def _forward(q, k, temperature, coeff, clamp_min, tq):
@@ -145,8 +146,10 @@ def _forward(q, k, temperature, coeff, clamp_min, tq):
         ],
         out_specs=[
             pl.BlockSpec((tq, bk), lambda i: (i, 0)),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            # full-array SMEM blocks (per-tile scalars land in row i);
+            # (1,1) blocks violate the TPU (8,128)-tiling rule.
+            pl.BlockSpec((gi, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((gi, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bq, bk), jnp.float32),
@@ -157,6 +160,9 @@ def _forward(q, k, temperature, coeff, clamp_min, tq):
             pltpu.VMEM((2, nk, d), q.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
     )(temp, q, coeff, k)
     return clip, jnp.sum(nonneg), jnp.sum(tsq)
 
@@ -322,6 +328,9 @@ def _backward(q, k, temperature, coeff, clamp_min, tq, g_clip, g_nonneg):
             pltpu.VMEM((2, nk, d), k.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
     )(scalars, q, coeff, g_clip, k)
 
     tko = _pick_tile(bk, 4)
@@ -347,6 +356,9 @@ def _backward(q, k, temperature, coeff, clamp_min, tq, g_clip, g_nonneg):
             pltpu.VMEM((2, tq, bk), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
     )(scalars, k, q, coeff, g_clip)
     return dq, dk
 
@@ -401,7 +413,9 @@ def maxmean_aggregate_pallas(
 
     query: (Bq, Nq, D); key: (Bk, Nk, D). Nq is padded to a 128 multiple
     internally (zero rows, zero coefficient); Nk and D must already be
-    128-multiples (visual tokens: 256 x 512).
+    128-multiples (visual tokens: 256 x 512). Tiles must keep the
+    sublane rule (tq a multiple of 8); the VMEM budget is raised past
+    Mosaic's conservative 16 MB default (v5e has 128 MB physical VMEM).
     """
     bq, nq, d = query.shape
     bk, nk = key.shape[0], key.shape[1]
