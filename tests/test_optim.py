@@ -201,3 +201,50 @@ class TestClipping:
             np.asarray(grads["visual_projection"]["projection1"]["kernel"]),
         )
         assert metrics["grad_norm_others"] > 0
+
+
+class TestMomentDtype:
+    def test_bf16_moments_halve_state_and_track_fp32(self):
+        """bf16 moment storage: state dtype is bf16, trajectory stays
+        close to the fp32 bank over a short horizon (storage-only knob)."""
+        params = tiny_params()
+        rng = np.random.default_rng(3)
+        grads_seq = [
+            jax.tree.map(
+                lambda x: jnp.asarray(
+                    rng.normal(size=x.shape).astype(np.float32) * 0.1
+                ),
+                params,
+            )
+            for _ in range(5)
+        ]
+
+        def run(cfg):
+            part = ParamPartition(params)
+            bank = OptimizerBank(cfg, part, total_updates=100)
+            state = bank.init(params)
+            p = params
+            for i, g in enumerate(grads_seq):
+                upd, state, _ = bank.update(
+                    g, state, p, jnp.asarray(i, jnp.int32)
+                )
+                p = jax.tree.map(jnp.add, p, upd)
+            return p, state
+
+        base = OptimConfig(unfreeze_audio_step=0, unfreeze_text_step=0)
+        lowp = OptimConfig(
+            unfreeze_audio_step=0, unfreeze_text_step=0,
+            mu_dtype="bfloat16", nu_dtype="bfloat16",
+        )
+        p32, _ = run(base)
+        p16, s16 = run(lowp)
+
+        mu_leaf = s16.adam["others"][0].mu[0]
+        nu_leaf = s16.adam["others"][0].nu[0]
+        assert mu_leaf.dtype == jnp.bfloat16
+        assert nu_leaf.dtype == jnp.bfloat16
+
+        diffs = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), p32, p16
+        )
+        assert max(jax.tree.leaves(diffs)) < 5e-4

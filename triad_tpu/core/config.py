@@ -245,6 +245,13 @@ class OptimConfig:
     cycle_momentum: bool = True
     base_momentum: float = 0.85
     max_momentum: float = 0.95
+    # Adam moment storage dtype (TPU memory knob, not a reference
+    # feature — the reference keeps fp32 moments). "bfloat16" halves
+    # optimizer state (~2 GB -> ~1 GB for the tri-modal model), buying
+    # HBM headroom for bigger per-chip batches / less XLA remat.
+    # Moment *updates* always compute in fp32 and round on store.
+    mu_dtype: str = "float32"
+    nu_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

@@ -282,19 +282,23 @@ def _dk_kernel(
         q = q_scratch[slot].reshape(tq * nq, d)
         coeff = coeff_scratch[slot]
         gclip = gclip_scratch[slot]  # (TQ, Bk)
+        contribs = []
         for jj in range(tko):  # static small loop over this cell's keys
             k = k_ref[jj]
             g_col = _col_of(gclip, j0 + jj, gclip.shape[1])
             dts = _dts_for_pair(
                 q, k, g_col, coeff, g_nonneg, temp, clamp_min, tq, nq, nk
             )
-            contrib = jax.lax.dot_general(
-                dts, q.astype(jnp.float32),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (Nk, D)
-            acc = acc.at[jj].add(contrib)
-        return acc
+            contribs.append(
+                jax.lax.dot_general(
+                    dts, q.astype(jnp.float32),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (Nk, D)
+            )
+        # stack instead of acc.at[jj].add — static-index scatter-add has
+        # no Mosaic lowering.
+        return acc + jnp.stack(contribs)
 
     acc = jax.lax.fori_loop(
         0, gi, body, jnp.zeros((tko, nk, d), jnp.float32)
@@ -333,6 +337,13 @@ def _backward(q, k, temperature, coeff, clamp_min, tq, g_clip, g_nonneg):
         ),
     )(scalars, q, coeff, g_clip, k)
 
+    # The dK pass streams g_clip rows via manual DMA; Mosaic requires the
+    # lane (last) dim of a DMA slice to be 128-aligned, so pad Bk -> 128x.
+    # Padded columns are never read (_col_of selects j0+jj < bk only).
+    bk_pad = _round_up(bk, 128)
+    g_clip_dk = (
+        jnp.pad(g_clip, ((0, 0), (0, bk_pad - bk))) if bk_pad != bk else g_clip
+    )
     tko = _pick_tile(bk, 4)
     gj = bk // tko
     dk = pl.pallas_call(
@@ -353,13 +364,13 @@ def _backward(q, k, temperature, coeff, clamp_min, tq, g_clip, g_nonneg):
         scratch_shapes=[
             pltpu.VMEM((2, tq, nq, d), q.dtype),
             pltpu.VMEM((2, tq, nq), jnp.float32),
-            pltpu.VMEM((2, tq, bk), jnp.float32),
+            pltpu.VMEM((2, tq, bk_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
-    )(scalars, k, q, coeff, g_clip)
+    )(scalars, k, q, coeff, g_clip_dk)
     return dq, dk
 
 

@@ -179,33 +179,57 @@ class CycledAdamState(NamedTuple):
     nu: Any
 
 
-def scale_by_cycled_adam(b1_schedule, b2: float, eps: float):
+def scale_by_cycled_adam(
+    b1_schedule,
+    b2: float,
+    eps: float,
+    mu_dtype: str = "float32",
+    nu_dtype: str = "float32",
+):
     """Adam moment scaling with a schedule-dependent beta1, matching
     torch Adam(W) driven by OneCycleLR momentum cycling: m_t uses the
     *current* beta1, and the bias correction is 1 - beta1_t ** t with the
     current beta (torch recomputes it from the live group beta each step).
+
+    mu_dtype / nu_dtype control moment *storage* (bf16 halves optimizer
+    HBM); the EMA update and the final m_hat / (sqrt(v_hat) + eps) always
+    compute in fp32.
     """
+    mu_dt = jnp.dtype(mu_dtype)
+    nu_dt = jnp.dtype(nu_dtype)
+    f32 = jnp.float32
 
     def init(params):
         # mu and nu must be DISTINCT buffers (sharing one zeros tree
         # breaks jit donation: the same buffer would be donated twice).
-        mu = jax.tree.map(jnp.zeros_like, params)
-        nu = jax.tree.map(jnp.zeros_like, params)
+        mu = jax.tree.map(lambda p: jnp.zeros(p.shape, mu_dt), params)
+        nu = jax.tree.map(lambda p: jnp.zeros(p.shape, nu_dt), params)
         return CycledAdamState(jnp.zeros((), jnp.int32), mu, nu)
 
     def update(updates, state, params=None):
         del params
         b1 = b1_schedule(state.count)
         count = state.count + 1
-        mu = jax.tree.map(lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, updates)
-        nu = jax.tree.map(
-            lambda v, g: b2 * v + (1.0 - b2) * (g * g), state.nu, updates
+        mu = jax.tree.map(
+            lambda m, g: (
+                b1 * m.astype(f32) + (1.0 - b1) * g.astype(f32)
+            ).astype(mu_dt),
+            state.mu, updates,
         )
-        c = count.astype(jnp.float32)
+        nu = jax.tree.map(
+            lambda v, g: (
+                b2 * v.astype(f32)
+                + (1.0 - b2) * (g.astype(f32) * g.astype(f32))
+            ).astype(nu_dt),
+            state.nu, updates,
+        )
+        c = count.astype(f32)
         bc1 = 1.0 - jnp.power(b1, c)
-        bc2 = 1.0 - jnp.power(jnp.asarray(b2, jnp.float32), c)
+        bc2 = 1.0 - jnp.power(jnp.asarray(b2, f32), c)
         out = jax.tree.map(
-            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu, nu
+            lambda m, v: (m.astype(f32) / bc1)
+            / (jnp.sqrt(v.astype(f32) / bc2) + eps),
+            mu, nu,
         )
         return out, CycledAdamState(count, mu, nu)
 
@@ -215,7 +239,10 @@ def scale_by_cycled_adam(b1_schedule, b2: float, eps: float):
 def cycled_adamw(cfg: OptimConfig, lr_schedule, momentum_schedule):
     """AdamW with OneCycle-cycled beta1 (torch-parity optimizer)."""
     return optax.chain(
-        scale_by_cycled_adam(momentum_schedule, cfg.b2, cfg.eps),
+        scale_by_cycled_adam(
+            momentum_schedule, cfg.b2, cfg.eps,
+            mu_dtype=cfg.mu_dtype, nu_dtype=cfg.nu_dtype,
+        ),
         optax.add_decayed_weights(cfg.weight_decay),
         optax.scale_by_schedule(lambda count: -lr_schedule(count)),
     )
@@ -374,6 +401,9 @@ class OptimizerBank:
                     b2=cfg.b2,
                     eps=cfg.eps,
                     weight_decay=cfg.weight_decay,
+                    # optax supports low-precision storage for mu only;
+                    # nu stays fp32 on this (non-default) path.
+                    mu_dtype=jnp.dtype(cfg.mu_dtype),
                 )
                 for g in GROUPS
             }
