@@ -288,6 +288,10 @@ class MeshConfig:
 
     data_axis: str = "data"
     num_devices: Optional[int] = None  # None => all visible devices
+    # ZeRO-1: shard Adam moments (+ grad accumulator) over the data axis
+    # instead of replicating them (parallel/zero.py). Bitwise-identical
+    # math; frees ~(1 - 1/N) of the moment HBM per chip.
+    zero1: bool = True
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,90 @@
+"""ZeRO-1 style optimizer-state sharding over the data axis.
+
+The reference keeps full fp32 Adam state on its single GPU (4 torch
+AdamW instances, train.py:272-287). At TPU scale the moments are pure
+memory ballast: every chip in a DP mesh holds an identical copy. This
+module shards the *storage* of the Adam moments (and the grad
+accumulator, when present) across the 'data' axis via sharding
+annotations, and lets GSPMD partition the update math:
+
+  * gradients are still globally reduced (the loss collectives and the
+    clip-norm scalars need full grads), exactly as before;
+  * each chip applies the Adam update only to its 1/N shard of the
+    moments and produces its 1/N shard of the parameter delta;
+  * `params + updates` all-gathers the deltas back into replicated
+    params (the encoders want replicated weights under pure DP).
+
+Numerics match the replicated computation up to collective reduction
+order (GSPMD may lower the grad reduction as reduce-scatter instead of
+all-reduce when the consumer is sharded) — validated on the 8-device
+CPU mesh in tests/test_parallel.py.
+
+Sharding rule per array: partition the largest dimension divisible by
+the mesh size; replicate anything too small or indivisible (biases,
+LayerNorm scales, scalars). At full size this frees ~(1 - 1/N) of
+~1.4 GB of moment state per chip (N=8: ~1.2 GB), buying HBM headroom
+for bigger per-chip batches / less XLA remat.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def shard_largest_dim(x, mesh: Mesh, axis: str) -> NamedSharding:
+    """NamedSharding partitioning x's largest mesh-divisible dim."""
+    n = int(np.prod([mesh.shape[a] for a in (axis,)]))
+    shape = getattr(x, "shape", ())
+    best = None
+    for d, s in enumerate(shape):
+        if s % n == 0 and s >= n:
+            if best is None or s > shape[best]:
+                best = d
+    if best is None:
+        return NamedSharding(mesh, P())
+    spec = [None] * len(shape)
+    spec[best] = axis
+    return NamedSharding(mesh, P(*spec))
+
+
+def zero1_state_shardings(state: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Sharding pytree for a TrainState: params replicated, optimizer
+    moments + grad accumulator sharded (ZeRO-1), scalars replicated."""
+    replicated = NamedSharding(mesh, P())
+
+    def moments(tree):
+        return jax.tree.map(lambda x: shard_largest_dim(x, mesh, axis), tree)
+
+    def spec_for_opt(opt_state):
+        # BankState(adam={group: optax state}, sched_counts={group: scalar}).
+        # Adam states hold count scalars + mu/nu trees; shard every
+        # non-scalar leaf, replicate scalars (counts).
+        return jax.tree.map(
+            lambda x: (
+                shard_largest_dim(x, mesh, axis)
+                if getattr(x, "ndim", 0) >= 1
+                else replicated
+            ),
+            opt_state,
+        )
+
+    return state.replace(
+        params=jax.tree.map(lambda _: replicated, state.params),
+        opt=spec_for_opt(state.opt),
+        grad_accum=(
+            moments(state.grad_accum)
+            if state.grad_accum is not None
+            else None
+        ),
+        global_step=replicated,
+        rng=replicated,
+    )
+
+
+def apply_zero1(state: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Place a TrainState with ZeRO-1 shardings on ``mesh``."""
+    return jax.device_put(state, zero1_state_shardings(state, mesh, axis))

@@ -175,9 +175,16 @@ class Trainer:
             params, self.bank, jax.random.key(tc.seed + 1)
         )
         if self.mesh is not None:
-            self.state = jax.device_put(
-                self.state, NamedSharding(self.mesh, P())
-            )
+            if config.mesh.zero1:
+                from triad_tpu.parallel.zero import apply_zero1
+
+                self.state = apply_zero1(
+                    self.state, self.mesh, config.mesh.data_axis
+                )
+            else:
+                self.state = jax.device_put(
+                    self.state, NamedSharding(self.mesh, P())
+                )
         # donate_argnums=0: the previous TrainState's buffers (params +
         # Adam moments + accumulator, ~4 GB at full size) are reused for
         # the new state instead of coexisting with it.
