@@ -21,6 +21,7 @@ oracle).
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import random
@@ -54,27 +55,66 @@ def select_subset_indices(
 # ---------------------------------------------------------------------------
 
 
-def _block_scores(
-    q_block: jax.Array,  # (b, Nq, D) padded query tokens
-    q_mask: jax.Array,  # (b, Nq)
-    k_all: jax.Array,  # (N, Nk, D) padded candidate tokens
+@functools.partial(jax.jit, static_argnames=("qb", "kb", "precision"))
+def _score_all(
+    q_tokens: jax.Array,  # (N, Nq, D) padded query tokens
+    q_mask: jax.Array,  # (N, Nq)
+    k_tokens: jax.Array,  # (N, Nk, D) padded candidate tokens
     k_mask: jax.Array,  # (N, Nk)
     inv_temp: jax.Array,
+    qb: int,
+    kb: int,
+    precision: str,
 ) -> jax.Array:
-    """Aggregated scores (b, N): max over candidate tokens (masked),
-    mean over query tokens (masked) of token_sims / temperature."""
-    sims = jnp.einsum(
-        "bqd,nkd->bnqk", q_block, k_all,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ) * inv_temp
-    neg_inf = jnp.finfo(jnp.float32).min
-    sims = jnp.where(k_mask[None, :, None, :] > 0, sims, neg_inf)
-    max_over_k = jnp.max(sims, axis=3)  # (b, N, Nq)
-    qm = q_mask[:, None, :]
-    summed = jnp.sum(max_over_k * qm, axis=2)
-    counts = jnp.maximum(jnp.sum(qm, axis=2), 1.0)
-    return summed / counts
+    """Full (N, N) aggregated scores in ONE device program.
+
+    Two-level blocking: lax.map over query blocks x lax.scan over key
+    blocks; each tile is a (qb*Nq, D) x (D, kb*Nk) MXU matmul with a
+    running masked max-mean — the token-sim volume never exceeds one
+    (qb, Nq, kb, Nk) tile (~tens of MB), vs ~16 GB for a naive
+    (block, N, Nq, Nk) einsum at the reference's 1000-way scale.
+    """
+    n, nq, d = q_tokens.shape
+    nk = k_tokens.shape[1]
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
+    neg = jnp.finfo(jnp.float32).min
+    k_blocks = k_tokens.reshape(n // kb, kb, nk, d)
+    km_blocks = k_mask.reshape(n // kb, kb, nk)
+
+    def q_block(args):
+        q, qm = args  # (qb, Nq, D), (qb, Nq)
+        q2 = q.reshape(qb * nq, d)
+        counts = jnp.maximum(jnp.sum(qm, axis=1), 1.0)  # (qb,)
+
+        def k_step(_, kargs):
+            k, km = kargs  # (kb, Nk, D), (kb, Nk)
+            sims = jax.lax.dot_general(
+                q2, k.reshape(kb * nk, d),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            ) * inv_temp  # (qb*Nq, kb*Nk)
+            sims = sims.reshape(qb, nq, kb, nk)
+            sims = jnp.where(km[None, None, :, :] > 0, sims, neg)
+            mx = jnp.max(sims, axis=3)  # (qb, Nq, kb)
+            mean = jnp.sum(mx * qm[:, :, None], axis=1) / counts[:, None]
+            return 0, mean  # (qb, kb)
+
+        _, tiles = jax.lax.scan(k_step, 0, (k_blocks, km_blocks))
+        return jnp.transpose(tiles, (1, 0, 2)).reshape(qb, n)
+
+    rows = jax.lax.map(
+        q_block,
+        (
+            q_tokens.reshape(n // qb, qb, nq, d),
+            q_mask.reshape(n // qb, qb, nq),
+        ),
+    )
+    return rows.reshape(n, n)
 
 
 def score_matrix(
@@ -83,21 +123,35 @@ def score_matrix(
     k_tokens: np.ndarray,
     k_mask: np.ndarray,
     temperature: float,
-    block: int = 32,
+    block: int = 8,
+    key_block: int = 16,
+    precision: str = "highest",
 ) -> np.ndarray:
-    """Full (N, N) aggregated similarity matrix, queries in blocks."""
+    """Full (N, N) aggregated similarity matrix (one jitted program).
+
+    N is padded up to a block multiple with fully-masked items: padded
+    *candidates* score finfo.min against everything (ranked last);
+    padded *query* rows are sliced off before returning.
+    """
     N = q_tokens.shape[0]
-    inv_temp = jnp.float32(1.0 / temperature)
-    k_all = jnp.asarray(k_tokens)
-    k_m = jnp.asarray(k_mask)
-    fn = jax.jit(_block_scores)
-    rows = []
-    for lo in range(0, N, block):
-        hi = min(lo + block, N)
-        qb = jnp.asarray(q_tokens[lo:hi])
-        qm = jnp.asarray(q_mask[lo:hi])
-        rows.append(np.asarray(fn(qb, qm, k_all, k_m, inv_temp)))
-    return np.concatenate(rows, axis=0)
+    lcm = block * key_block // np.gcd(block, key_block)
+    n_pad = int(np.ceil(N / lcm)) * lcm
+    if n_pad != N:
+        pad = n_pad - N
+
+        def padded(x):
+            w = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            return np.pad(x, w)
+
+        q_tokens, q_mask = padded(q_tokens), padded(q_mask)
+        k_tokens, k_mask = padded(k_tokens), padded(k_mask)
+    out = _score_all(
+        jnp.asarray(q_tokens), jnp.asarray(q_mask),
+        jnp.asarray(k_tokens), jnp.asarray(k_mask),
+        jnp.float32(1.0 / temperature),
+        qb=block, kb=key_block, precision=precision,
+    )
+    return np.asarray(out)[:N, :N]
 
 
 def compute_recall_at_k(sim_matrix: np.ndarray) -> Dict[str, float]:
