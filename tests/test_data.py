@@ -196,3 +196,33 @@ class TestUniqueVideoSampler:
         )
         batches = list(loader.epoch(0))
         assert len(batches) == 1  # only 4 unique videos fit one batch
+
+
+class TestWorkerPool:
+    def test_process_pool_matches_thread_pool(self):
+        """Spawned decode workers produce the same (deterministic,
+        augmentation-off) batches as the in-process thread pool."""
+        import numpy as np
+
+        from triad_tpu.data.datasets import SyntheticAVDataset
+        from triad_tpu.data.pipeline import AVLoader
+
+        def make(mode):
+            ds = SyntheticAVDataset(
+                size=6, image_size=28, audio_seconds=0.05, seed=3
+            )
+            return AVLoader(
+                ds, batch_size=2, audio_num_samples=800, augment=False,
+                num_workers=2, worker_mode=mode, seed=5,
+            )
+
+        b_thread = list(make("thread").epoch(0))
+        loader = make("process")
+        try:
+            b_proc = list(loader.epoch(0))
+        finally:
+            loader.pool.close()
+        assert len(b_thread) == len(b_proc) == 3
+        for bt, bp in zip(b_thread, b_proc):
+            np.testing.assert_array_equal(bt["images"], bp["images"])
+            np.testing.assert_array_equal(bt["audio"], bp["audio"])

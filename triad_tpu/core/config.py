@@ -201,6 +201,10 @@ class DataConfig:
     batch_size_av: int = 22  # train.py:1157
     batch_size_tv: int = 22  # train.py:1158
     num_workers: int = 4
+    # "thread" (in-process pool) or "process" (spawned decode workers;
+    # true CPU parallelism for python-heavy decode — the analog of the
+    # reference's 10 DataLoader worker processes, train.py:161).
+    worker_mode: str = "thread"
     prefetch: int = 2
     # Paths (None => synthetic data)
     audio_visual_data_root: Optional[str] = None

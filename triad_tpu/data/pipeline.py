@@ -18,13 +18,13 @@ from __future__ import annotations
 
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable, Dict, Iterator, List, Optional
 
 import numpy as np
 
 from triad_tpu.data.audio import pad_or_trim
 from triad_tpu.data.tokenizer import WordPieceTokenizer
+from triad_tpu.data.workers import WorkerPool
 
 
 class _IndexSampler:
@@ -96,11 +96,15 @@ class AVLoader:
         augment: bool = True,
         drop_last: bool = True,
         unique_video_ids=None,
+        worker_mode: str = "thread",
     ):
         """``unique_video_ids``: optional per-sample source-video ids;
         when given, batches are drawn with the UniqueVideoSampler (no
         same-video false negatives — the reference's VideoBatchSampler
-        intent, dataset.py:137-164)."""
+        intent, dataset.py:137-164).
+
+        ``worker_mode``: "thread" (in-process) or "process" (spawned
+        decode workers — true CPU parallelism, data/workers.py)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.audio_num_samples = audio_num_samples
@@ -110,16 +114,13 @@ class AVLoader:
         self.augment = augment
         self.drop_last = drop_last
         self.unique_video_ids = unique_video_ids
+        self.pool = WorkerPool(dataset, num_workers, worker_mode)
 
     def __len__(self) -> int:
         n = len(self.dataset) // self.batch_size
         if not self.drop_last and len(self.dataset) % self.batch_size:
             n += 1
         return n
-
-    def _load(self, idx: int) -> Dict[str, np.ndarray]:
-        item = self.dataset.__getitem__(int(idx), apply_augmentation=self.augment)
-        return item
 
     def epoch(self, epoch: int, start_batch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         if self.unique_video_ids is not None:
@@ -131,19 +132,18 @@ class AVLoader:
                 len(self.dataset), self.batch_size, self.shuffle, self.seed,
                 epoch, self.drop_last,
             )
-        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            for b in range(start_batch, sampler.num_batches):
-                idx = sampler.batch_indices(b)
-                items = list(pool.map(self._load, idx))
-                images = np.stack([it["video_frames"] for it in items])
-                audio = np.stack(
-                    [pad_or_trim(it["audio"], self.audio_num_samples) for it in items]
-                )
-                yield {
-                    "images": images.astype(np.float32),
-                    "audio": audio,
-                    "video_paths": [it["video_path"] for it in items],
-                }
+        for b in range(start_batch, sampler.num_batches):
+            idx = sampler.batch_indices(b)
+            items = self.pool.map(idx, self.augment)
+            images = np.stack([it["video_frames"] for it in items])
+            audio = np.stack(
+                [pad_or_trim(it["audio"], self.audio_num_samples) for it in items]
+            )
+            yield {
+                "images": images.astype(np.float32),
+                "audio": audio,
+                "video_paths": [it["video_path"] for it in items],
+            }
 
     def __iter__(self):
         return self.epoch(0)
@@ -164,9 +164,11 @@ class TVLoader:
         num_workers: int = 4,
         augment: bool = True,
         drop_last: bool = True,
+        worker_mode: str = "thread",
     ):
         self.dataset = dataset
         self.tokenizer = tokenizer
+        self.pool = WorkerPool(dataset, num_workers, worker_mode)
         self.batch_size = batch_size
         self.max_text_tokens = max_text_tokens
         self.shuffle = shuffle
@@ -181,30 +183,26 @@ class TVLoader:
             n += 1
         return n
 
-    def _load(self, idx: int):
-        return self.dataset.__getitem__(int(idx), apply_augmentation=self.augment)
-
     def epoch(self, epoch: int, start_batch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         sampler = _IndexSampler(
             len(self.dataset), self.batch_size, self.shuffle, self.seed, epoch,
             self.drop_last,
         )
-        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            for b in range(start_batch, sampler.num_batches):
-                idx = sampler.batch_indices(b)
-                items = list(pool.map(self._load, idx))
-                images = np.stack([img for img, _ in items])
-                captions = [cap for _, cap in items]
-                ids, mask = self.tokenizer.encode_batch(
-                    captions, max_length=self.max_text_tokens,
-                    pad_to=self.max_text_tokens,
-                )
-                yield {
-                    "images": images.astype(np.float32),
-                    "token_ids": ids,
-                    "text_mask": mask.astype(np.float32),
-                    "captions": captions,
-                }
+        for b in range(start_batch, sampler.num_batches):
+            idx = sampler.batch_indices(b)
+            items = self.pool.map(idx, self.augment)
+            images = np.stack([img for img, _ in items])
+            captions = [cap for _, cap in items]
+            ids, mask = self.tokenizer.encode_batch(
+                captions, max_length=self.max_text_tokens,
+                pad_to=self.max_text_tokens,
+            )
+            yield {
+                "images": images.astype(np.float32),
+                "token_ids": ids,
+                "text_mask": mask.astype(np.float32),
+                "captions": captions,
+            }
 
     def __iter__(self):
         return self.epoch(0)

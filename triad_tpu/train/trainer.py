@@ -129,11 +129,12 @@ class Trainer:
         self.av_loader = AVLoader(
             self.av_dataset, dc.batch_size_av, dc.audio_num_samples,
             seed=tc.seed, num_workers=dc.num_workers,
+            worker_mode=dc.worker_mode,
         )
         self.tv_loader = TVLoader(
             self.tv_dataset, self.tokenizer, dc.batch_size_tv,
             max_text_tokens=dc.max_text_tokens, seed=tc.seed,
-            num_workers=dc.num_workers,
+            num_workers=dc.num_workers, worker_mode=dc.worker_mode,
         )
 
         # -- mesh (DP scale-out; opt-in via mesh.num_devices) ----------
