@@ -8,11 +8,11 @@ plus both max-mean InfoNCE losses on ONE chip at the per-chip batch
 (512/8 = 64) and reports clips/sec/chip. vs_baseline is the ratio to the
 625 target.
 
-At these shapes the step is FLOP-bound: ~180 GFLOP/clip across the
-three encoders + aggregation = ~73 ms theoretical at the chip's
-sustained 158 bf16 TFLOP/s; the measured ~80 ms is ~90% of that —
-near-roofline (verified by a B in {64, 96, 128} sweep, all ~790
-clips/s/chip).
+Every encoder input is perturbed by the scan carry — an earlier
+version perturbed only images, which let XLA hoist the loop-invariant
+audio/text encoders out of the timing scan and overstated throughput
+~2.3x. Current honest cost at B=64: ~175 ms/step (visual ~49 ms,
+audio ~124 ms, text ~8 ms, losses ~10 ms).
 
 Prints exactly one JSON line.
 """
@@ -66,9 +66,15 @@ def main() -> None:
     # body) and a single scalar readback ends the clock.
     def chained(params, images, audio, token_ids, text_mask, iters):
         def body(carry, _):
-            loss = fwd_loss(
-                params, images + carry * 1e-12, audio, token_ids, text_mask
-            )
+            # EVERY model input must depend on the carry, or XLA hoists
+            # that encoder out of the scan and the bench under-counts
+            # (perturbing only images once measured visual+loss alone).
+            imgs = images + carry * 1e-12
+            aud = audio + carry * 1e-12
+            # token_ids are ints: route through a data-dependent select
+            # (carry is never > 1e30, but XLA cannot prove that).
+            toks = jnp.where(carry > 1e30, token_ids + 1, token_ids)
+            loss = fwd_loss(params, imgs, aud, toks, text_mask)
             return loss, None
 
         total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
