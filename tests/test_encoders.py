@@ -257,3 +257,34 @@ class TestFastVariants:
         np.testing.assert_allclose(
             np.asarray(bf, np.float32), np.asarray(f32), atol=0.05
         )
+
+
+class TestFlashAttention:
+    def test_flash_matches_xla_with_padding_and_mask(self):
+        """flash_dot_product_attention (interpret mode on CPU) ==
+        masked XLA softmax attention for non-128-multiple lengths."""
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental.pallas import tpu as pltpu
+
+        from triad_tpu.models.layers import (
+            dot_product_attention,
+            flash_dot_product_attention,
+        )
+
+        B, N, H, D = 2, 37, 2, 64
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32) * 0.3)
+        k = jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32) * 0.3)
+        v = jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32) * 0.3)
+        key_mask = jnp.asarray(
+            (np.arange(N)[None, :] < np.array([[30], [37]])).astype(bool)
+        )[:, None, None, :]
+
+        ref = dot_product_attention(q, k, v, key_mask, jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            out = flash_dot_product_attention(q, k, v, key_mask, jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
+        )

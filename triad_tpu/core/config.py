@@ -47,6 +47,10 @@ class ViTConfig:
     lora_alpha: float = 16.0
     # "float32" = torch-parity softmax; "bfloat16" = fast TPU softmax.
     attention_scores_dtype: str = "float32"
+    # "xla" = materialized softmax attention; "flash" = fused pallas
+    # kernel (no probs in HBM; bf16/fp32-accum numerics; falls back to
+    # XLA while attention dropout is active — models/layers.py).
+    attention_impl: str = "xla"
 
     @property
     def num_patches(self) -> int:
@@ -84,6 +88,10 @@ class HubertConfig:
     normalize_waveform: bool = True
     # "float32" = torch-parity softmax; "bfloat16" = fast TPU softmax.
     attention_scores_dtype: str = "float32"
+    # "xla" = materialized softmax attention; "flash" = fused pallas
+    # kernel (no probs in HBM; bf16/fp32-accum numerics; falls back to
+    # XLA while attention dropout is active — models/layers.py).
+    attention_impl: str = "xla"
     # "conv" = XLA conv lowering; "matmul" = im2col reshape + MXU matmul
     # for the waveform frontend (identical numerics; measured slower
     # end-to-end on v5e — XLA's conv path wins, keep "conv").
@@ -126,6 +134,10 @@ class DistilBertConfig:
     layer_norm_eps: float = 1e-12
     # "float32" = torch-parity softmax; "bfloat16" = fast TPU softmax.
     attention_scores_dtype: str = "float32"
+    # "xla" = materialized softmax attention; "flash" = fused pallas
+    # kernel (no probs in HBM; bf16/fp32-accum numerics; falls back to
+    # XLA while attention dropout is active — models/layers.py).
+    attention_impl: str = "xla"
     # Training dropouts (HF DistilBertConfig defaults).
     dropout: float = 0.1
     attention_dropout: float = 0.1

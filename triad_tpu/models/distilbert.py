@@ -55,6 +55,7 @@ class DistilBertAttention(nn.Module):
             q, k, v, mask, self.dtype,
             scores_dtype=jnp.dtype(c.attention_scores_dtype),
             probs_dropout=probs_dropout,
+            impl=c.attention_impl,
         )
         out = out.reshape(*x.shape[:2], c.hidden_size)
         return dense("out_lin")(out)

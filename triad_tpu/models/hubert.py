@@ -231,6 +231,7 @@ class HubertSelfAttention(nn.Module):
             q, k, v, None, self.dtype,
             scores_dtype=jnp.dtype(c.attention_scores_dtype),
             probs_dropout=probs_dropout,
+            impl=c.attention_impl,
         )
         return dense("out_proj")(out.reshape(*x.shape[:2], c.hidden_size))
 

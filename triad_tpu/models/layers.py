@@ -12,9 +12,77 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 Dtype = Any
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def flash_dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array],
+    dtype: Dtype,
+) -> jax.Array:
+    """Fused (pallas) attention: no (B, H, Nq, Nk) probs in HBM.
+
+    q, k, v: (B, N, H, Dh) — same layout as dot_product_attention.
+    mask: optional (B, 1, 1, Nk) boolean key mask (True = attend),
+    converted to flash segment ids. N is padded to a 128 multiple with
+    masked tokens, so outputs for real tokens are EXACTLY the masked
+    softmax (numerics at bf16/fp32-accum, like scores_dtype=bfloat16).
+
+    Block sizes: full-sequence blocks measured fastest at the model's
+    shapes on v5e (HuBERT 499->512, ViT 261->384; block sweep in round-1
+    notes); attention here is d_head=64-contraction-bound on the MXU, so
+    the win over XLA is the removed probs traffic, ~1.3-1.9 ms/layer.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    b, n, h, d = q.shape
+    n_pad = _round_up(n, 128)
+    sm_scale = float(1.0 / np.sqrt(d))
+
+    def to_bhnd(x):
+        x = jnp.transpose(x, (0, 2, 1, 3))
+        if n_pad != n:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+        return x.astype(dtype)
+
+    qp, kp, vp = to_bhnd(q), to_bhnd(k), to_bhnd(v)
+    seg = None
+    if n_pad != n or mask is not None:
+        if mask is not None:
+            kv_seg = mask.reshape(b, n).astype(jnp.int32)
+        else:
+            kv_seg = jnp.ones((b, n), jnp.int32)
+        kv_seg = jnp.pad(kv_seg, ((0, 0), (0, n_pad - n)))
+        # Queries are all "segment 1": they attend to unmasked keys only.
+        q_seg = jnp.pad(
+            jnp.ones((b, n), jnp.int32), ((0, 0), (0, n_pad - n))
+        )
+        seg = SegmentIds(q_seg, kv_seg)
+
+    block = min(512, n_pad)
+    bs = BlockSizes(
+        block_q=block, block_k_major=block, block_k=block, block_b=1,
+        block_q_major_dkv=block, block_k_major_dkv=block,
+        block_k_dkv=block, block_q_dkv=block,
+        block_k_major_dq=block, block_k_dq=block, block_q_dq=block,
+    )
+    out = flash_attention(
+        qp, kp, vp, segment_ids=seg, sm_scale=sm_scale, block_sizes=bs
+    )
+    return jnp.transpose(out[:, :, :n], (0, 2, 1, 3))
 
 
 def dot_product_attention(
@@ -25,6 +93,7 @@ def dot_product_attention(
     dtype: Dtype,
     scores_dtype: Dtype = jnp.float32,
     probs_dropout=None,
+    impl: str = "xla",
 ) -> jax.Array:
     """Standard softmax attention.
 
@@ -36,7 +105,14 @@ def dot_product_attention(
     scores_dtype bfloat16: scores stay bf16 with a max-subtracted exp —
     ~20% faster on TPU (halves the score-matrix HBM traffic), output
     differs at bf16 rounding (production knob, off for parity).
+
+    impl "flash": fused pallas kernel (flash_dot_product_attention);
+    falls back to XLA when probs_dropout is active (the fused kernel has
+    no in-kernel dropout) — i.e. flash serves eval always and training
+    whenever attention_dropout == 0.
     """
+    if impl == "flash" and probs_dropout is None:
+        return flash_dot_product_attention(q, k, v, mask, dtype)
     depth = q.shape[-1]
     scale = jnp.asarray(1.0 / jnp.sqrt(depth), dtype)
     if jnp.dtype(scores_dtype) == jnp.float32:

@@ -74,6 +74,7 @@ class ViTAttention(nn.Module):
         out = dot_product_attention(
             q, k, v, None, self.dtype,
             scores_dtype=jnp.dtype(c.attention_scores_dtype),
+            impl=c.attention_impl,
         )
         out = out.reshape(B, N, D)
         return LoRADense(
