@@ -223,20 +223,23 @@ class TestHubertParity:
 
 class TestFastVariants:
     def test_matmul_frontend_equals_conv(self):
-        """frontend_impl='matmul' (im2col + MXU matmul) is numerically
-        identical to the XLA conv path, sharing the same param layout."""
+        """frontend_impl='matmul' (im2col + MXU matmul) and
+        'block_matmul' (contiguous-slice block matmuls) are numerically
+        equivalent to the XLA conv path, sharing the same param layout."""
         import dataclasses
         cfg = HubertConfig(**SMALL_HUBERT)
         conv_model = HubertModel(cfg)
-        mm_model = HubertModel(dataclasses.replace(cfg, frontend_impl="matmul"))
         rng = np.random.default_rng(7)
         audio = jnp.asarray(rng.normal(size=(2, 2000)).astype(np.float32))
         params = conv_model.init(jax.random.key(0), audio)["params"]
         out_conv = conv_model.apply({"params": params}, audio)
-        out_mm = mm_model.apply({"params": params}, audio)
-        np.testing.assert_allclose(
-            np.asarray(out_mm), np.asarray(out_conv), rtol=1e-4, atol=1e-5
-        )
+        for impl in ("matmul", "block_matmul"):
+            alt = HubertModel(dataclasses.replace(cfg, frontend_impl=impl))
+            out_alt = alt.apply({"params": params}, audio)
+            np.testing.assert_allclose(
+                np.asarray(out_alt), np.asarray(out_conv), rtol=1e-4,
+                atol=1e-5, err_msg=impl,
+            )
 
     def test_bf16_scores_attention_close_to_f32(self):
         from triad_tpu.models.layers import dot_product_attention

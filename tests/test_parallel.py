@@ -194,3 +194,42 @@ class TestZero1:
         for x in big:
             assert not x.sharding.is_fully_replicated
         del shardings
+
+
+class TestMultiSlice:
+    def test_multislice_av_loss_matches_single_device(self):
+        """(2 x 4) replica/data mesh: distributed AV loss over the tuple
+        axis equals the single-device loss on the concatenated batch."""
+        import numpy as np
+
+        from triad_tpu.parallel.dp import (
+            distributed_av_loss,
+            make_multislice_mesh,
+        )
+
+        mesh = make_multislice_mesh(2, 4)
+        B, Na, Nv, D = 8, 6, 5, 16
+        rng = np.random.default_rng(2)
+        a = jnp.asarray(rng.normal(size=(B, Na, D)).astype(np.float32) * 0.3)
+        v = jnp.asarray(rng.normal(size=(B, Nv, D)).astype(np.float32) * 0.3)
+        temp = jnp.float32(1.5)
+        cfg = LossConfig(implementation="dense")
+
+        ref = av_loss(a, v, temp, cfg)
+        sharded = NamedSharding(mesh, P(("replica", "data")))
+        out = jax.jit(
+            lambda a, v: distributed_av_loss(
+                a, v, temp, cfg, mesh, axis=("replica", "data")
+            )
+        )(jax.device_put(a, sharded), jax.device_put(v, sharded))
+        np.testing.assert_allclose(
+            float(out.total), float(ref.total), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(out.contrastive), float(ref.contrastive), rtol=1e-5
+        )
+        for k in ref.stats:
+            np.testing.assert_allclose(
+                float(out.stats[k]), float(ref.stats[k]), rtol=1e-4,
+                err_msg=k,
+            )

@@ -304,6 +304,13 @@ class MeshConfig:
 
     data_axis: str = "data"
     num_devices: Optional[int] = None  # None => all visible devices
+    # Multi-slice scale-out: with num_slices > 1 the mesh is 2-D
+    # (num_slices, num_devices/num_slices); ``replica_axis`` spans pod
+    # slices (DCN), ``data_axis`` the chips within a slice (ICI). The
+    # batch shards over BOTH axes and in-batch negatives gather
+    # globally (parallel/dp.py multi-axis collectives).
+    num_slices: int = 1
+    replica_axis: str = "replica"
     # ZeRO-1: shard Adam moments (+ grad accumulator) over the data axis
     # instead of replicating them (parallel/zero.py). Bitwise-identical
     # math; frees ~(1 - 1/N) of the moment HBM per chip.

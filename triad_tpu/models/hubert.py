@@ -89,6 +89,62 @@ class _ConvAsMatmul(nn.Module):
         return y
 
 
+class _ConvAsBlockMatmul(nn.Module):
+    """nn.Conv-compatible params, evaluated as ceil(k/s) contiguous-slice
+    MXU matmuls — the fast VALID-conv lowering on TPU.
+
+    Every window starts on a stride boundary, so reshaping the input to
+    stride-sized blocks (B, nb, s*cin) makes window t = blocks
+    [t, t + ceil(k/s)): y[t] = sum_i xb[t + i] @ V_i, where V_i holds
+    kernel taps [i*s, min(k, (i+1)*s)) at their in-block positions and
+    zeros elsewhere. Each matmul has contraction s*cin and contiguous
+    operands — no strided slices (the im2col variant's weakness) and no
+    (B, T, k*cin) blowup. XLA's own conv lowering measured 59 ms for
+    conv_0 (21 GFLOP, in_channels=1) and 91 ms for conv_1 at B=64/10 s;
+    this form is MXU-bound. FLOP overhead from the zero rows is
+    ceil(k/s)*s/k (1.0 for k=10/s=5; 4/3 for k=3/s=2; 1.0 for k=2/s=2).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    use_bias: bool
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, t, cin = x.shape
+        k, s = self.kernel_size, self.stride
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, cin, self.features),
+            self.param_dtype,
+        )
+        m = -(-k // s)  # ceil(k/s) block-matmuls
+        t_out = (t - k) // s + 1
+        nb = t_out + m - 1
+        if nb * s > t:
+            x = jnp.pad(x, ((0, 0), (0, nb * s - t), (0, 0)))
+        xb = x[:, : nb * s].reshape(b, nb, s * cin)
+        kf = kernel.astype(self.dtype)
+        y = None
+        for i in range(m):
+            taps = kf[i * s : min(k, (i + 1) * s)]  # (<=s, cin, cout)
+            if taps.shape[0] < s:
+                taps = jnp.pad(taps, ((0, s - taps.shape[0]), (0, 0), (0, 0)))
+            v = taps.reshape(s * cin, self.features)
+            part = jnp.dot(xb[:, i : i + t_out], v)
+            y = part if y is None else y + part
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class _ChannelNorm(nn.Module):
     """Per-channel affine normalization with externally supplied
     statistics. Param layout identical to nn.GroupNorm (scale, bias), so
@@ -133,7 +189,14 @@ class ConvFeatureEncoder(nn.Module):
         c = self.cfg
         convs = []
         for i, (dim, k, s) in enumerate(zip(c.conv_dim, c.conv_kernel, c.conv_stride)):
-            if c.frontend_impl == "matmul":
+            if c.frontend_impl == "block_matmul":
+                convs.append(
+                    _ConvAsBlockMatmul(
+                        dim, k, s, use_bias=c.conv_bias, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name=f"conv_{i}",
+                    )
+                )
+            elif c.frontend_impl == "matmul":
                 convs.append(
                     _ConvAsMatmul(
                         dim, k, s, use_bias=c.conv_bias, dtype=self.dtype,

@@ -27,11 +27,19 @@ global batch (tested on an 8-device CPU mesh).
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional, Sequence, Tuple, Union
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
+
+# A collective axis: one mesh axis name, or a tuple of them (multi-slice
+# meshes — e.g. ("replica", "data") where 'replica' rides DCN between
+# pod slices and 'data' rides ICI inside a slice; collectives over the
+# tuple span the full global batch, replica-major, matching
+# lax.axis_index's flattened order).
+Axis = Union[str, Tuple[str, ...]]
 
 from triad_tpu.core.config import LossConfig
 from triad_tpu.ops.losses import (
@@ -50,13 +58,30 @@ def make_mesh(num_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(devices, (axis,))
 
 
+def make_multislice_mesh(
+    num_slices: int,
+    devices_per_slice: Optional[int] = None,
+    axes: Sequence[str] = ("replica", "data"),
+) -> Mesh:
+    """2-D (num_slices, devices_per_slice) mesh: axes[0] spans slices
+    (DCN on multi-slice hardware), axes[1] the chips within a slice
+    (ICI). On real multi-slice TPU, jax.devices() orders devices
+    slice-major, so this reshape maps axes[0] onto DCN."""
+    devices = jax.devices()
+    if devices_per_slice is None:
+        devices_per_slice = len(devices) // num_slices
+    n = num_slices * devices_per_slice
+    grid = np.array(devices[:n]).reshape(num_slices, devices_per_slice)
+    return Mesh(grid, tuple(axes))
+
+
 # ---------------------------------------------------------------------------
 # Distributed pieces (run inside shard_map; axis_name = the data axis)
 # ---------------------------------------------------------------------------
 
 
 def _distributed_symmetric_infonce(
-    clip_block: jax.Array, axis: str
+    clip_block: jax.Array, axis: Axis
 ) -> Tuple[jax.Array, jax.Array]:
     """Symmetric CE over the full global matrix from per-chip row blocks.
 
@@ -93,7 +118,7 @@ def _distributed_symmetric_infonce(
 
 
 def _distributed_stats(
-    clip_block: jax.Array, diag_vals: jax.Array, axis: str, prefix: str
+    clip_block: jax.Array, diag_vals: jax.Array, axis: Axis, prefix: str
 ) -> Dict[str, jax.Array]:
     """pos/neg mean/std (Bessel), separation, hardest negative — global,
     matching ops.losses.similarity_stats on the full matrix. Stats are
@@ -136,7 +161,7 @@ def _av_loss_shard(
     visual: jax.Array,
     temperature: jax.Array,
     cfg: LossConfig,
-    axis: str,
+    axis: Axis,
 ) -> AVLossOut:
     """Per-chip AV loss body. audio/visual: LOCAL (B_l, N, D) shards."""
     B_l, Na, _ = audio.shape
@@ -182,7 +207,7 @@ def _tv_loss_shard(
     text_mask: jax.Array,
     temperature: jax.Array,
     cfg: LossConfig,
-    axis: str,
+    axis: Axis,
 ) -> TVLossOut:
     B_l, Nt, _ = text.shape
     Nv = visual.shape[1]
@@ -226,10 +251,12 @@ def distributed_av_loss(
     temperature: jax.Array,
     cfg: LossConfig,
     mesh: Mesh,
-    axis: str = "data",
+    axis: Axis = "data",
 ) -> AVLossOut:
     """Global AV loss over batch-sharded features. Inputs are sharded
-    (B, ...) arrays on ``mesh``; all outputs replicated scalars."""
+    (B, ...) arrays on ``mesh``; all outputs replicated scalars. With a
+    tuple ``axis`` (multi-slice mesh) the batch dim is sharded over all
+    of its axes and negatives gather across slices too."""
     fn = partial(_av_loss_shard, cfg=cfg, axis=axis)
     return jax.shard_map(
         fn,
@@ -241,6 +268,9 @@ def distributed_av_loss(
                 "av_neg_sim_std", "av_separation", "av_hardest_negative",
             )
         }),
+        # Tuple-axis all_gather outputs defeat static replication
+        # inference; the math replicates them (tested vs single device).
+        check_vma=not isinstance(axis, tuple),
     )(audio_feats, visual_feats, temperature)
 
 
@@ -251,7 +281,7 @@ def distributed_tv_loss(
     temperature: jax.Array,
     cfg: LossConfig,
     mesh: Mesh,
-    axis: str = "data",
+    axis: Axis = "data",
 ) -> TVLossOut:
     fn = partial(_tv_loss_shard, cfg=cfg, axis=axis)
     return jax.shard_map(
@@ -264,4 +294,5 @@ def distributed_tv_loss(
                 "tv_neg_sim_std", "tv_separation", "tv_hardest_negative",
             )
         }),
+        check_vma=not isinstance(axis, tuple),
     )(text_feats, visual_feats, text_mask, temperature)

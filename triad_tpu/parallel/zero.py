@@ -35,9 +35,11 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def shard_largest_dim(x, mesh: Mesh, axis: str) -> NamedSharding:
-    """NamedSharding partitioning x's largest mesh-divisible dim."""
-    n = int(np.prod([mesh.shape[a] for a in (axis,)]))
+def shard_largest_dim(x, mesh: Mesh, axis) -> NamedSharding:
+    """NamedSharding partitioning x's largest mesh-divisible dim.
+    ``axis``: a mesh axis name or tuple of names (multi-slice)."""
+    names = (axis,) if isinstance(axis, str) else tuple(axis)
+    n = int(np.prod([mesh.shape[a] for a in names]))
     shape = getattr(x, "shape", ())
     best = None
     for d, s in enumerate(shape):
@@ -51,7 +53,7 @@ def shard_largest_dim(x, mesh: Mesh, axis: str) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
-def zero1_state_shardings(state: Any, mesh: Mesh, axis: str = "data") -> Any:
+def zero1_state_shardings(state: Any, mesh: Mesh, axis="data") -> Any:
     """Sharding pytree for a TrainState: params replicated, optimizer
     moments + grad accumulator sharded (ZeRO-1), scalars replicated."""
     replicated = NamedSharding(mesh, P())
@@ -85,6 +87,6 @@ def zero1_state_shardings(state: Any, mesh: Mesh, axis: str = "data") -> Any:
     )
 
 
-def apply_zero1(state: Any, mesh: Mesh, axis: str = "data") -> Any:
+def apply_zero1(state: Any, mesh: Mesh, axis="data") -> Any:
     """Place a TrainState with ZeRO-1 shardings on ``mesh``."""
     return jax.device_put(state, zero1_state_shardings(state, mesh, axis))

@@ -76,17 +76,21 @@ class StepFactory:
         optim_cfg: OptimConfig,
         bank: OptimizerBank,
         mesh=None,
+        mesh_axis="data",
     ):
         """``mesh``: optional jax.sharding.Mesh with a 'data' axis. When
         set, the losses use the distributed all-gathered-negatives path
-        (triad_tpu.parallel.dp) — batches must be sharded along 'data'
-        and params replicated; gradients flow through the collectives."""
+        (triad_tpu.parallel.dp) — batches must be sharded along
+        ``mesh_axis`` (a name or a tuple of names for multi-slice
+        meshes) and params replicated; gradients flow through the
+        collectives."""
         self.model = TriadModel(model_cfg)
         self.loss_cfg = loss_cfg
         self.optim_cfg = optim_cfg
         self.bank = bank
         self.partition = bank.partition
         self.mesh = mesh
+        self.mesh_axis = mesh_axis
 
     # -- loss -----------------------------------------------------------
 
@@ -124,7 +128,7 @@ class StepFactory:
 
                 av = distributed_av_loss(
                     feats["audio"], feats["visual"], temp, self.loss_cfg,
-                    self.mesh,
+                    self.mesh, axis=self.mesh_axis,
                 )
             else:
                 av = av_loss(
@@ -154,7 +158,7 @@ class StepFactory:
 
                 tv = distributed_tv_loss(
                     feats["text"], feats["visual"], tv_batch["text_mask"],
-                    temp, self.loss_cfg, self.mesh,
+                    temp, self.loss_cfg, self.mesh, axis=self.mesh_axis,
                 )
             else:
                 tv = tv_loss(

@@ -139,10 +139,22 @@ class Trainer:
 
         # -- mesh (DP scale-out; opt-in via mesh.num_devices) ----------
         n_dev = config.mesh.num_devices or 1
+        self.mesh_axis = config.mesh.data_axis
         if n_dev > 1:
             from triad_tpu.parallel import make_mesh
+            from triad_tpu.parallel.dp import make_multislice_mesh
 
-            self.mesh = make_mesh(n_dev, axis=config.mesh.data_axis)
+            if config.mesh.num_slices > 1:
+                self.mesh = make_multislice_mesh(
+                    config.mesh.num_slices,
+                    n_dev // config.mesh.num_slices,
+                    axes=(config.mesh.replica_axis, config.mesh.data_axis),
+                )
+                self.mesh_axis = (
+                    config.mesh.replica_axis, config.mesh.data_axis
+                )
+            else:
+                self.mesh = make_mesh(n_dev, axis=config.mesh.data_axis)
             for name, bs in (
                 ("batch_size_av", dc.batch_size_av),
                 ("batch_size_tv", dc.batch_size_tv),
@@ -152,7 +164,8 @@ class Trainer:
                         f"{name}={bs} not divisible by {n_dev} devices"
                     )
             self.metrics.info(
-                f"Data-parallel over {n_dev} devices (all-gathered negatives)"
+                f"Data-parallel over {n_dev} devices (all-gathered negatives"
+                + (f", {config.mesh.num_slices} slices)" if config.mesh.num_slices > 1 else ")")
             )
         else:
             self.mesh = None
@@ -170,7 +183,8 @@ class Trainer:
         ) // tc.optim.gradient_accumulation_steps
         self.bank = OptimizerBank(tc.optim, self.partition, self.total_updates)
         self.factory = StepFactory(
-            config.model, config.loss, tc.optim, self.bank, mesh=self.mesh
+            config.model, config.loss, tc.optim, self.bank, mesh=self.mesh,
+            mesh_axis=self.mesh_axis,
         )
         self.state: TrainState = init_train_state(
             params, self.bank, jax.random.key(tc.seed + 1)
@@ -180,7 +194,7 @@ class Trainer:
                 from triad_tpu.parallel.zero import apply_zero1
 
                 self.state = apply_zero1(
-                    self.state, self.mesh, config.mesh.data_axis
+                    self.state, self.mesh, self.mesh_axis
                 )
             else:
                 self.state = jax.device_put(
@@ -375,7 +389,7 @@ class Trainer:
         if self.mesh is not None:
             return jax.device_put(
                 jnp.asarray(arr),
-                NamedSharding(self.mesh, P(self.config.mesh.data_axis)),
+                NamedSharding(self.mesh, P(self.mesh_axis)),
             )
         return jnp.asarray(arr)
 
