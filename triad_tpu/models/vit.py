@@ -69,8 +69,14 @@ class ViTAttention(nn.Module):
             use_bias=c.qkv_bias, dtype=self.dtype, param_dtype=self.param_dtype,
             name="qkv",
         )(x)
-        qkv = qkv.reshape(B, N, 3, c.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        # Split along the LAST dim (768-element, lane-aligned slices):
+        # reshaping to (B, N, 3, H, Dh) and slicing axis 2 makes XLA
+        # materialize two full layout copies of the qkv tensor (~7 ms at
+        # B=64 in the fwd profile); last-dim slices are free.
+        h = c.hidden_size
+        q = qkv[..., 0 * h : 1 * h].reshape(B, N, c.num_heads, head_dim)
+        k = qkv[..., 1 * h : 2 * h].reshape(B, N, c.num_heads, head_dim)
+        v = qkv[..., 2 * h : 3 * h].reshape(B, N, c.num_heads, head_dim)
         out = dot_product_attention(
             q, k, v, None, self.dtype,
             scores_dtype=jnp.dtype(c.attention_scores_dtype),
