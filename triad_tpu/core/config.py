@@ -88,10 +88,13 @@ class HubertConfig:
     normalize_waveform: bool = True
     # "float32" = torch-parity softmax; "bfloat16" = fast TPU softmax.
     attention_scores_dtype: str = "float32"
-    # "xla" = materialized softmax attention; "flash" = fused pallas
-    # kernel (no probs in HBM; bf16/fp32-accum numerics; falls back to
-    # XLA while attention dropout is active — models/layers.py).
-    attention_impl: str = "xla"
+    # "auto" (default): fused pallas attention+dropout kernel
+    # (ops/pallas_attention.py) when training with attention dropout on
+    # a TPU backend — 2.3x faster than the XLA path there (the
+    # (B, H, T, T) probs/mask HBM traffic disappears) — and XLA
+    # everywhere else (eval, CPU, p=0, where XLA measured faster).
+    # "xla" / "fused" / "flash" force one implementation.
+    attention_impl: str = "auto"
     # "conv" = XLA conv lowering; "matmul" = im2col reshape + MXU matmul
     # for the waveform frontend (identical numerics; measured slower
     # end-to-end on v5e — XLA's conv path wins, keep "conv").

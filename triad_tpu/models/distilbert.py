@@ -19,7 +19,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from triad_tpu.core.config import DistilBertConfig
-from triad_tpu.models.layers import Mlp, dot_product_attention
+from triad_tpu.models.layers import (
+    Mlp,
+    dot_product_attention,
+    fused_dot_product_attention,
+)
 
 Dtype = Any
 
@@ -47,16 +51,24 @@ class DistilBertAttention(nn.Module):
             # (B, Nk) -> (B, 1, 1, Nk); True = attend.
             mask = attn_mask.astype(bool)[:, None, None, :]
         # HF DistilBERT drops attention weights (attention_dropout).
-        probs_dropout = None
-        if c.attention_dropout > 0:
-            drop = nn.Dropout(c.attention_dropout, name="attn_dropout")
-            probs_dropout = lambda p: drop(p, deterministic=deterministic)
-        out = dot_product_attention(
-            q, k, v, mask, self.dtype,
-            scores_dtype=jnp.dtype(c.attention_scores_dtype),
-            probs_dropout=probs_dropout,
-            impl=c.attention_impl,
-        )
+        if c.attention_impl == "fused":
+            rate = 0.0 if deterministic else c.attention_dropout
+            rng = self.make_rng("dropout") if rate > 0 else None
+            out = fused_dot_product_attention(
+                q, k, v, mask, self.dtype,
+                dropout_rate=rate, dropout_rng=rng,
+            )
+        else:
+            probs_dropout = None
+            if c.attention_dropout > 0:
+                drop = nn.Dropout(c.attention_dropout, name="attn_dropout")
+                probs_dropout = lambda p: drop(p, deterministic=deterministic)
+            out = dot_product_attention(
+                q, k, v, mask, self.dtype,
+                scores_dtype=jnp.dtype(c.attention_scores_dtype),
+                probs_dropout=probs_dropout,
+                impl=c.attention_impl,
+            )
         out = out.reshape(*x.shape[:2], c.hidden_size)
         return dense("out_lin")(out)
 

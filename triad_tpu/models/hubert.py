@@ -26,7 +26,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from triad_tpu.core.config import HubertConfig
-from triad_tpu.models.layers import dot_product_attention
+from triad_tpu.models.layers import (
+    dot_product_attention,
+    fused_dot_product_attention,
+)
 
 Dtype = Any
 
@@ -286,16 +289,32 @@ class HubertSelfAttention(nn.Module):
         q = dense("q_proj")(x).reshape(*x.shape[:2], c.num_heads, head_dim)
         k = dense("k_proj")(x).reshape(*x.shape[:2], c.num_heads, head_dim)
         v = dense("v_proj")(x).reshape(*x.shape[:2], c.num_heads, head_dim)
-        probs_dropout = None
-        if c.attention_dropout > 0:
-            drop = nn.Dropout(c.attention_dropout, name="attn_dropout")
-            probs_dropout = lambda p: drop(p, deterministic=deterministic)
-        out = dot_product_attention(
-            q, k, v, None, self.dtype,
-            scores_dtype=jnp.dtype(c.attention_scores_dtype),
-            probs_dropout=probs_dropout,
-            impl=c.attention_impl,
-        )
+        impl = c.attention_impl
+        rate = 0.0 if deterministic else c.attention_dropout
+        if impl == "auto":
+            # fused wins exactly where the XLA path pays for HBM
+            # dropout-mask traffic: training with attention dropout on a
+            # TPU backend (measured 6.2 vs 14.0 ms/layer fwd+bwd at
+            # B=64; at p=0 XLA is faster). CPU (tests) stays on XLA.
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+            impl = "fused" if (rate > 0.0 and on_tpu) else "xla"
+        if impl == "fused":
+            rng = self.make_rng("dropout") if rate > 0 else None
+            out = fused_dot_product_attention(
+                q, k, v, None, self.dtype,
+                dropout_rate=rate, dropout_rng=rng,
+            )
+        else:
+            probs_dropout = None
+            if c.attention_dropout > 0:
+                drop = nn.Dropout(c.attention_dropout, name="attn_dropout")
+                probs_dropout = lambda p: drop(p, deterministic=deterministic)
+            out = dot_product_attention(
+                q, k, v, None, self.dtype,
+                scores_dtype=jnp.dtype(c.attention_scores_dtype),
+                probs_dropout=probs_dropout,
+                impl=c.attention_impl,
+            )
         return dense("out_proj")(out.reshape(*x.shape[:2], c.hidden_size))
 
 

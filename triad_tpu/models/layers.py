@@ -85,6 +85,58 @@ def flash_dot_product_attention(
     return jnp.transpose(out[:, :, :n], (0, 2, 1, 3))
 
 
+def fused_dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array],
+    dtype: Dtype,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Adapter for ops.pallas_attention.fused_attention: (B, N, H, Dh)
+    layout, pads N to a 128 multiple (padded keys masked; padded query
+    rows sliced off), derives an int32 seed from the dropout rng.
+
+    This is the training-path kernel: fp32 scores + softmax + Bernoulli
+    keep + 1/(1-p) scaling stay semantically identical to the XLA path,
+    but the (B, H, N, N) probs/mask tensors never reach HBM (the
+    training profile's single largest cost at ~210 ms/step, B=64)."""
+    from triad_tpu.ops.pallas_attention import fused_attention
+
+    b, n, h, d = q.shape
+    n_pad = _round_up(n, 128)
+    sm_scale = float(1.0 / np.sqrt(d))
+
+    def to_bhnd(x):
+        x = jnp.transpose(x, (0, 2, 1, 3))
+        if n_pad != n:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+        return x.astype(dtype)
+
+    if mask is not None:
+        key_mask = mask.reshape(b, n).astype(jnp.float32)
+    else:
+        key_mask = jnp.ones((b, n), jnp.float32)
+    if n_pad != n:
+        key_mask = jnp.pad(key_mask, ((0, 0), (0, n_pad - n)))
+
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        seed = jax.random.randint(
+            dropout_rng, (), minval=0, maxval=jnp.iinfo(jnp.int32).max,
+            dtype=jnp.int32,
+        )
+    else:
+        seed = jnp.zeros((), jnp.int32)
+        dropout_rate = 0.0
+
+    out = fused_attention(
+        to_bhnd(q), to_bhnd(k), to_bhnd(v), key_mask, seed,
+        float(dropout_rate), sm_scale,
+    )
+    return jnp.transpose(out[:, :, :n], (0, 2, 1, 3))
+
+
 def dot_product_attention(
     q: jax.Array,
     k: jax.Array,

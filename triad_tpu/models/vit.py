@@ -32,7 +32,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from triad_tpu.core.config import ViTConfig
-from triad_tpu.models.layers import LoRADense, Mlp, dot_product_attention
+from triad_tpu.models.layers import (
+    LoRADense,
+    Mlp,
+    dot_product_attention,
+    fused_dot_product_attention,
+)
 
 Dtype = Any
 
@@ -77,11 +82,15 @@ class ViTAttention(nn.Module):
         q = qkv[..., 0 * h : 1 * h].reshape(B, N, c.num_heads, head_dim)
         k = qkv[..., 1 * h : 2 * h].reshape(B, N, c.num_heads, head_dim)
         v = qkv[..., 2 * h : 3 * h].reshape(B, N, c.num_heads, head_dim)
-        out = dot_product_attention(
-            q, k, v, None, self.dtype,
-            scores_dtype=jnp.dtype(c.attention_scores_dtype),
-            impl=c.attention_impl,
-        )
+        if c.attention_impl == "fused":
+            # DINOv2 has no attention dropout; fused kernel without RNG.
+            out = fused_dot_product_attention(q, k, v, None, self.dtype)
+        else:
+            out = dot_product_attention(
+                q, k, v, None, self.dtype,
+                scores_dtype=jnp.dtype(c.attention_scores_dtype),
+                impl=c.attention_impl,
+            )
         out = out.reshape(B, N, D)
         return LoRADense(
             c.hidden_size, rank=rank, alpha=c.lora_alpha,

@@ -1,0 +1,224 @@
+"""Fused Pallas TPU attention with in-kernel dropout.
+
+Why this exists: the training-step profile (B=64, 10 s audio) showed
+HuBERT's attention-probs pipeline at ~210 ms/step — fp32 scores,
+softmax, an HBM-materialized (B, H, T, T) dropout mask, and their
+backward/remat traffic (the reference trains with HF's
+attention_dropout=0.1 active, so eval-only flash kernels don't apply).
+This kernel keeps the whole (T, T) tile pipeline in VMEM:
+
+  forward : S = (Q·s)·Kᵀ (fp32 accum) → key-mask → softmax → dropout
+            mask drawn from the per-core PRNG (pltpu.prng_random_bits)
+            → P·V, one batch element per grid step, heads looped
+            in-kernel (amortizes the per-instance overhead that makes
+            per-(b,h) grids slow at these shapes).
+  backward: custom VJP, flash-style recompute — S and P are rebuilt and
+            the SAME dropout bits are replayed (same seed, same
+            per-head generation order), so nothing probs-sized ever
+            lives in HBM:
+              dD = dO·Vᵀ ; dP = dD∘keep/(1-p) ; D = P∘keep/(1-p)
+              dV = Dᵀ·dO ; dS = P∘(dP − rowsum(dP∘P)) ; dQ = dS·K·s ;
+              dK = dSᵀ·Q·s.
+
+Semantics match the XLA path in models/layers.py (fp32 scores + softmax,
+Bernoulli(1-p) keep, 1/(1-p) scaling); the dropout mask itself comes
+from the TPU core PRNG instead of jax.random — same distribution,
+different stream (dropout is noise, not a checkpointable contract).
+
+Intended for T up to ~1024 (full-T tiles in VMEM: T=512 uses ~4 MB of
+fp32 scratch per head). The model's sequences are HuBERT 499→512 and
+ViT 261→384 after 128-padding; padded keys are masked, padded query
+rows are sliced off by the caller (models/layers.py adapter).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _keep_mask(shape, p_drop: float):
+    """Bernoulli(1-p) keep mask from the seeded per-core PRNG."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # keep <=> bits >= p * 2^32 (uint32 compare; P(bits < t) = t / 2^32)
+    threshold = np.uint32(min(int(p_drop * (1 << 32)), (1 << 32) - 1))
+    return bits >= threshold
+
+
+def _softmax_f32(s):
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _fwd_kernel(
+    seed_ref,  # SMEM (1, 1) int32
+    q_ref, k_ref, v_ref,  # VMEM (1, H, T, D)
+    mask_ref,  # VMEM (1, 1, T) f32 (key mask, 1 = attend)
+    o_ref,  # out VMEM (1, H, T, D)
+    *, h: int, p_drop: float, sm_scale: float,
+):
+    if p_drop > 0.0:
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+    neg = jnp.float32(-1e30)
+    key_bias = (1.0 - mask_ref[0, 0]) * neg  # (T,)
+    for hh in range(h):
+        q = q_ref[0, hh]  # (T, D)
+        k = k_ref[0, hh]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        p = _softmax_f32(s + key_bias[None, :])
+        if p_drop > 0.0:
+            keep = _keep_mask(p.shape, p_drop)
+            p = jnp.where(keep, p * (1.0 / (1.0 - p_drop)), 0.0)
+        o = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, hh],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, hh] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel(
+    seed_ref,
+    q_ref, k_ref, v_ref, mask_ref, do_ref,
+    dq_ref, dk_ref, dv_ref,  # out VMEM (1, H, T, D)
+    *, h: int, p_drop: float, sm_scale: float,
+):
+    if p_drop > 0.0:
+        # Same seed and same per-head generation order as the forward —
+        # the replayed bits are identical.
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+    neg = jnp.float32(-1e30)
+    key_bias = (1.0 - mask_ref[0, 0]) * neg
+    inv_keep = 1.0 / (1.0 - p_drop) if p_drop > 0.0 else 1.0
+    for hh in range(h):
+        q = q_ref[0, hh]
+        k = k_ref[0, hh]
+        v = v_ref[0, hh]
+        do = do_ref[0, hh].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        p = _softmax_f32(s + key_bias[None, :])
+        dmat = jax.lax.dot_general(  # dD = dO · Vᵀ
+            do, v.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if p_drop > 0.0:
+            keep = _keep_mask(p.shape, p_drop)
+            d = jnp.where(keep, p * inv_keep, 0.0)  # dropped probs
+            dp = jnp.where(keep, dmat * inv_keep, 0.0)
+        else:
+            d = p
+            dp = dmat
+        dv_ref[0, hh] = jax.lax.dot_general(  # Dᵀ · dO
+            d, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype)
+        di = jnp.sum(dp * p, axis=1, keepdims=True)
+        ds = p * (dp - di)  # (T, T) f32
+        dq_ref[0, hh] = (
+            jax.lax.dot_general(
+                ds, k.astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale
+        ).astype(dq_ref.dtype)
+        dk_ref[0, hh] = (
+            jax.lax.dot_general(
+                ds, q.astype(jnp.float32),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale
+        ).astype(dk_ref.dtype)
+
+
+def _specs(b, h, t, d):
+    blk = pl.BlockSpec((1, h, t, d), lambda i: (i, 0, 0, 0))
+    return blk
+
+
+def _fwd(q, k, v, mask, seed, p_drop, sm_scale):
+    b, h, t, d = q.shape
+    blk = _specs(b, h, t, d)
+    # (B, 1, T) mask: trailing block dims equal the array dims (the TPU
+    # (8, 128) block-shape rule rejects a (1, T) block of a (B, T) array).
+    mask_blk = pl.BlockSpec((1, 1, t), lambda i: (i, 0, 0))
+    mask = mask.reshape(b, 1, t)
+    seed2d = seed.astype(jnp.int32).reshape(1, 1)
+    return pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, h=h, p_drop=p_drop, sm_scale=sm_scale
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            blk, blk, blk, mask_blk,
+        ],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(seed2d, q, k, v, mask)
+
+
+def _bwd(q, k, v, mask, seed, p_drop, sm_scale, do):
+    b, h, t, d = q.shape
+    blk = _specs(b, h, t, d)
+    mask_blk = pl.BlockSpec((1, 1, t), lambda i: (i, 0, 0))
+    mask = mask.reshape(b, 1, t)
+    seed2d = seed.astype(jnp.int32).reshape(1, 1)
+    out_shape = jax.ShapeDtypeStruct((b, h, t, d), q.dtype)
+    return pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, h=h, p_drop=p_drop, sm_scale=sm_scale
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            blk, blk, blk, mask_blk, blk,
+        ],
+        out_specs=[blk, blk, blk],
+        out_shape=[out_shape, out_shape, out_shape],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(seed2d, q, k, v, mask, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_attention(q, k, v, mask, seed, p_drop: float, sm_scale: float):
+    """O = dropout(softmax(mask(Q·Kᵀ·s)))·V, fully fused.
+
+    q, k, v: (B, H, T, D); mask: (B, T) key mask (1 = attend);
+    seed: int32 scalar (ignored when p_drop == 0). T must be a multiple
+    of 128 (pad + mask — see models/layers.py adapter); D should be a
+    multiple of 64 (the model's head dim).
+    """
+    return _fwd(q, k, v, mask, seed, p_drop, sm_scale)
+
+
+def _fused_fwd(q, k, v, mask, seed, p_drop, sm_scale):
+    o = _fwd(q, k, v, mask, seed, p_drop, sm_scale)
+    return o, (q, k, v, mask, seed)
+
+
+def _fused_bwd(p_drop, sm_scale, res, do):
+    q, k, v, mask, seed = res
+    dq, dk, dv = _bwd(q, k, v, mask, seed, p_drop, sm_scale, do)
+    return dq, dk, dv, None, None
+
+
+fused_attention.defvjp(_fused_fwd, _fused_bwd)
