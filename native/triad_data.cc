@@ -148,4 +148,131 @@ void resize_normalize_u8(const uint8_t* in, int32_t h, int32_t w,
   }
 }
 
+// ---------------------------------------------------------------------------
+// WAV demux + decode (the framework-owned audio ingest path; the
+// reference leans on torchaudio/libavcodec for this, dataset.py:83-85).
+// RIFF/WAVE with PCM 16/24/32-bit and IEEE float32, including
+// WAVE_FORMAT_EXTENSIBLE. Returns mono float32 in [-1, 1] (channel 0,
+// matching the reference's channel selection, dataset.py:86).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct WavFmt {
+  uint16_t format = 0;       // 1 = PCM, 3 = IEEE float, 0xFFFE = extensible
+  uint16_t channels = 0;
+  uint32_t sample_rate = 0;
+  uint16_t bits = 0;
+};
+
+inline uint32_t rd_u32(const uint8_t* p) {
+  return static_cast<uint32_t>(p[0]) | (static_cast<uint32_t>(p[1]) << 8) |
+         (static_cast<uint32_t>(p[2]) << 16) |
+         (static_cast<uint32_t>(p[3]) << 24);
+}
+inline uint16_t rd_u16(const uint8_t* p) {
+  return static_cast<uint16_t>(p[0]) | (static_cast<uint16_t>(p[1]) << 8);
+}
+
+// Finds fmt + data chunks. Returns 0 on success.
+int parse_wav(const uint8_t* data, int64_t n, WavFmt* fmt,
+              const uint8_t** pcm, int64_t* pcm_bytes) {
+  if (n < 12 || std::memcmp(data, "RIFF", 4) != 0 ||
+      std::memcmp(data + 8, "WAVE", 4) != 0)
+    return -1;
+  int64_t off = 12;
+  bool have_fmt = false;
+  *pcm = nullptr;
+  while (off + 8 <= n) {
+    const uint8_t* hdr = data + off;
+    const uint32_t size = rd_u32(hdr + 4);
+    const uint8_t* body = hdr + 8;
+    if (off + 8 + size > n && std::memcmp(hdr, "data", 4) != 0) return -2;
+    if (std::memcmp(hdr, "fmt ", 4) == 0) {
+      if (size < 16) return -3;
+      fmt->format = rd_u16(body);
+      fmt->channels = rd_u16(body + 2);
+      fmt->sample_rate = rd_u32(body + 4);
+      fmt->bits = rd_u16(body + 14);
+      if (fmt->format == 0xFFFE && size >= 40) {
+        // extensible: the real format lives in the GUID's first bytes
+        fmt->format = rd_u16(body + 24);
+      }
+      have_fmt = true;
+    } else if (std::memcmp(hdr, "data", 4) == 0) {
+      *pcm = body;
+      // tolerate truncated final chunk (stream rips)
+      *pcm_bytes = std::min<int64_t>(size, n - (off + 8));
+    }
+    off += 8 + size + (size & 1);  // chunks are word-aligned
+  }
+  if (!have_fmt || *pcm == nullptr) return -4;
+  if (fmt->channels == 0 || fmt->sample_rate == 0) return -5;
+  const bool pcm_ok =
+      fmt->format == 1 && (fmt->bits == 16 || fmt->bits == 24 || fmt->bits == 32);
+  const bool f32_ok = fmt->format == 3 && fmt->bits == 32;
+  return (pcm_ok || f32_ok) ? 0 : -6;
+}
+
+}  // namespace
+
+// Returns 0 and fills (sample_rate, channels, n_frames) on success;
+// negative error code otherwise.
+int32_t wav_info(const uint8_t* data, int64_t n_bytes, int32_t* sample_rate,
+                 int32_t* channels, int64_t* n_frames) {
+  WavFmt fmt;
+  const uint8_t* pcm;
+  int64_t pcm_bytes;
+  const int rc = parse_wav(data, n_bytes, &fmt, &pcm, &pcm_bytes);
+  if (rc != 0) return rc;
+  const int64_t frame_bytes =
+      static_cast<int64_t>(fmt.channels) * (fmt.bits / 8);
+  *sample_rate = static_cast<int32_t>(fmt.sample_rate);
+  *channels = fmt.channels;
+  *n_frames = pcm_bytes / frame_bytes;
+  return 0;
+}
+
+// Decodes up to max_frames of one channel as float32 in [-1, 1].
+// Returns frames written, or a negative error code.
+int64_t wav_decode_channel(const uint8_t* data, int64_t n_bytes, float* out,
+                           int64_t max_frames, int32_t channel) {
+  WavFmt fmt;
+  const uint8_t* pcm;
+  int64_t pcm_bytes;
+  const int rc = parse_wav(data, n_bytes, &fmt, &pcm, &pcm_bytes);
+  if (rc != 0) return rc;
+  if (channel < 0 || channel >= fmt.channels) return -7;
+  const int bytes_per = fmt.bits / 8;
+  const int64_t frame_bytes = static_cast<int64_t>(fmt.channels) * bytes_per;
+  const int64_t frames = std::min(pcm_bytes / frame_bytes, max_frames);
+  const uint8_t* p = pcm + channel * bytes_per;
+  if (fmt.format == 3) {  // float32
+    for (int64_t i = 0; i < frames; ++i, p += frame_bytes) {
+      float v;
+      std::memcpy(&v, p, 4);
+      out[i] = v;
+    }
+  } else if (fmt.bits == 16) {
+    for (int64_t i = 0; i < frames; ++i, p += frame_bytes) {
+      const int16_t v = static_cast<int16_t>(rd_u16(p));
+      out[i] = static_cast<float>(v) * (1.0f / 32768.0f);
+    }
+  } else if (fmt.bits == 24) {
+    for (int64_t i = 0; i < frames; ++i, p += frame_bytes) {
+      int32_t v = (static_cast<int32_t>(p[0]) << 8) |
+                  (static_cast<int32_t>(p[1]) << 16) |
+                  (static_cast<int32_t>(p[2]) << 24);
+      v >>= 8;  // sign-extend from 24 bits
+      out[i] = static_cast<float>(v) * (1.0f / 8388608.0f);
+    }
+  } else {  // PCM 32
+    for (int64_t i = 0; i < frames; ++i, p += frame_bytes) {
+      const int32_t v = static_cast<int32_t>(rd_u32(p));
+      out[i] = static_cast<float>(v) * (1.0f / 2147483648.0f);
+    }
+  }
+  return frames;
+}
+
 }  // extern "C"

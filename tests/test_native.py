@@ -83,3 +83,75 @@ class TestResizeNormalize:
         img = np.full((50, 50, 3), 128, np.uint8)
         out = native.resize_normalize_image(img, 32, normalize=False)
         np.testing.assert_allclose(out, 128 / 255.0, atol=1e-3)
+
+
+class TestWavDecode:
+    def _make_wav(self, sr=22050, n=2000, channels=2, width=2):
+        import io
+        import wave
+
+        import numpy as np
+
+        t = np.arange(n) / sr
+        sig = np.stack(
+            [np.sin(2 * np.pi * 440 * t), np.cos(2 * np.pi * 220 * t)][:channels],
+            axis=1,
+        )
+        if width == 2:
+            pcm = (sig * 32767).astype(np.int16)
+        else:
+            pcm = (sig * 2147483647).astype(np.int32)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(width)
+            w.setframerate(sr)
+            w.writeframes(pcm.tobytes())
+        return buf.getvalue(), sig
+
+    def test_native_matches_stdlib(self):
+        import numpy as np
+
+        from triad_tpu.data import native
+
+        data, sig = self._make_wav()
+        out_py, sr_py = native._decode_wav_py(data, 0)
+        if native.available():
+            out, sr = native.decode_wav(data, 0)
+            assert sr == sr_py == 22050
+            np.testing.assert_allclose(out, out_py, atol=1e-6)
+        np.testing.assert_allclose(out_py, sig[:, 0], atol=1e-3)
+
+    def test_channel_selection_and_pcm32(self):
+        import numpy as np
+
+        from triad_tpu.data import native
+
+        data, sig = self._make_wav(width=4)
+        if native.available():
+            out1, _ = native.decode_wav(data, 1)
+        else:
+            out1, _ = native._decode_wav_py(data, 1)
+        np.testing.assert_allclose(np.asarray(out1), sig[:, 1], atol=1e-3)
+
+    def test_load_wav_resamples(self, tmp_path):
+        import numpy as np
+
+        from triad_tpu.data.native import load_wav
+
+        data, _ = self._make_wav(sr=22050, n=22050)
+        p = tmp_path / "a.wav"
+        p.write_bytes(data)
+        out = load_wav(p, target_sr=16000)
+        assert abs(len(out) - 16000) <= 2
+        assert np.isfinite(out).all()
+
+    def test_invalid_wav_raises(self):
+        import pytest
+
+        from triad_tpu.data import native
+
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        with pytest.raises(ValueError):
+            native.decode_wav(b"not a wav file at all.........")

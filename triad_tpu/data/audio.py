@@ -46,6 +46,14 @@ def resample_preferred(
 
 
 def load_wav(path: str) -> Tuple[np.ndarray, int]:
+    """WAV -> (mono float32 channel 0, sample_rate). Prefers the native
+    demuxer (native/triad_data.cc wav_decode_channel: PCM 16/24/32 +
+    float32, truncation-tolerant); scipy fallback."""
+    from triad_tpu.data import native
+
+    if native.available():
+        with open(path, "rb") as f:
+            return native.decode_wav(f.read(), 0)
     from scipy.io import wavfile
 
     sr, data = wavfile.read(path)

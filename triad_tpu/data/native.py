@@ -49,6 +49,16 @@ def _load() -> Optional[ctypes.CDLL]:
             u8p, ctypes.c_int32, ctypes.c_int32,
             f32p, ctypes.c_int32, ctypes.c_int32,
         ]
+        lib.wav_info.restype = ctypes.c_int32
+        lib.wav_info.argtypes = [
+            u8p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.wav_decode_channel.restype = ctypes.c_int64
+        lib.wav_decode_channel.argtypes = [
+            u8p, ctypes.c_int64, f32p, ctypes.c_int64, ctypes.c_int32,
+        ]
         _lib = lib
     except Exception as e:  # noqa: BLE001 — fall back to numpy paths
         print(f"native triad_data unavailable ({e}); using numpy fallbacks")
@@ -119,3 +129,59 @@ def resize_normalize_image(img_u8: np.ndarray, size: int,
         _f32p(out), size, 1 if normalize else 0,
     )
     return out
+
+
+def decode_wav(data: bytes, channel: int = 0):
+    """RIFF/WAVE -> (float32 samples in [-1, 1], sample_rate).
+
+    Native demuxer (PCM 16/24/32 + IEEE float32, incl. extensible
+    headers; tolerates truncated data chunks). Fallback: the stdlib
+    ``wave`` module (PCM only). The reference gets this from
+    torchaudio/libavcodec (dataset.py:83-86) and takes channel 0.
+    """
+    lib = _load()
+    if lib is None:
+        return _decode_wav_py(data, channel)
+    buf = np.frombuffer(data, np.uint8)
+    u8 = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    sr = ctypes.c_int32()
+    ch = ctypes.c_int32()
+    frames = ctypes.c_int64()
+    rc = lib.wav_info(u8, len(buf), ctypes.byref(sr), ctypes.byref(ch),
+                      ctypes.byref(frames))
+    if rc != 0:
+        raise ValueError(f"invalid or unsupported WAV (code {rc})")
+    out = np.empty(frames.value, np.float32)
+    n = lib.wav_decode_channel(u8, len(buf), _f32p(out), frames.value, channel)
+    if n < 0:
+        raise ValueError(f"WAV decode failed (code {n})")
+    return out[:n], sr.value
+
+
+def _decode_wav_py(data: bytes, channel: int = 0):
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data)) as w:
+        sr = w.getframerate()
+        ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, np.int32).astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported sample width {width}")
+    return np.ascontiguousarray(x.reshape(-1, ch)[:, channel]), sr
+
+
+def load_wav(path, target_sr: int = 16_000, channel: int = 0) -> np.ndarray:
+    """File -> mono float32 at ``target_sr`` (demux + decode + kaiser
+    resample — the reference's extract_audio_from_video semantics for
+    audio-file inputs, dataset.py:80-89)."""
+    with open(path, "rb") as f:
+        samples, sr = decode_wav(f.read(), channel)
+    if sr != target_sr:
+        samples = resample(samples, sr, target_sr)
+    return samples
