@@ -1,0 +1,130 @@
+"""Real-TPU checks for ops/pallas_mlp.py (the in-kernel PRNG parts that
+interpret mode cannot cover). Run: python scripts/tpu_mlp_check.py
+
+  1. p=0 forward == XLA fc1-gelu-fc2.
+  2. dropout keep-rate ~= 1-p (mask extracted with w2 = identity).
+  3. p>0 gradient exactness vs jax.grad of an explicit-mask reference.
+  4. micro-bench: fused vs XLA fwd+bwd at HuBERT MLP shapes.
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+import jax.numpy as jnp
+
+from triad_tpu.ops.pallas_mlp import fused_mlp
+
+
+def main():
+    B, T, DIN, DH = 8, 499, 768, 3072
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, T, DIN)).astype(np.float32) * 0.3)
+    w1 = jnp.asarray(rng.normal(size=(DIN, DH)).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(rng.normal(size=(DH,)).astype(np.float32) * 0.05)
+    w2 = jnp.asarray(rng.normal(size=(DH, DIN)).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(rng.normal(size=(DIN,)).astype(np.float32) * 0.05)
+    p = 0.1
+
+    def ref(x):
+        h = x @ w1 + b1
+        return jax.nn.gelu(h, approximate=False) @ w2 + b2
+
+    # 1. p=0 equivalence
+    y_f = jax.jit(lambda x: fused_mlp(x, w1, b1, w2, b2, jnp.int32(0), 0.0))(x)
+    y_r = jax.jit(ref)(x)
+    d = float(jnp.max(jnp.abs(y_f - y_r)))
+    print(f"p=0 max |fused - xla| = {d:.2e}")
+    assert d < 1e-3, d
+
+    # 2. extract the dropout mask: w2 = I, b2 = 0 => y = dropped gelu
+    eye = jnp.eye(DH, dtype=jnp.float32)
+    z = jnp.zeros((DH,), jnp.float32)
+    seed = jnp.int32(7)
+    g_drop = np.asarray(
+        jax.jit(lambda x: fused_mlp(x, w1, b1, eye, z, seed, p))(x)
+    )
+    g_plain = np.asarray(
+        jax.jit(lambda x: fused_mlp(x, w1, b1, eye, z, jnp.int32(0), 0.0))(x)
+    )
+    active = np.abs(g_plain) > 1e-6
+    keep = (np.abs(g_drop) > 1e-9) & active
+    keep_rate = keep.sum() / active.sum()
+    print(f"keep rate = {keep_rate:.4f} (target {1-p})")
+    assert abs(keep_rate - (1 - p)) < 0.01
+    # scaling: kept elements are g / (1 - p)
+    ratio = g_drop[keep] / g_plain[keep]
+    assert np.allclose(ratio, 1.0 / (1 - p), rtol=1e-2), ratio.mean()
+
+    # 3. p>0 gradient exactness vs explicit-mask reference
+    keep_j = jnp.asarray(keep.astype(np.float32))
+
+    def ref_loss(x, w1, b1, w2, b2):
+        h = x @ w1 + b1
+        g = jax.nn.gelu(h, approximate=False) * keep_j / (1.0 - p)
+        return jnp.sum((g @ w2 + b2) ** 2)
+
+    def fused_loss(x, w1, b1, w2, b2):
+        return jnp.sum(fused_mlp(x, w1, b1, w2, b2, seed, p) ** 2)
+
+    g_ref = jax.jit(jax.grad(ref_loss, argnums=(0, 1, 2, 3, 4)))(
+        x, w1, b1, w2, b2
+    )
+    g_fused = jax.jit(jax.grad(fused_loss, argnums=(0, 1, 2, 3, 4)))(
+        x, w1, b1, w2, b2
+    )
+    for gr, gf, name in zip(g_ref, g_fused, ["x", "w1", "b1", "w2", "b2"]):
+        diff = float(jnp.max(jnp.abs(gr - gf)))
+        rel = diff / (float(jnp.max(jnp.abs(gr))) + 1e-9)
+        print(f"d{name}: max abs diff {diff:.3e} (rel {rel:.3e})")
+        assert rel < 2e-2, (name, rel)
+
+    # 4. micro-bench at B=64 bf16 (training shapes)
+    B2 = 64
+    x2 = jnp.asarray(
+        rng.normal(size=(B2, T, DIN)).astype(np.float32) * 0.3
+    ).astype(jnp.bfloat16)
+    w1b, b1b = w1.astype(jnp.bfloat16), b1.astype(jnp.bfloat16)
+    w2b, b2b = w2.astype(jnp.bfloat16), b2.astype(jnp.bfloat16)
+
+    def timegrad(label, lossfn, iters=10):
+        gf = jax.grad(lossfn)
+        def chained(x):
+            def body(c, _):
+                g = gf(x + (c * 1e-12).astype(x.dtype))
+                return jnp.sum(g.astype(jnp.float32) ** 2), None
+            r, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+            return r
+        gj = jax.jit(chained)
+        t0 = time.perf_counter(); float(gj(x2)); c = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(gj(x2)); dt = (time.perf_counter() - t0) / iters
+        print(f"{label}: {dt*1e3:.2f} ms fwd+bwd (compile {c:.0f}s)")
+
+    key = jax.random.key(0)
+
+    def xla_drop_loss(x):
+        h = x @ w1b + b1b
+        g = jax.nn.gelu(h.astype(jnp.float32), approximate=False)
+        m = jax.random.bernoulli(key, 1.0 - p, g.shape)
+        g = jnp.where(m, g / (1.0 - p), 0.0).astype(jnp.bfloat16)
+        return jnp.sum((g @ w2b + b2b).astype(jnp.float32) ** 2)
+
+    timegrad("xla mlp+dropout", xla_drop_loss)
+    timegrad(
+        "fused mlp+dropout",
+        lambda x: jnp.sum(
+            fused_mlp(x, w1b, b1b, w2b, b2b, jnp.int32(3), p).astype(jnp.float32) ** 2
+        ),
+    )
+    print("ALL CHECKS PASSED")
+
+
+if __name__ == "__main__":
+    main()

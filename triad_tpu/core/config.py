@@ -88,6 +88,11 @@ class HubertConfig:
     normalize_waveform: bool = True
     # "float32" = torch-parity softmax; "bfloat16" = fast TPU softmax.
     attention_scores_dtype: str = "float32"
+    # MLP implementation: "auto" (default) = fused pallas
+    # fc1+gelu+dropout+fc2 kernel (ops/pallas_mlp.py) when training with
+    # activation dropout on a TPU backend, XLA elsewhere; "xla"/"fused"
+    # force one.
+    mlp_impl: str = "auto"
     # "auto" (default): fused pallas attention+dropout kernel
     # (ops/pallas_attention.py) when training with attention dropout on
     # a TPU backend — 2.3x faster than the XLA path there (the

@@ -274,6 +274,29 @@ class PositionalConvEmbedding(nn.Module):
         return nn.gelu(h, approximate=False)
 
 
+class _DenseParams(nn.Module):
+    """Owns nn.Dense-identical params ({kernel, bias}) without running
+    the Dense computation — the fused-MLP kernel consumes them directly.
+    Param tree paths match nn.Dense exactly (checkpoint/port compatible).
+    """
+
+    features: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (in_features, self.features),
+            self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+        )
+        return kernel, bias
+
+
 class HubertSelfAttention(nn.Module):
     cfg: HubertConfig
     dtype: Dtype = jnp.float32
@@ -338,18 +361,51 @@ class HubertEncoderLayer(nn.Module):
             epsilon=c.layer_norm_eps, dtype=self.dtype, param_dtype=self.param_dtype,
             name="layer_norm",
         )(x + attn)
-        h = nn.Dense(
-            c.intermediate_size, dtype=self.dtype, param_dtype=self.param_dtype,
-            name="intermediate_dense",
-        )(x)
-        h = nn.gelu(h, approximate=False)
-        h = nn.Dropout(c.activation_dropout, name="intermediate_dropout")(
-            h, deterministic=deterministic
-        )
-        h = nn.Dense(
-            c.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype,
-            name="output_dense",
-        )(h)
+        mlp_impl = c.mlp_impl
+        act_rate = 0.0 if deterministic else c.activation_dropout
+        if mlp_impl == "auto":
+            # Like attention: the fused kernel earns its keep where the
+            # XLA path pays for the (B, T, 3072) dropout-mask pipeline —
+            # training with activation dropout on a TPU backend.
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+            mlp_impl = "fused" if (act_rate > 0.0 and on_tpu) else "xla"
+        if mlp_impl == "fused":
+            from triad_tpu.ops.pallas_mlp import fused_mlp
+
+            w1, b1 = _DenseParams(
+                c.intermediate_size, param_dtype=self.param_dtype,
+                name="intermediate_dense",
+            )(c.hidden_size)
+            w2, b2 = _DenseParams(
+                c.hidden_size, param_dtype=self.param_dtype,
+                name="output_dense",
+            )(c.intermediate_size)
+            if act_rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0,
+                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
+                )
+            else:
+                seed = jnp.zeros((), jnp.int32)
+            h = fused_mlp(
+                x.astype(self.dtype),
+                w1.astype(self.dtype), b1.astype(self.dtype),
+                w2.astype(self.dtype), b2.astype(self.dtype),
+                seed, float(act_rate),
+            )
+        else:
+            h = nn.Dense(
+                c.intermediate_size, dtype=self.dtype, param_dtype=self.param_dtype,
+                name="intermediate_dense",
+            )(x)
+            h = nn.gelu(h, approximate=False)
+            h = nn.Dropout(c.activation_dropout, name="intermediate_dropout")(
+                h, deterministic=deterministic
+            )
+            h = nn.Dense(
+                c.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype,
+                name="output_dense",
+            )(h)
         h = nn.Dropout(c.hidden_dropout, name="output_dropout")(
             h, deterministic=deterministic
         )
