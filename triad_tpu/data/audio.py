@@ -96,6 +96,18 @@ def extract_audio(path: str, target_sr: int = TARGET_SR) -> np.ndarray:
         if p.suffix.lower() == ".wav":
             data, sr = load_wav(str(p))
             return resample_preferred(data, sr, target_sr)
+        if p.suffix.lower() in (".mp4", ".m4a", ".mov"):
+            # Native demux + PCM decode (native/mp4.cc); compressed
+            # audio codecs (AAC) fall through to ffmpeg.
+            from triad_tpu.data import native
+            from triad_tpu.data.mp4 import extract_audio_pcm
+
+            if native.available():
+                try:
+                    data, sr = extract_audio_pcm(str(p))
+                    return resample_preferred(data, sr, target_sr)
+                except ValueError:
+                    pass  # non-PCM track — needs a codec decoder
         if _ffmpeg_available():
             return load_audio_ffmpeg(str(p), target_sr)
         raise RuntimeError(

@@ -1,0 +1,420 @@
+"""MP4 (ISO-BMFF) demux + mux, framework-owned.
+
+The reference gets MP4 handling from libavcodec three ways: torchcodec
+``VideoDecoder`` for frames (reference dataset.py:91-95), torchaudio for
+the audio track (dataset.py:80-89), and the ffmpeg binary to mux audio
+into attention videos (viz.py:128-137). Here:
+
+* **Demux** is native (native/mp4.cc via ctypes): track metadata,
+  per-sample byte ranges, sync-sample (keyframe) tables, decoder-config
+  blobs, and full decode of PCM audio tracks. Compressed video samples
+  are decoded by cv2 (as before); AAC audio requires the ffmpeg binary.
+* **Mux** is pure Python: :func:`mux_mp4` writes a progressive
+  ftyp/mdat/moov file combining a video track remuxed from a
+  cv2-authored .mp4 with a 16-bit PCM ('sowt') audio track — the
+  ffmpeg-free path for the reference's attention-video-with-audio
+  artifact (viz.py:84-146).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import struct
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from triad_tpu.data import native
+
+
+def _fourcc_str(v: int) -> str:
+    return struct.pack(">I", v).decode("latin-1")
+
+
+@dataclass
+class TrackInfo:
+    handler: str  # "vide" / "soun"
+    codec: str  # sample-entry fourcc: "avc1", "mp4v", "mp4a", "sowt", ...
+    timescale: int
+    duration: int  # in track timescale units
+    n_samples: int
+    channels: int
+    bits: int
+    sample_rate: int
+    width: int
+    height: int
+    n_sync: int
+    is_pcm: bool
+
+    @property
+    def duration_seconds(self) -> float:
+        return self.duration / self.timescale if self.timescale else 0.0
+
+
+class Mp4File:
+    """Parsed MP4: track metadata + sample access via the native demuxer."""
+
+    def __init__(self, data: bytes):
+        if not native.available():
+            raise RuntimeError("native triad_data library unavailable")
+        self._data = data  # keep alive: the handle reads samples from it
+        self._buf = np.frombuffer(data, np.uint8)
+        lib = native._load()
+        self._lib = lib
+        self._h = lib.mp4_open(
+            self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data)
+        )
+        if not self._h:
+            raise ValueError("malformed MP4 (no moov box)")
+
+    @classmethod
+    def from_path(cls, path: str) -> "Mp4File":
+        with open(path, "rb") as f:
+            return cls(f.read())
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.mp4_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001 — interpreter teardown
+            pass
+
+    def __enter__(self) -> "Mp4File":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    @property
+    def tracks(self) -> List[TrackInfo]:
+        out = []
+        for i in range(self._lib.mp4_num_tracks(self._h)):
+            handler = ctypes.c_uint32()
+            codec = ctypes.c_uint32()
+            timescale = ctypes.c_uint32()
+            duration = ctypes.c_int64()
+            n_samples = ctypes.c_int64()
+            ch = ctypes.c_int32()
+            bits = ctypes.c_int32()
+            sr = ctypes.c_int32()
+            w = ctypes.c_int32()
+            h = ctypes.c_int32()
+            n_sync = ctypes.c_int64()
+            is_pcm = ctypes.c_int32()
+            rc = self._lib.mp4_track_info(
+                self._h, i, ctypes.byref(handler), ctypes.byref(codec),
+                ctypes.byref(timescale), ctypes.byref(duration),
+                ctypes.byref(n_samples), ctypes.byref(ch), ctypes.byref(bits),
+                ctypes.byref(sr), ctypes.byref(w), ctypes.byref(h),
+                ctypes.byref(n_sync), ctypes.byref(is_pcm),
+            )
+            if rc != 0:
+                raise ValueError(f"bad track {i} (code {rc})")
+            out.append(
+                TrackInfo(
+                    handler=_fourcc_str(handler.value),
+                    codec=_fourcc_str(codec.value),
+                    timescale=timescale.value,
+                    duration=duration.value,
+                    n_samples=n_samples.value,
+                    channels=ch.value,
+                    bits=bits.value,
+                    sample_rate=sr.value,
+                    width=w.value,
+                    height=h.value,
+                    n_sync=n_sync.value,
+                    is_pcm=bool(is_pcm.value),
+                )
+            )
+        return out
+
+    def find_track(self, handler: str) -> Optional[int]:
+        for i, t in enumerate(self.tracks):
+            if t.handler == handler:
+                return i
+        return None
+
+    def sample_range(self, track: int, idx: int) -> Tuple[int, int]:
+        """(byte offset, size) of one sample within the file."""
+        off = ctypes.c_int64()
+        size = ctypes.c_int64()
+        rc = self._lib.mp4_sample_range(
+            self._h, track, idx, ctypes.byref(off), ctypes.byref(size)
+        )
+        if rc != 0:
+            raise IndexError(f"sample {idx} of track {track} (code {rc})")
+        return off.value, size.value
+
+    def sample_bytes(self, track: int, idx: int) -> bytes:
+        off, size = self.sample_range(track, idx)
+        return self._data[off : off + size]
+
+    def sync_samples(self, track: int) -> np.ndarray:
+        """0-based keyframe sample indices (all samples if no stss)."""
+        n = self.tracks[track].n_sync
+        out = np.empty(max(n, 1), np.int64)
+        got = self._lib.mp4_sync_samples(
+            self._h, track, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n
+        )
+        if got < 0:
+            raise ValueError(f"bad track {track}")
+        return out[:got]
+
+    def decoder_config(self, track: int) -> bytes:
+        """esds payload (mp4a/mp4v), avcC (avc1), etc.; b'' if none."""
+        n = self._lib.mp4_decoder_config(self._h, track, None, 0)
+        if n <= 0:
+            return b""
+        out = np.empty(n, np.uint8)
+        self._lib.mp4_decoder_config(
+            self._h, track, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n
+        )
+        return out.tobytes()
+
+    def decode_pcm(self, track: int, channel: int = 0) -> Tuple[np.ndarray, int]:
+        """PCM audio track -> (float32 samples in [-1, 1], sample_rate).
+
+        The reference takes channel 0 of the decoded track
+        (dataset.py:86); compressed codecs raise.
+        """
+        info = self.tracks[track]
+        if not info.is_pcm:
+            raise ValueError(f"track {track} codec {info.codec!r} is not PCM")
+        # Upper bound: one frame per stsz byte / frame_bytes; use total
+        # duration as the cap when available, else samples*max-frames.
+        frame_bytes = max(1, info.channels * (info.bits // 8))
+        total_bytes = sum(
+            self.sample_range(track, i)[1] for i in range(info.n_samples)
+        )
+        max_frames = total_bytes // frame_bytes
+        out = np.empty(max(max_frames, 1), np.float32)
+        got = self._lib.mp4_decode_pcm(
+            self._h, track,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            max_frames, channel,
+        )
+        if got < 0:
+            raise ValueError(f"PCM decode failed (code {got})")
+        return out[:got], info.sample_rate
+
+
+def extract_audio_pcm(path: str) -> Tuple[np.ndarray, int]:
+    """Audio track of an .mp4 as (mono float32 channel 0, sample rate).
+
+    Native demux + PCM decode only — AAC tracks raise (decode via the
+    ffmpeg fallback in data/audio.py when the binary exists).
+    """
+    with Mp4File.from_path(path) as f:
+        ti = f.find_track("soun")
+        if ti is None:
+            raise ValueError(f"no audio track in {path}")
+        return f.decode_pcm(ti, channel=0)
+
+
+# ---------------------------------------------------------------------------
+# Muxer: progressive ftyp/mdat/moov writer.
+# ---------------------------------------------------------------------------
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def _full_box(typ: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(typ, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+def _stbl_boxes(
+    n_samples: int,
+    sample_delta: int,
+    sizes: List[int],
+    chunk_offset: int,
+    stsd_entry: bytes,
+    sync: Optional[List[int]] = None,
+) -> bytes:
+    """Common sample tables: one chunk holding all samples."""
+    stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + stsd_entry)
+    stts = _full_box(
+        b"stts", 0, 0, struct.pack(">III", 1, n_samples, sample_delta)
+    )
+    stsc = _full_box(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n_samples, 1))
+    uniform = len(set(sizes)) == 1 if sizes else True
+    if uniform:
+        stsz = _full_box(
+            b"stsz", 0, 0,
+            struct.pack(">II", sizes[0] if sizes else 0, n_samples),
+        )
+    else:
+        stsz = _full_box(
+            b"stsz", 0, 0,
+            struct.pack(">II", 0, n_samples)
+            + b"".join(struct.pack(">I", s) for s in sizes),
+        )
+    stco = _full_box(b"stco", 0, 0, struct.pack(">II", 1, chunk_offset))
+    body = stsd + stts + stsc + stsz + stco
+    if sync is not None:
+        body += _full_box(
+            b"stss", 0, 0,
+            struct.pack(">I", len(sync))
+            + b"".join(struct.pack(">I", s + 1) for s in sync),
+        )
+    return _box(b"stbl", body)
+
+
+def _trak(
+    track_id: int,
+    mvhd_timescale: int,
+    timescale: int,
+    duration: int,
+    handler: bytes,  # b"vide" / b"soun"
+    stbl: bytes,
+    width: int = 0,
+    height: int = 0,
+) -> bytes:
+    dur_mv = duration * mvhd_timescale // max(timescale, 1)
+    tkhd = _full_box(
+        b"tkhd", 0, 7,
+        struct.pack(">II", 0, 0)  # creation, modification
+        + struct.pack(">III", track_id, 0, dur_mv)  # id, reserved, duration
+        + b"\x00" * 8  # reserved
+        + struct.pack(">hhHH", 0, 0, 0x0100 if handler == b"soun" else 0, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _full_box(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),  # language "und"
+    )
+    name = b"VideoHandler\x00" if handler == b"vide" else b"SoundHandler\x00"
+    hdlr = _full_box(
+        b"hdlr", 0, 0, struct.pack(">I", 0) + handler + b"\x00" * 12 + name
+    )
+    if handler == b"vide":
+        mhd = _full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    else:
+        mhd = _full_box(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+    dref = _full_box(
+        b"dref", 0, 0, struct.pack(">I", 1) + _full_box(b"url ", 0, 1, b"")
+    )
+    dinf = _box(b"dinf", dref)
+    minf = _box(b"minf", mhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    return _box(b"trak", tkhd + mdia)
+
+
+def _video_sample_entry(
+    codec: str, width: int, height: int, dconf: bytes
+) -> bytes:
+    """VisualSampleEntry with the source's decoder-config child box."""
+    body = (
+        b"\x00" * 6 + struct.pack(">H", 1)  # reserved + data_ref_idx
+        + struct.pack(">HHI", 0, 0, 0)  # version, revision, vendor
+        + struct.pack(">II", 0, 0)  # temporal/spatial quality
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x480000, 0x480000)  # 72 dpi
+        + struct.pack(">I", 0)  # data size
+        + struct.pack(">H", 1)  # frame count
+        + b"\x00" * 32  # compressor name
+        + struct.pack(">Hh", 24, -1)  # depth, color table
+    )
+    child = {
+        "mp4v": b"esds", "avc1": b"avcC", "avc3": b"avcC",
+        "hev1": b"hvcC", "hvc1": b"hvcC", "vp09": b"vpcC", "av01": b"av1C",
+    }.get(codec)
+    if dconf and child is not None:
+        body += _box(child, dconf)
+    return _box(codec.encode("latin-1"), body)
+
+
+def _pcm_sowt_entry(channels: int, sample_rate: int) -> bytes:
+    """AudioSampleEntry for 16-bit little-endian PCM ('sowt')."""
+    body = (
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + struct.pack(">HHI", 0, 0, 0)  # version 0
+        + struct.pack(">HHHH", channels, 16, 0, 0)
+        + struct.pack(">I", sample_rate << 16)
+    )
+    return _box(b"sowt", body)
+
+
+def mux_mp4(
+    out_path: str,
+    video_mp4_path: str,
+    audio: Optional[np.ndarray] = None,
+    sample_rate: int = 16_000,
+) -> None:
+    """Remux the video track of ``video_mp4_path`` (e.g. a cv2-authored
+    attention video) with a PCM audio track into ``out_path``.
+
+    The ffmpeg-free equivalent of the reference's attention-video audio
+    mux (viz.py:128-137: ffmpeg -i temp.mp4 -i source.mp4 -c:v copy
+    -c:a aac). Audio is written as 16-bit 'sowt' PCM (no encoder
+    needed); video samples are byte-copied.
+    """
+    with Mp4File.from_path(video_mp4_path) as src:
+        vi = src.find_track("vide")
+        if vi is None:
+            raise ValueError(f"no video track in {video_mp4_path}")
+        vinfo = src.tracks[vi]
+        v_samples = [src.sample_bytes(vi, i) for i in range(vinfo.n_samples)]
+        v_sync = src.sync_samples(vi)
+        v_dconf = src.decoder_config(vi)
+
+    v_delta = (
+        vinfo.duration // vinfo.n_samples if vinfo.n_samples else 1
+    ) or 1
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+
+    a_bytes = b""
+    if audio is not None:
+        pcm = np.clip(np.asarray(audio, np.float32), -1.0, 1.0)
+        a_i16 = np.round(pcm * 32767.0).astype("<i2")
+        a_bytes = a_i16.tobytes()
+
+    mdat_payload = b"".join(v_samples) + a_bytes
+    mdat = _box(b"mdat", mdat_payload)
+    v_chunk_off = len(ftyp) + 8  # first video byte
+    a_chunk_off = v_chunk_off + sum(len(s) for s in v_samples)
+
+    mvhd_ts = 1000
+    v_stbl = _stbl_boxes(
+        len(v_samples), v_delta, [len(s) for s in v_samples], v_chunk_off,
+        _video_sample_entry(vinfo.codec, vinfo.width, vinfo.height, v_dconf),
+        sync=list(v_sync) if len(v_sync) < len(v_samples) else None,
+    )
+    traks = _trak(
+        1, mvhd_ts, vinfo.timescale, v_delta * len(v_samples), b"vide",
+        v_stbl, vinfo.width, vinfo.height,
+    )
+    next_id = 2
+    if audio is not None:
+        n_frames = len(a_bytes) // 2
+        # One "sample" per PCM frame (uniform stsz = frame bytes).
+        a_stbl = _stbl_boxes(
+            n_frames, 1, [2], a_chunk_off, _pcm_sowt_entry(1, sample_rate)
+        )
+        traks += _trak(2, mvhd_ts, sample_rate, n_frames, b"soun", a_stbl)
+        next_id = 3
+
+    dur_v = v_delta * len(v_samples) * mvhd_ts // max(vinfo.timescale, 1)
+    dur_a = (
+        (len(a_bytes) // 2) * mvhd_ts // sample_rate if audio is not None else 0
+    )
+    mvhd = _full_box(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, mvhd_ts, max(dur_v, dur_a))
+        + struct.pack(">IH", 0x00010000, 0x0100)  # rate, volume
+        + b"\x00" * 10
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", next_id),
+    )
+    moov = _box(b"moov", mvhd + traks)
+    with open(out_path, "wb") as f:
+        f.write(ftyp + mdat + moov)

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import ctypes
 import subprocess
+import threading
 from pathlib import Path
 from typing import Optional
 
@@ -18,9 +19,19 @@ _NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
 _LIB_PATH = _NATIVE_DIR / "libtriad_data.so"
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_load_lock = threading.Lock()
 
 
 def _load() -> Optional[ctypes.CDLL]:
+    # Fast path only on success: `_tried` may be set while another
+    # thread is still mid-load, so it is only consulted under the lock.
+    if _lib is not None:
+        return _lib
+    with _load_lock:
+        return _load_locked()
+
+
+def _load_locked() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
@@ -58,6 +69,37 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.wav_decode_channel.restype = ctypes.c_int64
         lib.wav_decode_channel.argtypes = [
             u8p, ctypes.c_int64, f32p, ctypes.c_int64, ctypes.c_int32,
+        ]
+        # MP4 demuxer (native/mp4.cc)
+        lib.mp4_open.restype = ctypes.c_void_p
+        lib.mp4_open.argtypes = [u8p, ctypes.c_int64]
+        lib.mp4_close.argtypes = [ctypes.c_void_p]
+        lib.mp4_num_tracks.restype = ctypes.c_int32
+        lib.mp4_num_tracks.argtypes = [ctypes.c_void_p]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.mp4_track_info.restype = ctypes.c_int32
+        lib.mp4_track_info.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, u32p, u32p, u32p, i64p, i64p,
+            i32p, i32p, i32p, i32p, i32p, i64p, i32p,
+        ]
+        lib.mp4_sample_range.restype = ctypes.c_int32
+        lib.mp4_sample_range.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64, i64p, i64p,
+        ]
+        lib.mp4_sync_samples.restype = ctypes.c_int64
+        lib.mp4_sync_samples.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, i64p, ctypes.c_int64,
+        ]
+        lib.mp4_decoder_config.restype = ctypes.c_int64
+        lib.mp4_decoder_config.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, u8p, ctypes.c_int64,
+        ]
+        lib.mp4_decode_pcm.restype = ctypes.c_int64
+        lib.mp4_decode_pcm.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, f32p, ctypes.c_int64,
+            ctypes.c_int32,
         ]
         _lib = lib
     except Exception as e:  # noqa: BLE001 — fall back to numpy paths

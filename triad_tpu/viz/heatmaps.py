@@ -179,8 +179,12 @@ class AudioVisualizer:
         video_path: Optional[str] = None,
         fps: int = 50,
     ) -> None:
-        """One overlay frame per audio token -> mp4; mux original audio
-        when ffmpeg + source video exist, else silent (viz.py:84-146)."""
+        """One overlay frame per audio token -> mp4 with the audio
+        muxed in (viz.py:84-146). Mux order: ffmpeg copying the source
+        track when available (reference parity, viz.py:128-137), else
+        the framework's own MP4 muxer writing ``audio`` as a PCM track
+        (data/mp4.py — no ffmpeg needed), else silent (viz.py:140-143).
+        """
         import cv2
 
         heatmaps = self.get_attention_maps(similarity_fn, frame, audio)
@@ -211,6 +215,16 @@ class AudioVisualizer:
                 return
             except subprocess.CalledProcessError as e:
                 print("ffmpeg mux failed, silent fallback:", e.stderr.decode())
+        try:
+            from triad_tpu.data import native
+            from triad_tpu.data.mp4 import mux_mp4
+
+            if native.available():
+                mux_mp4(str(out), temp, np.asarray(audio, np.float32), 16_000)
+                Path(temp).unlink()
+                return
+        except Exception as e:  # noqa: BLE001 — viz must never crash training
+            print("native mux failed, silent fallback:", e)
         Path(temp).rename(out)
 
 
