@@ -34,6 +34,8 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
+    import dataclasses
+
     from triad_tpu.core.config import LossConfig, ModelConfig
     from triad_tpu.models import TriadModel, init_triad_model
     from triad_tpu.ops import av_loss, tv_loss
@@ -42,7 +44,24 @@ def main() -> None:
     AUDIO_SAMPLES = 160_000  # 10 s @ 16 kHz
     TEXT_LEN = 32
 
-    cfg = ModelConfig()  # bf16 compute, fp32 params
+    base = ModelConfig()  # bf16 compute, fp32 params
+    # Production eval knobs (round-1 sweep, scripts/tpu_eval_sweep.py):
+    # bf16 softmax scores (fp32-max-subtracted exp; halves score-matrix
+    # HBM traffic) and the fused pallas MLP kernel — everything still
+    # computes at bf16-or-better, per the metric's bf16 contract. The
+    # parity defaults (fp32 scores, xla mlp) stay for torch comparisons.
+    cfg = dataclasses.replace(
+        base,
+        vit=dataclasses.replace(
+            base.vit, attention_scores_dtype="bfloat16", mlp_impl="fused"
+        ),
+        hubert=dataclasses.replace(
+            base.hubert, attention_scores_dtype="bfloat16", mlp_impl="auto"
+        ),
+        text=dataclasses.replace(
+            base.text, attention_scores_dtype="bfloat16"
+        ),
+    )
     # Production loss path: chunked bf16-in/fp32-accum aggregation.
     loss_cfg = LossConfig(
         implementation="chunked", chunk_size=16, matmul_precision="default"

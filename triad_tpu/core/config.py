@@ -51,6 +51,9 @@ class ViTConfig:
     # kernel (no probs in HBM; bf16/fp32-accum numerics; falls back to
     # XLA while attention dropout is active — models/layers.py).
     attention_impl: str = "xla"
+    # "xla" = Dense/gelu/Dense; "fused" = single pallas fc1+gelu+fc2
+    # kernel (faster on TPU, bf16-rounding-level numerics difference).
+    mlp_impl: str = "xla"
 
     @property
     def num_patches(self) -> int:

@@ -27,6 +27,7 @@ from flax import linen as nn
 
 from triad_tpu.core.config import HubertConfig
 from triad_tpu.models.layers import (
+    DenseParams,
     dot_product_attention,
     fused_dot_product_attention,
 )
@@ -274,29 +275,6 @@ class PositionalConvEmbedding(nn.Module):
         return nn.gelu(h, approximate=False)
 
 
-class _DenseParams(nn.Module):
-    """Owns nn.Dense-identical params ({kernel, bias}) without running
-    the Dense computation — the fused-MLP kernel consumes them directly.
-    Param tree paths match nn.Dense exactly (checkpoint/port compatible).
-    """
-
-    features: int
-    param_dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, in_features: int):
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (in_features, self.features),
-            self.param_dtype,
-        )
-        bias = self.param(
-            "bias", nn.initializers.zeros, (self.features,), self.param_dtype
-        )
-        return kernel, bias
-
-
 class HubertSelfAttention(nn.Module):
     cfg: HubertConfig
     dtype: Dtype = jnp.float32
@@ -364,19 +342,21 @@ class HubertEncoderLayer(nn.Module):
         mlp_impl = c.mlp_impl
         act_rate = 0.0 if deterministic else c.activation_dropout
         if mlp_impl == "auto":
-            # Like attention: the fused kernel earns its keep where the
-            # XLA path pays for the (B, T, 3072) dropout-mask pipeline —
-            # training with activation dropout on a TPU backend.
+            # Fused wins on TPU both with dropout (the (B, T, 3072)
+            # HBM mask pipeline disappears; 7.7 vs 10.5 ms/layer
+            # fwd+bwd) and at p=0 eval (XLA's unfused erf-gelu pipeline
+            # costs ~1 ms/layer extra; re-measured in the round-1 eval
+            # sweep: 114.9 vs 127.8 ms audio fwd at B=64).
             on_tpu = jax.default_backend() in ("tpu", "axon")
-            mlp_impl = "fused" if (act_rate > 0.0 and on_tpu) else "xla"
+            mlp_impl = "fused" if on_tpu else "xla"
         if mlp_impl == "fused":
             from triad_tpu.ops.pallas_mlp import fused_mlp
 
-            w1, b1 = _DenseParams(
+            w1, b1 = DenseParams(
                 c.intermediate_size, param_dtype=self.param_dtype,
                 name="intermediate_dense",
             )(c.hidden_size)
-            w2, b2 = _DenseParams(
+            w2, b2 = DenseParams(
                 c.hidden_size, param_dtype=self.param_dtype,
                 name="output_dense",
             )(c.intermediate_size)
@@ -508,6 +488,10 @@ class HubertModel(nn.Module):
             name="feature_extractor",
         )
         if c.remat == "chunked_conv":
+            # Kept for eval too: although the two-pass form exists for
+            # backward-pass memory (conv_0 runs twice), it measured ~8 ms
+            # FASTER than the monolithic frontend even at eval B=64 (XLA
+            # pipelines the small chunks better than one O(T) program).
             x = self._chunked_frontend(frontend, audio)
         else:
             x = frontend(audio)
