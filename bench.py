@@ -11,8 +11,11 @@ plus both max-mean InfoNCE losses on ONE chip at the per-chip batch
 Every encoder input is perturbed by the scan carry — an earlier
 version perturbed only images, which let XLA hoist the loop-invariant
 audio/text encoders out of the timing scan and overstated throughput
-~2.3x. Current honest cost at B=64: ~175 ms/step (visual ~49 ms,
-audio ~124 ms, text ~8 ms, losses ~10 ms).
+~2.3x. iters=10 because the axon tunnel's single scalar readback costs
+~30 ms RTT, which is amortized across the in-program scan iterations
+(at iters=5 the RTT inflated the apparent step by ~6 ms; longer scans
+amortize further but the remote compile time grows with scan length —
+iters=20 exceeded 10 minutes).
 
 Prints exactly one JSON line.
 """
@@ -107,7 +110,7 @@ def main() -> None:
     token_ids = jnp.asarray(rng.integers(1, 30_000, size=(B, TEXT_LEN)).astype(np.int32))
     text_mask = jnp.ones((B, TEXT_LEN), jnp.float32)
 
-    iters = 5
+    iters = 10
     run = jax.jit(chained, static_argnames="iters")
     # Warm with the SAME static iters (a different value would recompile).
     float(run(params, images, audio, token_ids, text_mask, iters=iters))

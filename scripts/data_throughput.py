@@ -1,0 +1,100 @@
+"""Host-side input-pipeline throughput benchmark (SURVEY §7.3 item 5).
+
+Builds a directory of synthetic MP4 clips (raw-RGB video + PCM audio via
+the ffmpeg-free muxer in data/mp4.py), then measures AVLoader decode
+throughput in clips/s for thread vs process workers at several widths.
+
+The 5k clips/s north star is an aggregate across a v5e-8 pod host
+(~100+ cores); this box exposes {cpus} cores, so the useful output is
+per-worker clips/s and the scaling slope, not the absolute number.
+
+Run: python scripts/data_throughput.py [num_clips] [seconds_per_clip]
+"""
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+from triad_tpu.data.datasets import FlatAudioVisualDataset
+from triad_tpu.data.mp4 import mux_mp4
+from triad_tpu.data.pipeline import AVLoader
+
+
+def build_fixtures(root: str, n: int, secs: float, fps: int = 4) -> None:
+    import cv2
+
+    rng = np.random.default_rng(0)
+    frames = (rng.integers(0, 255, size=(int(secs * fps), 64, 64, 3))).astype(
+        np.uint8
+    )
+    base = os.path.join(root, "_video_only.mp4")
+    writer = cv2.VideoWriter(
+        base, cv2.VideoWriter_fourcc(*"mp4v"), fps, (64, 64)
+    )
+    for f in frames:
+        writer.write(f[:, :, ::-1])
+    writer.release()
+    sr = 16_000
+    t = np.arange(int(secs * sr)) / sr
+    for i in range(n):
+        audio = (0.3 * np.sin(2 * np.pi * (200 + 50 * i) * t)).astype(np.float32)
+        mux_mp4(
+            os.path.join(root, f"clip_{i:04d}.mp4"), base, audio, sr
+        )
+    os.remove(base)
+
+
+def run(loader: AVLoader, n_batches: int) -> float:
+    it = loader.epoch(0)
+    # warm one batch (worker spawn, imports)
+    next(it)
+    t0 = time.perf_counter()
+    clips = 0
+    for _ in range(n_batches - 1):
+        batch = next(it)
+        clips += batch["images"].shape[0]
+    dt = time.perf_counter() - t0
+    return clips / dt
+
+
+def main() -> None:
+    n_clips = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    secs = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
+    cpus = os.cpu_count() or 1
+    print(f"cpus: {cpus}; {n_clips} clips x {secs}s")
+    root = tempfile.mkdtemp(prefix="triad_data_bench_")
+    try:
+        build_fixtures(root, n_clips, secs)
+        ds = FlatAudioVisualDataset(root)
+        bs = 8
+        n_batches = max(2, n_clips // bs)
+        for mode in ("thread", "process"):
+            for workers in (1, 2, 4):
+                if workers > 2 * cpus:
+                    continue
+                loader = AVLoader(
+                    ds, batch_size=bs,
+                    audio_num_samples=int(secs * 16_000),
+                    num_workers=workers, worker_mode=mode, shuffle=False,
+                )
+                try:
+                    rate = run(loader, n_batches)
+                    print(
+                        f"{mode:8s} workers={workers}: {rate:8.1f} clips/s "
+                        f"({rate / workers:.1f}/worker)",
+                        flush=True,
+                    )
+                finally:
+                    loader.pool.close()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -25,7 +25,9 @@ from triad_tpu.core.config import HubertConfig
 
 B, T = 64, 160_000
 NA = 499
-ITERS = 5
+# 20 iters: the axon tunnel readback costs ~30 ms RTT, which lands in
+# the measurement as RTT/ITERS (scripts/tpu_elementwise_check.py).
+ITERS = 20
 
 
 def time_fn(label, fn, params, *args):
@@ -50,6 +52,7 @@ def time_fn(label, fn, params, *args):
 
 
 def main():
+    sections = set(sys.argv[1:]) or {"full", "frontend", "posconv", "layers", "proj"}
     from triad_tpu.models.hubert import (
         ConvFeatureEncoder,
         HubertEncoderLayer,
@@ -76,26 +79,28 @@ def main():
     # full model
     model = HubertModel(cfg, dtype=jnp.bfloat16)
     params = model.init(jax.random.key(0), audio[:1])["params"]
-    time_fn(
-        "full hubert fwd",
-        lambda p, a: model.apply({"params": p}, a, deterministic=True),
-        params, audio,
-    )
+    if "full" in sections:
+        time_fn(
+            "full hubert fwd",
+            lambda p, a: model.apply({"params": p}, a, deterministic=True),
+            params, audio,
+        )
 
     # frontend (chunked two-pass, as used) vs monolithic
     fe = ConvFeatureEncoder(cfg, dtype=jnp.bfloat16)
     fe_params = params["feature_extractor"]
-    time_fn(
-        "frontend monolithic",
-        lambda p, a: fe.apply({"params": p}, a), fe_params, audio,
-    )
-    mono_cfg = dataclasses.replace(cfg, remat="none")
-    model_mono = HubertModel(mono_cfg, dtype=jnp.bfloat16)
-    time_fn(
-        "full fwd (monolithic fe)",
-        lambda p, a: model_mono.apply({"params": p}, a, deterministic=True),
-        params, audio,
-    )
+    if "frontend" in sections:
+        time_fn(
+            "frontend monolithic",
+            lambda p, a: fe.apply({"params": p}, a), fe_params, audio,
+        )
+        mono_cfg = dataclasses.replace(cfg, remat="none")
+        model_mono = HubertModel(mono_cfg, dtype=jnp.bfloat16)
+        time_fn(
+            "full fwd (monolithic fe)",
+            lambda p, a: model_mono.apply({"params": p}, a, deterministic=True),
+            params, audio,
+        )
 
     # conv_0 alone
     class Conv0(nn.Module):
@@ -109,15 +114,25 @@ def main():
 
     c0 = Conv0(cfg)
     c0p = {"fe": fe_params}
-    time_fn("conv_0 alone", lambda p, a: c0.apply({"params": p}, a), c0p, audio)
+    if "frontend" in sections:
+        time_fn("conv_0 alone", lambda p, a: c0.apply({"params": p}, a), c0p, audio)
 
     # positional conv embedding
     pos = PositionalConvEmbedding(cfg, dtype=jnp.bfloat16)
     pos_params = params["pos_conv_embed"]
-    time_fn(
-        "pos conv embed (k=128, g=16)",
-        lambda p, x: pos.apply({"params": p}, x), pos_params, hidden,
-    )
+    if "posconv" in sections:
+        time_fn(
+            "pos conv embed (k=128, g=16)",
+            lambda p, x: pos.apply({"params": p}, x), pos_params, hidden,
+        )
+        time_fn(
+            "pos conv + residual + LN",
+            lambda p, x: nn.LayerNorm(epsilon=1e-5, dtype=jnp.bfloat16).apply(
+                {"params": {"scale": jnp.ones(768), "bias": jnp.zeros(768)}},
+                x + pos.apply({"params": p}, x),
+            ),
+            pos_params, hidden,
+        )
 
     # one encoder layer x12 (scan-free python loop, shared params ok for timing)
     layer = HubertEncoderLayer(cfg, dtype=jnp.bfloat16)
@@ -128,7 +143,8 @@ def main():
             x = layer.apply({"params": p}, x, True)
         return x
 
-    time_fn("12 encoder layers", layers12, lp, hidden)
+    if "layers" in sections:
+        time_fn("12 encoder layers", layers12, lp, hidden)
 
     # attention sublayer x12
     attn = HubertSelfAttention(cfg, dtype=jnp.bfloat16)
@@ -139,7 +155,8 @@ def main():
             x = attn.apply({"params": p}, x, True)
         return x
 
-    time_fn("12 attention sublayers", attn12, ap, hidden)
+    if "layers" in sections:
+        time_fn("12 attention sublayers", attn12, ap, hidden)
 
     # fused mlp x12
     from triad_tpu.ops.pallas_mlp import fused_mlp
@@ -154,16 +171,18 @@ def main():
             x = fused_mlp(x, p[0], p[1], p[2], p[3], jnp.zeros((), jnp.int32), 0.0)
         return x
 
-    time_fn("12 fused mlps", mlp12, (w1, b1, w2, b2), hidden)
+    if "layers" in sections:
+        time_fn("12 fused mlps", mlp12, (w1, b1, w2, b2), hidden)
 
     # projection head 768 -> 512 -> 512 (the multimodal wrapper's part)
     from triad_tpu.models.layers import ProjectionHead
 
     proj = ProjectionHead(512, dtype=jnp.bfloat16)
     pp = proj.init(jax.random.key(1), hidden[:1])["params"]
-    time_fn(
-        "projection head", lambda p, x: proj.apply({"params": p}, x), pp, hidden
-    )
+    if "proj" in sections:
+        time_fn(
+            "projection head", lambda p, x: proj.apply({"params": p}, x), pp, hidden
+        )
 
 
 if __name__ == "__main__":

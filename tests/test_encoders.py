@@ -291,3 +291,70 @@ class TestFlashAttention:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
         )
+
+
+class TestLoRACompute:
+    def test_folded_equals_separate(self):
+        """lora_compute='folded' (x @ (W + s·A@B), one MXU pass) matches
+        the peft-shaped 'separate' three-matmul form."""
+        from triad_tpu.models.layers import LoRADense
+
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.normal(size=(3, 17, 32)).astype(np.float32))
+        folded = LoRADense(24, rank=4, alpha=16.0, lora_compute="folded")
+        separate = LoRADense(24, rank=4, alpha=16.0, lora_compute="separate")
+        params = folded.init(jax.random.key(3), x)["params"]
+        # B init is zeros (adapter no-op); perturb both factors so the
+        # adapter actually contributes.
+        params = dict(params)
+        params["lora_a"] = jnp.asarray(
+            rng.normal(size=params["lora_a"].shape).astype(np.float32) * 0.2
+        )
+        params["lora_b"] = jnp.asarray(
+            rng.normal(size=params["lora_b"].shape).astype(np.float32) * 0.2
+        )
+        y_f = folded.apply({"params": params}, x)
+        y_s = separate.apply({"params": params}, x)
+        np.testing.assert_allclose(
+            np.asarray(y_f), np.asarray(y_s), rtol=1e-5, atol=1e-5
+        )
+        # gradients agree too (the train path uses the same compute)
+        g_f = jax.grad(lambda p: jnp.sum(folded.apply({"params": p}, x) ** 2))(
+            params
+        )
+        g_s = jax.grad(lambda p: jnp.sum(separate.apply({"params": p}, x) ** 2))(
+            params
+        )
+        for name in ("kernel", "bias", "lora_a", "lora_b"):
+            np.testing.assert_allclose(
+                np.asarray(g_f[name]), np.asarray(g_s[name]), rtol=1e-4,
+                atol=1e-5, err_msg=name,
+            )
+
+
+class TestVitFusedMlp:
+    def test_vit_fused_mlp_param_compat(self):
+        """ViT mlp_impl='fused' consumes the nn.Dense param tree and
+        matches the XLA path (interpret mode on CPU)."""
+        import dataclasses
+
+        from jax.experimental.pallas import tpu as pltpu
+
+        from triad_tpu.core.config import ViTConfig
+        from triad_tpu.models.vit import ViTBlock
+
+        cfg = ViTConfig(
+            hidden_size=32, num_layers=1, num_heads=2, patch_size=4,
+            image_size=16, lora_rank=0,
+        )
+        block = ViTBlock(cfg)
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.normal(size=(2, 9, 32)).astype(np.float32) * 0.3)
+        params = block.init(jax.random.key(0), x)["params"]
+        out_xla = block.apply({"params": params}, x)
+        fused = ViTBlock(dataclasses.replace(cfg, mlp_impl="fused"))
+        with pltpu.force_tpu_interpret_mode():
+            out_fused = fused.apply({"params": params}, x)
+        np.testing.assert_allclose(
+            np.asarray(out_fused), np.asarray(out_xla), rtol=2e-5, atol=2e-5
+        )
