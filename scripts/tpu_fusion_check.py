@@ -23,7 +23,10 @@ import numpy as np
 from flax import linen as nn
 
 B = 64
-ITERS = 20
+# Overridable: ITERS=20 keeps the tunnel-RTT floor (~30 ms / ITERS) low
+# but long scans compile very slowly remotely; relative comparisons at
+# ITERS=5 carry the same +RTT/5 on both sides.
+ITERS = int(next((a[6:] for a in sys.argv[1:] if a.startswith("iters=")), 20))
 
 
 def time_fn(label, fn, *args):
@@ -48,7 +51,9 @@ def time_fn(label, fn, *args):
 
 
 def main():
-    sections = set(sys.argv[1:]) or {"posconv", "conv1", "attn"}
+    sections = {
+        a for a in sys.argv[1:] if not a.startswith("iters=")
+    } or {"posconv", "conv1", "attn"}
     rng = np.random.default_rng(0)
 
     # ---- pos-conv: conv / +gelu / +barrier+gelu ----------------------

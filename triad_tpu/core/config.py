@@ -103,6 +103,12 @@ class HubertConfig:
     # everywhere else (eval, CPU, p=0, where XLA measured faster).
     # "xla" / "fused" / "flash" force one implementation.
     attention_impl: str = "auto"
+    # "auto" (default): fused pallas dropout+residual+LayerNorm kernel
+    # (ops/pallas_ln.py) when training with hidden dropout on a TPU
+    # backend (removes the two per-layer (B, T, C) HBM dropout masks and
+    # the separate add/normalize passes), XLA elsewhere. "xla"/"fused"
+    # force one.
+    ln_impl: str = "auto"
     # "conv" = XLA conv lowering; "matmul" = im2col reshape + MXU matmul
     # for the waveform frontend (identical numerics; measured slower
     # end-to-end on v5e — XLA's conv path wins, keep "conv").

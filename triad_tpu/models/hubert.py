@@ -28,6 +28,7 @@ from flax import linen as nn
 from triad_tpu.core.config import HubertConfig
 from triad_tpu.models.layers import (
     DenseParams,
+    NormParams,
     dot_product_attention,
     fused_dot_product_attention,
 )
@@ -326,19 +327,54 @@ class HubertEncoderLayer(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
+    def _residual_ln(
+        self, name: str, x: jax.Array, h: jax.Array, deterministic: bool
+    ) -> jax.Array:
+        """LN(x + dropout(h, hidden_dropout)) — fused pallas kernel or
+        the XLA Dropout/add/LayerNorm pipeline (same param tree)."""
+        c = self.cfg
+        rate = 0.0 if deterministic else c.hidden_dropout
+        impl = c.ln_impl
+        if impl == "auto":
+            # the win is the removed (B, T, C) HBM mask traffic — only
+            # there when dropout is active on a TPU backend.
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+            impl = "fused" if (rate > 0.0 and on_tpu) else "xla"
+        drop_name = (
+            "attn_out_dropout" if name == "layer_norm" else "output_dropout"
+        )
+        if impl == "fused":
+            from triad_tpu.ops.pallas_ln import fused_dropout_add_ln
+
+            scale, bias = NormParams(
+                c.hidden_size, param_dtype=self.param_dtype, name=name
+            )()
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0,
+                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
+                )
+            else:
+                seed = jnp.zeros((), jnp.int32)
+            return fused_dropout_add_ln(
+                x.astype(self.dtype), h.astype(self.dtype), scale, bias,
+                seed, float(rate), float(c.layer_norm_eps),
+            )
+        h = nn.Dropout(c.hidden_dropout, name=drop_name)(
+            h, deterministic=deterministic
+        )
+        return nn.LayerNorm(
+            epsilon=c.layer_norm_eps, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name,
+        )(x + h)
+
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         c = self.cfg
         attn = HubertSelfAttention(
             c, dtype=self.dtype, param_dtype=self.param_dtype, name="attention"
         )(x, deterministic=deterministic)
-        attn = nn.Dropout(c.hidden_dropout, name="attn_out_dropout")(
-            attn, deterministic=deterministic
-        )
-        x = nn.LayerNorm(
-            epsilon=c.layer_norm_eps, dtype=self.dtype, param_dtype=self.param_dtype,
-            name="layer_norm",
-        )(x + attn)
+        x = self._residual_ln("layer_norm", x, attn, deterministic)
         mlp_impl = c.mlp_impl
         act_rate = 0.0 if deterministic else c.activation_dropout
         if mlp_impl == "auto":
@@ -386,14 +422,7 @@ class HubertEncoderLayer(nn.Module):
                 c.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype,
                 name="output_dense",
             )(h)
-        h = nn.Dropout(c.hidden_dropout, name="output_dropout")(
-            h, deterministic=deterministic
-        )
-        x = nn.LayerNorm(
-            epsilon=c.layer_norm_eps, dtype=self.dtype, param_dtype=self.param_dtype,
-            name="final_layer_norm",
-        )(x + h)
-        return x
+        return self._residual_ln("final_layer_norm", x, h, deterministic)
 
 
 class HubertModel(nn.Module):

@@ -276,6 +276,25 @@ class DenseParams(nn.Module):
         return kernel, bias
 
 
+class NormParams(nn.Module):
+    """Owns nn.LayerNorm-identical params ({scale, bias}) without
+    running the normalization — fused kernels consume them directly.
+    Param tree paths match nn.LayerNorm exactly."""
+
+    dim: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.dim,), self.param_dtype
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.dim,), self.param_dtype
+        )
+        return scale, bias
+
+
 class Mlp(nn.Module):
     """Transformer FFN: Dense -> GELU -> Dense.
 
