@@ -1,0 +1,180 @@
+"""jax.profiler trace of the eval forward (the judged bench program) or
+the joint train step, with an op-level breakdown parsed from the xplane
+(tensorboard_plugin_profile) — ground truth where chained-scan timing
+through the tunnel is too noisy.
+
+Run: python scripts/tpu_profile_trace.py [eval|train] [outdir]
+"""
+
+import glob
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+B = 64
+AUDIO_SAMPLES = 160_000
+TEXT_LEN = 32
+
+
+def build_eval_fn():
+    from triad_tpu.core.config import LossConfig, ModelConfig
+    from triad_tpu.models import TriadModel, init_triad_model
+    from triad_tpu.ops import av_loss, tv_loss
+
+    base = ModelConfig()
+    cfg = dataclasses.replace(
+        base,
+        vit=dataclasses.replace(
+            base.vit, attention_scores_dtype="bfloat16", mlp_impl="fused"
+        ),
+        hubert=dataclasses.replace(
+            base.hubert, attention_scores_dtype="bfloat16", mlp_impl="auto"
+        ),
+        text=dataclasses.replace(base.text, attention_scores_dtype="bfloat16"),
+    )
+    loss_cfg = LossConfig(
+        implementation="chunked", chunk_size=16, matmul_precision="default"
+    )
+    model = TriadModel(cfg)
+    params = init_triad_model(cfg, jax.random.key(0))
+
+    def fwd_loss(params, images, audio, token_ids, text_mask):
+        out = model.apply(
+            {"params": params}, images, audio, token_ids, text_mask, train=False
+        )
+        temp = params["temperature"]
+        av = av_loss(out["audio"], out["visual"], temp, loss_cfg)
+        tv = tv_loss(out["text"], out["visual"], text_mask, temp, loss_cfg)
+        return av.total + tv.total
+
+    rng = np.random.default_rng(0)
+    args = (
+        params,
+        jnp.asarray(rng.normal(size=(B, 224, 224, 3)).astype(np.float32)),
+        jnp.asarray(
+            (rng.normal(size=(B, AUDIO_SAMPLES)) * 0.1).astype(np.float32)
+        ),
+        jnp.asarray(
+            rng.integers(1, 30_000, size=(B, TEXT_LEN)).astype(np.int32)
+        ),
+        jnp.ones((B, TEXT_LEN), jnp.float32),
+    )
+    return jax.jit(fwd_loss), args
+
+
+def build_train_fn():
+    from triad_tpu.core.config import LossConfig, ModelConfig, OptimConfig
+    from triad_tpu.models import init_triad_model
+    from triad_tpu.train.optim import OptimizerBank, ParamPartition
+    from triad_tpu.train.step import StepFactory, init_train_state
+
+    model_cfg = ModelConfig()
+    loss_cfg = LossConfig(implementation="chunked", chunk_size=16)
+    optim_cfg = OptimConfig(gradient_accumulation_steps=1)
+    params = init_triad_model(model_cfg, jax.random.key(0))
+    bank = OptimizerBank(optim_cfg, ParamPartition(params), total_updates=1000)
+    factory = StepFactory(model_cfg, loss_cfg, optim_cfg, bank)
+    state = init_train_state(params, bank, jax.random.key(1))
+    rng = np.random.default_rng(0)
+    av = {
+        "images": jnp.asarray(
+            rng.normal(size=(B, 224, 224, 3)).astype(np.float32)
+        ),
+        "audio": jnp.asarray(
+            (rng.normal(size=(B, AUDIO_SAMPLES)) * 0.1).astype(np.float32)
+        ),
+    }
+    tv = {
+        "images": jnp.asarray(
+            rng.normal(size=(B, 224, 224, 3)).astype(np.float32)
+        ),
+        "token_ids": jnp.asarray(
+            rng.integers(1, 30_000, size=(B, TEXT_LEN)).astype(np.int32)
+        ),
+        "text_mask": jnp.ones((B, TEXT_LEN), jnp.float32),
+    }
+    step = jax.jit(factory.make_step("joint"))
+    one = jnp.float32(1.0)
+
+    def run(state):
+        return step(state, av, tv, one, one)
+
+    return run, (state,)
+
+
+def summarize(logdir: str, top: int = 40) -> None:
+    """Parse the xplane trace: per-op total self time on the device."""
+    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+
+    paths = glob.glob(
+        os.path.join(logdir, "**", "*.xplane.pb"), recursive=True
+    )
+    if not paths:
+        print("no xplane found under", logdir)
+        return
+    data, _ = rtd.xspace_to_tool_data(paths, "framework_op_stats", {})
+    import gzip
+    import json
+
+    if isinstance(data, bytes):
+        try:
+            data = gzip.decompress(data)
+        except OSError:
+            pass
+        data = data.decode()
+    rows = json.loads(data)
+    # rows: list of dicts with 'name'/'selfTime'/... — format depends on
+    # plugin version; fall back to printing the eldest keys.
+    if isinstance(rows, dict):
+        rows = rows.get("data", rows)
+    print(f"-- top {top} ops by self time --")
+    try:
+        items = sorted(
+            rows, key=lambda r: -float(r.get("total_self_time_us", r.get("selfTimeUs", 0)))
+        )[:top]
+        for r in items:
+            t = float(r.get("total_self_time_us", r.get("selfTimeUs", 0)))
+            print(f"{t/1e3:9.2f} ms  {r.get('operation', r.get('name'))[:90]}")
+    except Exception as e:  # schema drift — dump raw head
+        print("schema fallback:", e)
+        print(str(rows)[:3000])
+
+
+def main() -> None:
+    what = sys.argv[1] if len(sys.argv) > 1 else "eval"
+    logdir = (
+        sys.argv[2] if len(sys.argv) > 2 else f"/tmp/triad_trace_{what}"
+    )
+    fn, args = build_eval_fn() if what == "eval" else build_train_fn()
+    # compile outside the trace
+    out = fn(*args)
+    jax.block_until_ready(out)
+    time.sleep(1)
+    jax.profiler.start_trace(logdir)
+    for _ in range(3):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    # the tunnel's block_until_ready does not actually wait — force a
+    # readback to drain the device queue before stopping the trace.
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.sum(leaf.astype(jnp.float32)))
+    jax.profiler.stop_trace()
+    print("trace written to", logdir)
+    summarize(logdir)
+
+
+if __name__ == "__main__":
+    print(f"devices: {jax.devices()}")
+    main()
