@@ -59,7 +59,18 @@ def main() -> None:
             base.vit, attention_scores_dtype="bfloat16", mlp_impl="fused"
         ),
         hubert=dataclasses.replace(
-            base.hubert, attention_scores_dtype="bfloat16", mlp_impl="auto"
+            base.hubert, attention_scores_dtype="bfloat16", mlp_impl="auto",
+            # Frontend stays on XLA's chunked conv path: both pallas
+            # alternatives measured SLOWER end-to-end (full pallas conv
+            # 367 clips/s, XLA-conv+pallas-activations 373, vs 448 here)
+            # — XLA keeps conv outputs in a transposed tiled layout
+            # ({2,0,1:T(8,128)}) and every pallas custom-call boundary
+            # forces layout copies on the GB-sized activations that cost
+            # more than the fused elementwise saves. See
+            # ops/pallas_conv.py for both kernels + the measurements.
+            # ln_impl stays "auto" (XLA at p=0): the fused add+LN
+            # kernel measured neutral at eval (444.5 vs 448.5) — its
+            # win is the training-path dropout-mask traffic.
         ),
         text=dataclasses.replace(
             base.text, attention_scores_dtype="bfloat16"

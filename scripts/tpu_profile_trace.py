@@ -114,9 +114,15 @@ def build_train_fn():
     return run, (state,)
 
 
-def summarize(logdir: str, top: int = 40) -> None:
-    """Parse the xplane trace: per-op total self time on the device."""
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+def summarize(logdir: str, top: int = 45, n_steps: int = 3) -> None:
+    """Parse the xplane trace directly (the tensorboard_plugin_profile
+    converter is version-broken against this TF): aggregate 'XLA Ops'
+    event durations by op name, print the top entries (per traced
+    step). Needs PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python with the
+    baked-in protobuf."""
+    from collections import defaultdict
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = glob.glob(
         os.path.join(logdir, "**", "*.xplane.pb"), recursive=True
@@ -124,32 +130,35 @@ def summarize(logdir: str, top: int = 40) -> None:
     if not paths:
         print("no xplane found under", logdir)
         return
-    data, _ = rtd.xspace_to_tool_data(paths, "framework_op_stats", {})
-    import gzip
-    import json
-
-    if isinstance(data, bytes):
-        try:
-            data = gzip.decompress(data)
-        except OSError:
-            pass
-        data = data.decode()
-    rows = json.loads(data)
-    # rows: list of dicts with 'name'/'selfTime'/... — format depends on
-    # plugin version; fall back to printing the eldest keys.
-    if isinstance(rows, dict):
-        rows = rows.get("data", rows)
-    print(f"-- top {top} ops by self time --")
-    try:
-        items = sorted(
-            rows, key=lambda r: -float(r.get("total_self_time_us", r.get("selfTimeUs", 0)))
-        )[:top]
-        for r in items:
-            t = float(r.get("total_self_time_us", r.get("selfTimeUs", 0)))
-            print(f"{t/1e3:9.2f} ms  {r.get('operation', r.get('name'))[:90]}")
-    except Exception as e:  # schema drift — dump raw head
-        print("schema fallback:", e)
-        print(str(rows)[:3000])
+    xs = xplane_pb2.XSpace()
+    xs.ParseFromString(open(sorted(paths)[-1], "rb").read())
+    for plane in xs.planes:
+        if not plane.name.startswith("/device:"):
+            continue
+        meta = {m.id: m.name for m in plane.event_metadata.values()}
+        totals = defaultdict(float)
+        counts = defaultdict(int)
+        total_all = 0.0
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                name = meta.get(ev.metadata_id, str(ev.metadata_id))
+                dur = ev.duration_ps / 1e9  # ps -> ms
+                totals[name] += dur
+                counts[name] += 1
+                total_all += dur
+        if not totals:
+            continue
+        print(
+            f"-- {plane.name}: {total_all / n_steps:.1f} ms/step device "
+            f"time, top {top} ops (ms/step, count/step) --"
+        )
+        for name in sorted(totals, key=lambda k: -totals[k])[:top]:
+            print(
+                f"{totals[name] / n_steps:9.3f} ms  x{counts[name] // n_steps:<4d}"
+                f" {name[:100]}"
+            )
 
 
 def main() -> None:

@@ -358,3 +358,71 @@ class TestVitFusedMlp:
         np.testing.assert_allclose(
             np.asarray(out_fused), np.asarray(out_xla), rtol=2e-5, atol=2e-5
         )
+
+
+class TestPallasFrontend:
+    def test_pallas_frontend_equals_conv(self):
+        """frontend_impl='pallas' (fused stride-2 convs with VMEM
+        norm/GELU prologues, interpret mode on CPU) matches the XLA conv
+        path on the same params."""
+        import dataclasses
+
+        from jax.experimental.pallas import tpu as pltpu
+
+        cfg = HubertConfig(**SMALL_HUBERT)
+        conv_model = HubertModel(cfg)
+        rng = np.random.default_rng(12)
+        audio = jnp.asarray(rng.normal(size=(2, 2000)).astype(np.float32))
+        params = conv_model.init(jax.random.key(0), audio)["params"]
+        out_conv = conv_model.apply({"params": params}, audio)
+        for impl in ("pallas", "conv_act"):
+            alt = HubertModel(dataclasses.replace(cfg, frontend_impl=impl))
+            with pltpu.force_tpu_interpret_mode():
+                out_alt = alt.apply({"params": params}, audio)
+            np.testing.assert_allclose(
+                np.asarray(out_alt), np.asarray(out_conv), rtol=1e-4,
+                atol=1e-4, err_msg=impl,
+            )
+
+    def test_pallas_frontend_gradients(self):
+        """The custom-VJP backward (XLA reference recompute) produces
+        the same parameter gradients as the conv path."""
+        import dataclasses
+
+        from jax.experimental.pallas import tpu as pltpu
+
+        # remat='none': interpret-mode pallas carries callback effects
+        # that jax.checkpoint cannot partial-eval (the chunked-remat
+        # wrapper is the training path; pallas is the eval fast path).
+        cfg = dataclasses.replace(
+            HubertConfig(**SMALL_HUBERT), remat="none"
+        )
+        conv_model = HubertModel(cfg)
+        rng = np.random.default_rng(13)
+        audio = jnp.asarray(rng.normal(size=(2, 2000)).astype(np.float32))
+        params = conv_model.init(jax.random.key(0), audio)["params"]
+        alts = [
+            HubertModel(dataclasses.replace(cfg, frontend_impl=impl))
+            for impl in ("pallas", "conv_act")
+        ]
+
+        def loss(model):
+            return lambda p: jnp.sum(
+                model.apply({"params": p}, audio) ** 2
+            )
+
+        g_conv = jax.grad(loss(conv_model))(params)
+        flat_c = jax.tree_util.tree_leaves_with_path(g_conv)
+        for alt in alts:
+            with pltpu.force_tpu_interpret_mode():
+                g_alt = jax.grad(loss(alt))(params)
+            flat_a = dict(
+                (jax.tree_util.keystr(k), v)
+                for k, v in jax.tree_util.tree_leaves_with_path(g_alt)
+            )
+            for k, v in flat_c:
+                ks = jax.tree_util.keystr(k)
+                np.testing.assert_allclose(
+                    np.asarray(flat_a[ks]), np.asarray(v), rtol=2e-3,
+                    atol=2e-4, err_msg=ks,
+                )

@@ -110,8 +110,11 @@ class HubertConfig:
     # force one.
     ln_impl: str = "auto"
     # "conv" = XLA conv lowering; "matmul" = im2col reshape + MXU matmul
-    # for the waveform frontend (identical numerics; measured slower
-    # end-to-end on v5e — XLA's conv path wins, keep "conv").
+    # (identical numerics; slower end-to-end); "pallas" = fused
+    # stride-2 conv kernels with the inter-layer GroupNorm/GELU applied
+    # in VMEM (ops/pallas_conv.py — the eval trace showed XLA paying
+    # ~60% over roofline for the elementwise passes between convs;
+    # conv_0 stays XLA). Backward falls back to the XLA reference VJP.
     frontend_impl: str = "conv"
     # Rematerialization for the backward pass: "none", "conv" (remat the
     # whole waveform frontend), "chunked_conv" (default: evaluate the

@@ -155,20 +155,48 @@ class _ChannelNorm(nn.Module):
     statistics. Param layout identical to nn.GroupNorm (scale, bias), so
     ports/checkpoints are unaffected. With num_groups == channels,
     GroupNorm IS per-(batch, channel)-over-time normalization — exactly
-    what this applies given full-sequence stats."""
+    what this applies given full-sequence stats. setup-based so the
+    pallas frontend can read the affine params without applying."""
 
     dim: int
     epsilon: float = 1e-5
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.scale = self.param(
+            "scale", nn.initializers.ones, (self.dim,), self.param_dtype
+        )
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.dim,), self.param_dtype
+        )
+
+    def affine(self):
+        return self.scale, self.bias
+
     def __call__(self, x: jax.Array, mean: jax.Array, var: jax.Array) -> jax.Array:
-        scale = self.param("scale", nn.initializers.ones, (self.dim,), self.param_dtype)
-        bias = self.param("bias", nn.initializers.zeros, (self.dim,), self.param_dtype)
         xn = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
-        out = xn * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        out = xn * self.scale.astype(jnp.float32) + self.bias.astype(jnp.float32)
         return out.astype(self.dtype)
+
+
+class _ConvParams(nn.Module):
+    """Owns nn.Conv-identical params ({kernel}, conv_bias=False) without
+    running the conv — the pallas fused frontend consumes them directly.
+    Param tree paths match nn.Conv exactly."""
+
+    features: int
+    kernel_size: int
+    in_features: int
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, self.in_features, self.features),
+            self.param_dtype,
+        )
 
 
 class ConvFeatureEncoder(nn.Module):
@@ -208,6 +236,18 @@ class ConvFeatureEncoder(nn.Module):
                         param_dtype=self.param_dtype, name=f"conv_{i}",
                     )
                 )
+            elif c.frontend_impl == "pallas" and i > 0:
+                if s != 2 or k not in (2, 3) or c.conv_bias:
+                    raise ValueError(
+                        "pallas frontend requires stride-2, k in {2,3}, "
+                        f"no bias after conv_0 (got k={k}, s={s})"
+                    )
+                convs.append(
+                    _ConvParams(
+                        dim, k, in_features=c.conv_dim[i - 1],
+                        param_dtype=self.param_dtype, name=f"conv_{i}",
+                    )
+                )
             else:
                 convs.append(
                     nn.Conv(
@@ -239,12 +279,91 @@ class ConvFeatureEncoder(nn.Module):
 
     def tail(self, y0: jax.Array, mean: jax.Array, var: jax.Array) -> jax.Array:
         """norm(with given stats) -> gelu -> conv_1..n (+gelu each)."""
+        if self.cfg.frontend_impl == "conv_act":
+            return self._conv_act_tail(y0, mean, var)
         x = nn.gelu(self.group_norm(y0, mean, var), approximate=False)
         for conv in self.convs[1:]:
             x = nn.gelu(conv(x), approximate=False)
         return x
 
+    def _conv_act_tail(
+        self, y0: jax.Array, mean: jax.Array, var: jax.Array
+    ) -> jax.Array:
+        """XLA convs + pallas activations: the convs stay in XLA's
+        near-roofline bare form (fusing the GELU into them measured +60%
+        on the conv) while norm/GELU run as one tiled VMEM pass each
+        (ops/pallas_conv.pallas_activation)."""
+        from triad_tpu.ops.pallas_conv import pallas_activation
+
+        scale, bias = self.group_norm.affine()
+        rstd = jax.lax.rsqrt(var + self.group_norm.epsilon)
+        x = pallas_activation(
+            y0.astype(self.dtype), mean, rstd,
+            scale.astype(jnp.float32), bias.astype(jnp.float32), "norm_gelu",
+        )
+        b = x.shape[0]
+        for conv in self.convs[1:]:
+            x = conv(x)
+            cin = x.shape[-1]
+            x = pallas_activation(
+                x,
+                jnp.zeros((b, 1, cin), jnp.float32),
+                jnp.ones((b, 1, cin), jnp.float32),
+                jnp.ones((cin,), jnp.float32),
+                jnp.zeros((cin,), jnp.float32),
+                "gelu",
+            )
+        return x
+
+    def _pallas_tail(
+        self, y0: jax.Array, mean: jax.Array, var: jax.Array, t_log: int
+    ) -> jax.Array:
+        """Same composition with each inter-layer activation fused into
+        the next conv's VMEM input read (ops/pallas_conv.py): the
+        normalized/activated tensors never reach HBM. ``t_log`` is the
+        logical row count of y0 (rows past it are alignment garbage,
+        see pallas_conv's scheme). The final conv's GELU stays in XLA
+        (tiny at (B, T', 512))."""
+        from triad_tpu.ops.pallas_conv import fused_frontend_conv, out_rows
+
+        scale, bias = self.group_norm.affine()
+        rstd = jax.lax.rsqrt(var + self.group_norm.epsilon)
+        x = y0.astype(self.dtype)
+        b = x.shape[0]
+        prologue = "norm_gelu"
+        m, r, sc, bi = mean, rstd, scale, bias
+        for conv in self.convs[1:]:
+            x = fused_frontend_conv(
+                x, conv.kernel, m, r, sc, bi, t_log, prologue
+            )
+            t_log = out_rows(t_log, conv.kernel_size)
+            if prologue == "norm_gelu":
+                # later prologues are plain GELU; stats args are unused
+                # but must match the layer's input width.
+                prologue = "gelu"
+            cin = conv.features
+            if m.shape[-1] != cin:
+                m = jnp.zeros((b, 1, cin), jnp.float32)
+                r = jnp.ones((b, 1, cin), jnp.float32)
+                sc = jnp.ones((cin,), jnp.float32)
+                bi = jnp.zeros((cin,), jnp.float32)
+        return nn.gelu(x[:, :t_log], approximate=False)
+
     def __call__(self, audio: jax.Array) -> jax.Array:
+        if self.cfg.frontend_impl == "pallas":
+            from triad_tpu.ops.pallas_conv import min_input_alloc
+
+            c = self.cfg
+            k0, s0 = c.conv_kernel[0], c.conv_stride[0]
+            t0 = (audio.shape[1] - k0) // s0 + 1
+            need = min_input_alloc(t0, c.conv_kernel[1])
+            if t0 < need:
+                # zero-pad the waveform so conv_0 emits the margin rows
+                # the aligned pallas reads may touch (garbage region).
+                audio = jnp.pad(audio, ((0, 0), (0, (need - t0) * s0)))
+            y0 = self.conv0(audio)
+            mean, var = self.stats(y0[:, :t0])
+            return self._pallas_tail(y0, mean, var, t0)
         y0 = self.conv0(audio)
         mean, var = self.stats(y0)
         return self.tail(y0, mean, var)
@@ -285,6 +404,10 @@ class HubertSelfAttention(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         c = self.cfg
         head_dim = c.hidden_size // c.num_heads
+        # q/k/v stay three separate nn.Dense matmuls: merging them into
+        # one (h, 3h) matmul measured 419 vs 448 clips/s at eval — the
+        # (B, T, 3h) tensor's split slices cost more in layout copies
+        # than the bigger matmul saves.
         dense = lambda name: nn.Dense(
             c.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype, name=name
         )
@@ -516,11 +639,13 @@ class HubertModel(nn.Module):
             c, dtype=self.dtype, param_dtype=self.param_dtype,
             name="feature_extractor",
         )
-        if c.remat == "chunked_conv":
+        if c.remat == "chunked_conv" and c.frontend_impl != "pallas":
             # Kept for eval too: although the two-pass form exists for
             # backward-pass memory (conv_0 runs twice), it measured ~8 ms
             # FASTER than the monolithic frontend even at eval B=64 (XLA
             # pipelines the small chunks better than one O(T) program).
+            # The pallas frontend is monolithic by design (its own
+            # block loop lives in VMEM) — chunking would defeat it.
             x = self._chunked_frontend(frontend, audio)
         else:
             x = frontend(audio)
