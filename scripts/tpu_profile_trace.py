@@ -6,6 +6,7 @@ through the tunnel is too noisy.
 Run: python scripts/tpu_profile_trace.py [eval|train] [outdir]
 """
 
+import functools
 import glob
 import os
 import sys
@@ -105,11 +106,15 @@ def build_train_fn():
         ),
         "text_mask": jnp.ones((B, TEXT_LEN), jnp.float32),
     }
-    step = jax.jit(factory.make_step("joint"))
+    raw_step = factory.make_step("joint")
     one = jnp.float32(1.0)
 
+    # donate the state like the production trainer — without it the old
+    # and new optimizer states coexist (+4 GB) and B=64 OOMs.
+    @functools.partial(jax.jit, donate_argnums=0)
     def run(state):
-        return step(state, av, tv, one, one)
+        state, _metrics = raw_step(state, av, tv, one, one)
+        return (state,)
 
     return run, (state,)
 
@@ -167,13 +172,18 @@ def main() -> None:
         sys.argv[2] if len(sys.argv) > 2 else f"/tmp/triad_trace_{what}"
     )
     fn, args = build_eval_fn() if what == "eval" else build_train_fn()
-    # compile outside the trace
+    # compile outside the trace; in train mode the state is donated and
+    # threaded through (args is the 1-tuple (state,)).
     out = fn(*args)
+    if what == "train":
+        args = out
     jax.block_until_ready(out)
     time.sleep(1)
     jax.profiler.start_trace(logdir)
     for _ in range(3):
         out = fn(*args)
+        if what == "train":
+            args = out
     jax.block_until_ready(out)
     # the tunnel's block_until_ready does not actually wait — force a
     # readback to drain the device queue before stopping the trace.
