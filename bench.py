@@ -44,7 +44,11 @@ def main() -> None:
     from triad_tpu.ops import av_loss, tv_loss
 
     B = 64  # per-chip share of the global-512 target config
-    AUDIO_SAMPLES = 160_000  # 10 s @ 16 kHz
+    # 10 s @ 16 kHz. (Zero-padding to 163,920 samples for Na=512
+    # tile alignment measured 430 vs 448 clips/s — the 2.6% extra
+    # FLOPs cost more than the aligned tiles save; XLA handles the
+    # ragged 499 fine.)
+    AUDIO_SAMPLES = 160_000
     TEXT_LEN = 32
 
     base = ModelConfig()  # bf16 compute, fp32 params

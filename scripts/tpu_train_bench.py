@@ -35,10 +35,11 @@ TEXT_LEN = 32
 
 def main() -> None:
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    loss_impl = sys.argv[2] if len(sys.argv) > 2 else "chunked"
 
     model_cfg = ModelConfig()
     loss_cfg = LossConfig(
-        implementation="chunked", chunk_size=16, matmul_precision="default"
+        implementation=loss_impl, chunk_size=16, matmul_precision="default"
     )
     optim_cfg = OptimConfig(gradient_accumulation_steps=1)
     params = init_triad_model(model_cfg, jax.random.key(0))
@@ -99,9 +100,9 @@ def main() -> None:
     float(loss)
     dt = (time.perf_counter() - t0) / iters
     print(
-        f"joint train step (B={B}, accum=1): {dt * 1e3:.1f} ms "
-        f"({B / dt:.1f} clips/s/chip; compile {compile_s:.0f}s; "
-        f"loss {float(loss):.4f})"
+        f"joint train step (B={B}, accum=1, loss={loss_impl}): "
+        f"{dt * 1e3:.1f} ms ({B / dt:.1f} clips/s/chip; "
+        f"compile {compile_s:.0f}s; loss {float(loss):.4f})"
     )
 
 
