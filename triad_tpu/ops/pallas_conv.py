@@ -99,7 +99,7 @@ def _kernel(
     y_ref,  # out VMEM (1, T_out_alloc, Cout)
     *, k: int, t_al: int, tb: int, prologue: str | None,
 ):
-    n_sub = t_al // tb
+    n_sub = -(-t_al // tb)  # ceil: the clamped last block overlaps back
     mean = mean_ref[0].astype(jnp.float32)
     rstd = rstd_ref[0].astype(jnp.float32)
     scale = scale_ref[0].astype(jnp.float32)
