@@ -293,7 +293,7 @@ class ConvFeatureEncoder(nn.Module):
         near-roofline bare form (fusing the GELU into them measured +60%
         on the conv) while norm/GELU run as one tiled VMEM pass each
         (ops/pallas_conv.pallas_activation)."""
-        from triad_tpu.ops.pallas_conv import pallas_activation
+        from triad_tpu.ops.pallas_conv import identity_stats, pallas_activation
 
         scale, bias = self.group_norm.affine()
         rstd = jax.lax.rsqrt(var + self.group_norm.epsilon)
@@ -304,15 +304,7 @@ class ConvFeatureEncoder(nn.Module):
         b = x.shape[0]
         for conv in self.convs[1:]:
             x = conv(x)
-            cin = x.shape[-1]
-            x = pallas_activation(
-                x,
-                jnp.zeros((b, 1, cin), jnp.float32),
-                jnp.ones((b, 1, cin), jnp.float32),
-                jnp.ones((cin,), jnp.float32),
-                jnp.zeros((cin,), jnp.float32),
-                "gelu",
-            )
+            x = pallas_activation(x, *identity_stats(b, x.shape[-1]), "gelu")
         return x
 
     def _pallas_tail(
@@ -324,7 +316,11 @@ class ConvFeatureEncoder(nn.Module):
         logical row count of y0 (rows past it are alignment garbage,
         see pallas_conv's scheme). The final conv's GELU stays in XLA
         (tiny at (B, T', 512))."""
-        from triad_tpu.ops.pallas_conv import fused_frontend_conv, out_rows
+        from triad_tpu.ops.pallas_conv import (
+            fused_frontend_conv,
+            identity_stats,
+            out_rows,
+        )
 
         scale, bias = self.group_norm.affine()
         rstd = jax.lax.rsqrt(var + self.group_norm.epsilon)
@@ -343,10 +339,7 @@ class ConvFeatureEncoder(nn.Module):
                 prologue = "gelu"
             cin = conv.features
             if m.shape[-1] != cin:
-                m = jnp.zeros((b, 1, cin), jnp.float32)
-                r = jnp.ones((b, 1, cin), jnp.float32)
-                sc = jnp.ones((cin,), jnp.float32)
-                bi = jnp.zeros((cin,), jnp.float32)
+                m, r, sc, bi = identity_stats(b, cin)
         return nn.gelu(x[:, :t_log], approximate=False)
 
     def __call__(self, audio: jax.Array) -> jax.Array:
@@ -438,7 +431,7 @@ class HubertSelfAttention(nn.Module):
                 q, k, v, None, self.dtype,
                 scores_dtype=jnp.dtype(c.attention_scores_dtype),
                 probs_dropout=probs_dropout,
-                impl=c.attention_impl,
+                impl=impl,
             )
         return dense("out_proj")(out.reshape(*x.shape[:2], c.hidden_size))
 

@@ -82,6 +82,17 @@ def min_input_alloc(t_logical: int, k: int) -> int:
     return 2 * align8(t_out) + 2
 
 
+def identity_stats(b: int, c: int):
+    """Placeholder (mean, rstd, scale, bias) for the 'gelu' prologue,
+    which ignores them but needs shape-compatible operands."""
+    return (
+        jnp.zeros((b, 1, c), jnp.float32),
+        jnp.ones((b, 1, c), jnp.float32),
+        jnp.ones((c,), jnp.float32),
+        jnp.zeros((c,), jnp.float32),
+    )
+
+
 def _apply_prologue(x, prologue, mean, rstd, scale, bias):
     """x: (rows, C) in fp32. prologue: None | 'gelu' | 'norm_gelu'."""
     if prologue == "norm_gelu":
@@ -151,13 +162,10 @@ def _reference(x, w, t_logical, prologue, mean, rstd, scale, bias):
     """The identical composition in plain XLA (backward path + tests).
     Consumes the logical rows only; output is logically sized."""
     xf = x[:, :t_logical].astype(jnp.float32)
-    if prologue == "norm_gelu":
-        xf = (xf - mean) * rstd * scale.astype(jnp.float32) + bias.astype(
-            jnp.float32
-        )
-        xf = _gelu_exact(xf)
-    elif prologue == "gelu":
-        xf = _gelu_exact(xf)
+    xf = _apply_prologue(
+        xf, prologue, mean, rstd,
+        scale.astype(jnp.float32), bias.astype(jnp.float32),
+    )
     y = jax.lax.conv_general_dilated(
         xf.astype(x.dtype), w.astype(x.dtype), window_strides=(2,),
         padding="VALID", dimension_numbers=("NHC", "HIO", "NHC"),
@@ -177,6 +185,9 @@ def _pallas_call(x, w, mean, rstd, scale, bias, t_logical, prologue, tb):
             f"logical length {t_logical} (k={k})"
         )
     tb = min(tb, t_al)
+    if tb % 8:
+        raise ValueError(f"tb must be a multiple of 8 (got {tb}): the "
+                         "kernel promises 8-aligned offsets to Mosaic")
     out_alloc = t_al + _MARGIN
     wp = w if k == 3 else jnp.concatenate(
         [w, jnp.zeros((3 - k,) + w.shape[1:], w.dtype)], axis=0
