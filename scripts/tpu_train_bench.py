@@ -36,12 +36,15 @@ TEXT_LEN = 32
 def main() -> None:
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     loss_impl = sys.argv[2] if len(sys.argv) > 2 else "chunked"
+    moments = sys.argv[3] if len(sys.argv) > 3 else "float32"
 
     model_cfg = ModelConfig()
     loss_cfg = LossConfig(
         implementation=loss_impl, chunk_size=16, matmul_precision="default"
     )
-    optim_cfg = OptimConfig(gradient_accumulation_steps=1)
+    optim_cfg = OptimConfig(
+        gradient_accumulation_steps=1, mu_dtype=moments, nu_dtype=moments
+    )
     params = init_triad_model(model_cfg, jax.random.key(0))
     partition = ParamPartition(params)
     bank = OptimizerBank(optim_cfg, partition, total_updates=1000)
@@ -100,7 +103,8 @@ def main() -> None:
     float(loss)
     dt = (time.perf_counter() - t0) / iters
     print(
-        f"joint train step (B={B}, accum=1, loss={loss_impl}): "
+        f"joint train step (B={B}, accum=1, loss={loss_impl}, "
+        f"moments={moments}): "
         f"{dt * 1e3:.1f} ms ({B / dt:.1f} clips/s/chip; "
         f"compile {compile_s:.0f}s; loss {float(loss):.4f})"
     )
