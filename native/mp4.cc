@@ -184,14 +184,17 @@ void parse_stsd(const uint8_t* p, int64_t n, Track* t) {
     } else if (version == 1) {
       child_off = 20 + 16;
     } else if (version == 2 && body_n >= 56) {
-      // QuickTime v2 sound description (lpcm): f64 rate + u32 fields.
+      // QuickTime v2 sound description (lpcm): after the 20-byte v0
+      // part comes sizeOfStructOnly(u32)@20, then f64 rate@24,
+      // channels(u32)@32, always7F000000@36, bits(u32)@40, format
+      // flags(u32)@44, bytes/packet@48, frames/packet@52.
       double rate;
-      uint64_t bits_ = be64(body + 20);
+      uint64_t bits_ = be64(body + 24);
       std::memcpy(&rate, &bits_, 8);
       t->sample_rate = static_cast<uint32_t>(rate + 0.5);
-      t->channels = be32(body + 28);
-      t->bits = be32(body + 36);
-      const uint32_t flags = be32(body + 40);  // kAudioFormatFlag*
+      t->channels = be32(body + 32);
+      t->bits = be32(body + 40);
+      const uint32_t flags = be32(body + 44);  // kAudioFormatFlag*
       t->pcm_float = flags & 0x1;
       t->pcm_le = !(flags & 0x2);
       child_off = 20 + 36;
@@ -202,6 +205,8 @@ void parse_stsd(const uint8_t* p, int64_t n, Track* t) {
     if (c == fourcc("sowt")) {
       t->is_pcm = true; t->bits = 16; t->pcm_le = true;
     } else if (c == fourcc("twos")) {
+      t->is_pcm = true; t->bits = 16; t->pcm_le = false;
+    } else if (c == fourcc("in16")) {
       t->is_pcm = true; t->bits = 16; t->pcm_le = false;
     } else if (c == fourcc("in24")) {
       t->is_pcm = true; t->bits = 24; t->pcm_le = false;
@@ -374,6 +379,7 @@ void* mp4_open(const uint8_t* data, int64_t n) {
 void mp4_close(void* h) { delete static_cast<Mp4*>(h); }
 
 int32_t mp4_num_tracks(void* h) {
+  if (!h) return -1;
   return static_cast<int32_t>(static_cast<Mp4*>(h)->tracks.size());
 }
 
@@ -385,6 +391,7 @@ int32_t mp4_track_info(void* h, int32_t ti, uint32_t* handler, uint32_t* codec,
                        int32_t* sample_rate, int32_t* width, int32_t* height,
                        int64_t* n_sync, int32_t* is_pcm) {
   Mp4* f = static_cast<Mp4*>(h);
+  if (!f) return -1;
   if (ti < 0 || ti >= static_cast<int32_t>(f->tracks.size())) return -1;
   const Track& t = f->tracks[ti];
   *handler = t.handler;
@@ -406,6 +413,7 @@ int32_t mp4_track_info(void* h, int32_t ti, uint32_t* handler, uint32_t* codec,
 int32_t mp4_sample_range(void* h, int32_t ti, int64_t idx, int64_t* off,
                          int64_t* size) {
   Mp4* f = static_cast<Mp4*>(h);
+  if (!f) return -1;
   if (ti < 0 || ti >= static_cast<int32_t>(f->tracks.size())) return -1;
   const Track& t = f->tracks[ti];
   if (idx < 0 || idx >= static_cast<int64_t>(t.sample_offsets.size())) return -2;
@@ -418,6 +426,7 @@ int32_t mp4_sample_range(void* h, int32_t ti, int64_t idx, int64_t* off,
 // Returns the count written (<= max).
 int64_t mp4_sync_samples(void* h, int32_t ti, int64_t* out, int64_t max) {
   Mp4* f = static_cast<Mp4*>(h);
+  if (!f) return -1;
   if (ti < 0 || ti >= static_cast<int32_t>(f->tracks.size())) return -1;
   const Track& t = f->tracks[ti];
   int64_t n = 0;
@@ -435,6 +444,7 @@ int64_t mp4_sync_samples(void* h, int32_t ti, int64_t* out, int64_t max) {
 // handled internally). Returns bytes written (<= max), 0 if none.
 int64_t mp4_decoder_config(void* h, int32_t ti, uint8_t* out, int64_t max) {
   Mp4* f = static_cast<Mp4*>(h);
+  if (!f) return -1;
   if (ti < 0 || ti >= static_cast<int32_t>(f->tracks.size())) return -1;
   const Track& t = f->tracks[ti];
   const int64_t n = std::min<int64_t>(t.dconf.size(), max);
@@ -442,11 +452,26 @@ int64_t mp4_decoder_config(void* h, int32_t ti, uint8_t* out, int64_t max) {
   return static_cast<int64_t>(t.dconf.size());
 }
 
+// Total payload bytes across all samples of a track (one call instead
+// of n_samples mp4_sample_range FFI round-trips — PCM tracks commonly
+// table one sample per frame, ~160k for 10 s audio). Returns <0 on a
+// bad handle/track.
+int64_t mp4_track_total_bytes(void* h, int32_t ti) {
+  Mp4* f = static_cast<Mp4*>(h);
+  if (!f) return -1;
+  if (ti < 0 || ti >= static_cast<int32_t>(f->tracks.size())) return -1;
+  const Track& t = f->tracks[ti];
+  uint64_t total = 0;
+  for (uint32_t s : t.sample_sizes) total += s;
+  return static_cast<int64_t>(total);
+}
+
 // Decodes one channel of a PCM audio track to float32 in [-1, 1].
 // Returns frames written, or <0 (unsupported codec / bad track).
 int64_t mp4_decode_pcm(void* h, int32_t ti, float* out, int64_t max_frames,
                        int32_t channel) {
   Mp4* f = static_cast<Mp4*>(h);
+  if (!f) return -1;
   if (ti < 0 || ti >= static_cast<int32_t>(f->tracks.size())) return -1;
   const Track& t = f->tracks[ti];
   if (!t.is_pcm || t.channels == 0 || t.bits == 0) return -2;

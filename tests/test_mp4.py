@@ -157,3 +157,136 @@ class TestMux:
         with Mp4File.from_path(str(out)) as f:
             handlers = sorted(t.handler for t in f.tracks)
             assert handlers == ["soun", "vide"]
+
+
+def _lpcm_v2_entry(sample_rate, channels, bits, flags):
+    """Hand-built QuickTime version-2 SoundDescription ('lpcm'):
+    20-byte v0 part, then sizeOfStructOnly(u32)@20, f64 rate@24,
+    channels@32, always7F000000@36, bits@40, format flags@44,
+    bytes/packet@48, frames/packet@52."""
+    import struct
+
+    from triad_tpu.data.mp4 import _box
+
+    body = (
+        b"\x00" * 6 + struct.pack(">H", 1)  # reserved + data_ref_idx
+        + struct.pack(">HHI", 2, 0, 0)  # version=2, revision, vendor
+        + struct.pack(">HHHH", 3, 16, 0xFFFE, 0)  # always3/16/-2/0
+        + struct.pack(">I", 0x00010000)  # always 65536 (16.16 "1.0")
+        + struct.pack(">I", 72)  # sizeOfStructOnly
+        + struct.pack(">d", float(sample_rate))
+        + struct.pack(">I", channels)
+        + struct.pack(">I", 0x7F000000)
+        + struct.pack(">I", bits)
+        + struct.pack(">I", flags)  # bit0 float, bit1 big-endian
+        + struct.pack(">I", channels * bits // 8)
+        + struct.pack(">I", 1)
+    )
+    return _box(b"lpcm", body)
+
+
+def _audio_only_mp4(stsd_entry, pcm_bytes, sample_rate, n_frames):
+    import struct
+
+    from triad_tpu.data.mp4 import _box, _full_box, _stbl_boxes, _trak
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat = _box(b"mdat", pcm_bytes)
+    chunk_off = len(ftyp) + 8
+    stbl = _stbl_boxes(1, n_frames, [len(pcm_bytes)], chunk_off, stsd_entry)
+    trak = _trak(1, 1000, sample_rate, n_frames, b"soun", stbl)
+    mvhd = _full_box(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, 1000, n_frames * 1000 // sample_rate)
+        + struct.pack(">IH", 0x00010000, 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    return ftyp + mdat + _box(b"moov", mvhd + trak)
+
+
+class TestPcmVariants:
+    def test_lpcm_v2_sound_description(self):
+        """v2 ('lpcm') field offsets: rate@24, channels@32, bits@40,
+        flags@44 (ADVICE round 1: these were read 4 bytes early)."""
+        from triad_tpu.data.mp4 import Mp4File
+
+        sr, ch = 48_000, 2
+        n = 480
+        t = np.arange(n) / sr
+        left = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        right = (0.25 * np.sin(2 * np.pi * 880 * t)).astype(np.float32)
+        inter = np.empty(2 * n, "<i2")
+        inter[0::2] = np.round(left * 32767).astype("<i2")
+        inter[1::2] = np.round(right * 32767).astype("<i2")
+        # flags=0: integer, little-endian
+        data = _audio_only_mp4(
+            _lpcm_v2_entry(sr, ch, 16, 0), inter.tobytes(), sr, n
+        )
+        with Mp4File(data) as f:
+            info = f.tracks[0]
+            assert info.handler == "soun" and info.codec == "lpcm"
+            assert info.sample_rate == sr
+            assert info.channels == ch
+            assert info.bits == 16
+            assert info.is_pcm
+            got0, got_sr = f.decode_pcm(0, channel=0)
+            got1, _ = f.decode_pcm(0, channel=1)
+        assert got_sr == sr and got0.shape == (n,)
+        np.testing.assert_allclose(got0, left, atol=1.0 / 32000)
+        np.testing.assert_allclose(got1, right, atol=1.0 / 32000)
+
+    def test_lpcm_v2_float32_bigendian(self):
+        from triad_tpu.data.mp4 import Mp4File
+
+        sr, n = 16_000, 320
+        x = np.linspace(-1, 1, n).astype(">f4")
+        # flags: bit0 float | bit1 big-endian
+        data = _audio_only_mp4(
+            _lpcm_v2_entry(sr, 1, 32, 0x3), x.tobytes(), sr, n
+        )
+        with Mp4File(data) as f:
+            info = f.tracks[0]
+            assert info.is_pcm and info.bits == 32
+            got, got_sr = f.decode_pcm(0)
+        assert got_sr == sr
+        np.testing.assert_allclose(got, x.astype(np.float32), atol=1e-6)
+
+    def test_in16_codec(self):
+        """'in16' = big-endian 16-bit integer PCM (v0 entry)."""
+        import struct
+
+        from triad_tpu.data.mp4 import Mp4File, _box
+
+        sr, n = 8_000, 160
+        x = (0.4 * np.sin(2 * np.pi * 100 * np.arange(n) / sr)).astype(
+            np.float32
+        )
+        be = np.round(x * 32767).astype(">i2")
+        body = (
+            b"\x00" * 6 + struct.pack(">H", 1)
+            + struct.pack(">HHI", 0, 0, 0)
+            + struct.pack(">HHHH", 1, 16, 0, 0)
+            + struct.pack(">I", sr << 16)
+        )
+        data = _audio_only_mp4(_box(b"in16", body), be.tobytes(), sr, n)
+        with Mp4File(data) as f:
+            info = f.tracks[0]
+            assert info.is_pcm and info.bits == 16
+            got, got_sr = f.decode_pcm(0)
+        assert got_sr == sr
+        np.testing.assert_allclose(got, x, atol=1.0 / 32000)
+
+    def test_closed_handle_raises(self, cv2_mp4):
+        """Methods after close() raise instead of passing NULL to the
+        native API (segfault)."""
+        from triad_tpu.data.mp4 import Mp4File
+
+        f = Mp4File.from_path(cv2_mp4)
+        f.close()
+        with pytest.raises(ValueError, match="closed"):
+            _ = f.tracks
+        with pytest.raises(ValueError, match="closed"):
+            f.sample_range(0, 0)

@@ -90,10 +90,17 @@ class Mp4File:
     def __exit__(self, *exc) -> None:
         self.close()
 
+    def _handle(self):
+        """Live native handle, or raise (close() sets it to None — the
+        native API would otherwise be passed NULL)."""
+        if self._h is None:
+            raise ValueError("Mp4File is closed")
+        return self._h
+
     @property
     def tracks(self) -> List[TrackInfo]:
         out = []
-        for i in range(self._lib.mp4_num_tracks(self._h)):
+        for i in range(self._lib.mp4_num_tracks(self._handle())):
             handler = ctypes.c_uint32()
             codec = ctypes.c_uint32()
             timescale = ctypes.c_uint32()
@@ -107,7 +114,7 @@ class Mp4File:
             n_sync = ctypes.c_int64()
             is_pcm = ctypes.c_int32()
             rc = self._lib.mp4_track_info(
-                self._h, i, ctypes.byref(handler), ctypes.byref(codec),
+                self._handle(), i, ctypes.byref(handler), ctypes.byref(codec),
                 ctypes.byref(timescale), ctypes.byref(duration),
                 ctypes.byref(n_samples), ctypes.byref(ch), ctypes.byref(bits),
                 ctypes.byref(sr), ctypes.byref(w), ctypes.byref(h),
@@ -144,7 +151,7 @@ class Mp4File:
         off = ctypes.c_int64()
         size = ctypes.c_int64()
         rc = self._lib.mp4_sample_range(
-            self._h, track, idx, ctypes.byref(off), ctypes.byref(size)
+            self._handle(), track, idx, ctypes.byref(off), ctypes.byref(size)
         )
         if rc != 0:
             raise IndexError(f"sample {idx} of track {track} (code {rc})")
@@ -159,7 +166,8 @@ class Mp4File:
         n = self.tracks[track].n_sync
         out = np.empty(max(n, 1), np.int64)
         got = self._lib.mp4_sync_samples(
-            self._h, track, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n
+            self._handle(), track,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
         )
         if got < 0:
             raise ValueError(f"bad track {track}")
@@ -167,12 +175,13 @@ class Mp4File:
 
     def decoder_config(self, track: int) -> bytes:
         """esds payload (mp4a/mp4v), avcC (avc1), etc.; b'' if none."""
-        n = self._lib.mp4_decoder_config(self._h, track, None, 0)
+        n = self._lib.mp4_decoder_config(self._handle(), track, None, 0)
         if n <= 0:
             return b""
         out = np.empty(n, np.uint8)
         self._lib.mp4_decoder_config(
-            self._h, track, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n
+            self._handle(), track,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n,
         )
         return out.tobytes()
 
@@ -188,13 +197,16 @@ class Mp4File:
         # Upper bound: one frame per stsz byte / frame_bytes; use total
         # duration as the cap when available, else samples*max-frames.
         frame_bytes = max(1, info.channels * (info.bits // 8))
-        total_bytes = sum(
-            self.sample_range(track, i)[1] for i in range(info.n_samples)
-        )
+        # One native call for the byte total (a per-sample
+        # mp4_sample_range loop paid ~160k FFI round-trips per 10 s
+        # PCM file: one table sample per frame).
+        total_bytes = self._lib.mp4_track_total_bytes(self._handle(), track)
+        if total_bytes < 0:
+            raise ValueError(f"bad track {track} (code {total_bytes})")
         max_frames = total_bytes // frame_bytes
         out = np.empty(max(max_frames, 1), np.float32)
         got = self._lib.mp4_decode_pcm(
-            self._h, track,
+            self._handle(), track,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             max_frames, channel,
         )

@@ -96,6 +96,8 @@ def _load_locked() -> Optional[ctypes.CDLL]:
         lib.mp4_decoder_config.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, u8p, ctypes.c_int64,
         ]
+        lib.mp4_track_total_bytes.restype = ctypes.c_int64
+        lib.mp4_track_total_bytes.argtypes = [ctypes.c_void_p, ctypes.c_int32]
         lib.mp4_decode_pcm.restype = ctypes.c_int64
         lib.mp4_decode_pcm.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, f32p, ctypes.c_int64,
