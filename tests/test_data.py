@@ -199,6 +199,7 @@ class TestUniqueVideoSampler:
 
 
 class TestWorkerPool:
+    @pytest.mark.slow
     def test_process_pool_matches_thread_pool(self):
         """Spawned decode workers produce the same (deterministic,
         augmentation-off) batches as the in-process thread pool."""
@@ -226,3 +227,110 @@ class TestWorkerPool:
         for bt, bp in zip(b_thread, b_proc):
             np.testing.assert_array_equal(bt["images"], bp["images"])
             np.testing.assert_array_equal(bt["audio"], bp["audio"])
+
+
+class TestDeterministicAugmentation:
+    """A resumed run must replay the exact augmentation draws of an
+    uninterrupted one (the reference checkpoints+restores all four RNG
+    states, train.py:500-514; here every draw is keyed on
+    (seed, epoch, batch, idx))."""
+
+    @pytest.fixture(scope="class")
+    def caption_tree(self, tmp_path_factory):
+        from PIL import Image
+
+        root = tmp_path_factory.mktemp("captions")
+        sub = root / "shard0"
+        sub.mkdir()
+        rng = np.random.default_rng(0)
+        for i in range(8):
+            arr = rng.integers(0, 255, size=(224, 224, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(sub / f"img{i}.jpg")
+            (sub / f"img{i}.txt").write_text(f"caption number {i}")
+        return str(root)
+
+    def test_augmented_epoch_is_reproducible(self, caption_tree):
+        from triad_tpu.data import LocalCaptionDataset, TVLoader, WordPieceTokenizer
+
+        def make():
+            ds = LocalCaptionDataset(caption_tree)
+            tok = WordPieceTokenizer.build_from_corpus(
+                [f"caption number {i}" for i in range(8)]
+            )
+            return TVLoader(
+                ds, tok, batch_size=4, max_text_tokens=8, num_workers=2,
+                seed=11, augment=True,
+            )
+
+        a = list(make().epoch(epoch=1))
+        b = list(make().epoch(epoch=1))
+        assert len(a) == len(b) == 2
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x["images"], y["images"])
+
+    def test_resumed_batches_bitwise_equal_augmented(self, caption_tree):
+        from triad_tpu.data import LocalCaptionDataset, TVLoader, WordPieceTokenizer
+
+        ds = LocalCaptionDataset(caption_tree)
+        tok = WordPieceTokenizer.build_from_corpus(
+            [f"caption number {i}" for i in range(8)]
+        )
+        loader = TVLoader(
+            ds, tok, batch_size=4, max_text_tokens=8, num_workers=2,
+            seed=7, augment=True,
+        )
+        full = list(loader.epoch(epoch=0))
+        resumed = list(loader.epoch(epoch=0, start_batch=1))
+        np.testing.assert_array_equal(
+            full[1]["images"], resumed[0]["images"]
+        )
+
+    def test_different_epochs_differ(self, caption_tree):
+        from triad_tpu.data import LocalCaptionDataset, TVLoader, WordPieceTokenizer
+
+        ds = LocalCaptionDataset(caption_tree)
+        tok = WordPieceTokenizer.build_from_corpus(["caption number 1"])
+        loader = TVLoader(
+            ds, tok, batch_size=8, max_text_tokens=8, num_workers=1,
+            seed=7, augment=True, shuffle=False,
+        )
+        e0 = next(iter(loader.epoch(epoch=0)))
+        e1 = next(iter(loader.epoch(epoch=1)))
+        assert not np.array_equal(e0["images"], e1["images"])
+
+
+class TestVideoIdDerivation:
+    def test_strips_trailing_clip_indices(self):
+        from triad_tpu.data.pipeline import video_id_from_path
+
+        assert video_id_from_path("/x/ytid_30_40.mp4") == "ytid"
+        assert video_id_from_path("/x/abc123_7.mp4") == "abc123"
+        assert video_id_from_path("/x/plain.mp4") == "plain"
+        # all-digits stem survives as itself
+        assert video_id_from_path("/x/12345.mp4") == "12345"
+
+    def test_av_loader_derives_ids_from_dataset(self):
+        from triad_tpu.data.pipeline import AVLoader
+
+        class StubDs:
+            video_files = [
+                f"/d/vid{i % 3}_{i}.mp4" for i in range(9)
+            ]  # 3 source videos x 3 clips
+
+            def __len__(self):
+                return 9
+
+            def __getitem__(self, idx, apply_augmentation=True, rng=None):
+                return {
+                    "video_path": self.video_files[idx],
+                    "video_frames": np.zeros((28, 28, 3), np.float32),
+                    "audio": np.zeros(800, np.float32),
+                }
+
+        loader = AVLoader(
+            StubDs(), batch_size=3, audio_num_samples=800, num_workers=1,
+            unique_videos=True,
+        )
+        for batch in loader.epoch(0):
+            ids = [p.split("/")[-1].split("_")[0] for p in batch["video_paths"]]
+            assert len(set(ids)) == 3  # one clip per source video

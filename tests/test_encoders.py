@@ -222,6 +222,7 @@ class TestHubertParity:
 
 
 class TestFastVariants:
+    @pytest.mark.slow
     def test_matmul_frontend_equals_conv(self):
         """frontend_impl='matmul' (im2col + MXU matmul) and
         'block_matmul' (contiguous-slice block matmuls) are numerically
@@ -361,6 +362,7 @@ class TestVitFusedMlp:
 
 
 class TestPallasFrontend:
+    @pytest.mark.slow
     def test_pallas_frontend_equals_conv(self):
         """frontend_impl='pallas' (fused stride-2 convs with VMEM
         norm/GELU prologues, interpret mode on CPU) matches the XLA conv
@@ -384,6 +386,7 @@ class TestPallasFrontend:
                 atol=1e-4, err_msg=impl,
             )
 
+    @pytest.mark.slow
     def test_pallas_frontend_gradients(self):
         """The custom-VJP backward (XLA reference recompute) produces
         the same parameter gradients as the conv path."""
@@ -426,3 +429,100 @@ class TestPallasFrontend:
                     np.asarray(flat_a[ks]), np.asarray(v), rtol=2e-3,
                     atol=2e-4, err_msg=ks,
                 )
+
+
+class TestSpecAugment:
+    """HF HuBERT applies SpecAugment time masking in train mode
+    (modeling_hubert._mask_hidden_states; ACTIVE in the reference's
+    training since model.train() keeps apply_spec_augment=True)."""
+
+    def _model(self, **kw):
+        from triad_tpu.core.config import HubertConfig
+        from triad_tpu.models.hubert import HubertModel
+
+        cfg = HubertConfig(
+            hidden_size=32, num_layers=1, num_heads=4, intermediate_size=64,
+            conv_dim=(16, 16), conv_kernel=(10, 3), conv_stride=(5, 2),
+            num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+            hidden_dropout=0.0, activation_dropout=0.0,
+            attention_dropout=0.0, feat_proj_dropout=0.0, layerdrop=0.0,
+            **kw,
+        )
+        return HubertModel(cfg), cfg
+
+    def test_eval_mode_unaffected(self):
+        import jax
+        import jax.numpy as jnp
+
+        model, _ = self._model()
+        audio = jnp.asarray(
+            np.random.default_rng(0).normal(size=(2, 800)), jnp.float32
+        )
+        params = model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            audio, deterministic=True,
+        )["params"]
+        assert "masked_spec_embed" in params  # mask_time_prob > 0 default
+        a = model.apply({"params": params}, audio, deterministic=True)
+        b = model.apply({"params": params}, audio, deterministic=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_mask_fraction_and_replacement(self):
+        """Direct check of the masking op: HF semantics — ~mask_prob of
+        time steps replaced by the learned embed vector, span length L,
+        at least min_masks spans."""
+        import jax
+        import jax.numpy as jnp
+
+        from triad_tpu.models.hubert import _spec_augment_time_mask
+
+        B, T, D = 16, 500, 8
+        x = jnp.zeros((B, T, D), jnp.float32)
+        embed = jnp.ones((D,), jnp.float32)
+        out = np.asarray(
+            _spec_augment_time_mask(
+                x, embed, jax.random.key(0),
+                mask_prob=0.05, mask_length=10, min_masks=2,
+            )
+        )
+        masked = np.all(out == 1.0, axis=-1)  # (B, T)
+        untouched = np.all(out == 0.0, axis=-1)
+        assert np.all(masked | untouched)  # replaced or untouched, never mixed
+        per_row = masked.sum(axis=1)
+        # at least min_masks spans (overlap can reduce below 2*L only if
+        # spans coincide; >= L always)
+        assert np.all(per_row >= 10)
+        # mean fraction in the right ballpark (5% target, span quantized)
+        frac = masked.mean()
+        assert 0.02 < frac < 0.15, f"masked fraction {frac}"
+
+    def test_disabled_by_flag(self):
+        import jax
+        import jax.numpy as jnp
+
+        model, _ = self._model(apply_spec_augment=False)
+        audio = jnp.asarray(
+            np.random.default_rng(0).normal(size=(2, 800)), jnp.float32
+        )
+        params = model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            audio, deterministic=True,
+        )["params"]
+        a = model.apply({"params": params}, audio, deterministic=True)
+        b = model.apply(
+            {"params": params}, audio, deterministic=False,
+            rngs={"dropout": jax.random.key(3)},
+        )
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_zero_prob_has_no_param(self):
+        import jax
+        import jax.numpy as jnp
+
+        model, _ = self._model(mask_time_prob=0.0)
+        audio = jnp.zeros((1, 800), jnp.float32)
+        params = model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            audio, deterministic=True,
+        )["params"]
+        assert "masked_spec_embed" not in params

@@ -118,6 +118,7 @@ class TestTriadModel:
         with pytest.raises(ValueError):
             model.apply({"params": params}, method=TriadModel.inference_forward)
 
+    @pytest.mark.slow
     def test_end_to_end_losses_finite_and_grad_flows(self, model_and_params, batch):
         model, params, cfg = model_and_params
         lcfg = LossConfig()

@@ -81,6 +81,7 @@ class TestOneCycleVsTorch:
 
 
 class TestStagedUnfreezeVsTorch:
+    @pytest.mark.slow
     def test_adamw_trajectory_with_delayed_group(self):
         """Two params: 'others' (always on) and 'audio' (unfrozen at step
         5). Compare 20 updates against torch AdamW + reference gating:

@@ -105,6 +105,7 @@ class TestDistributedTV:
 
 
 class TestZero1:
+    @pytest.mark.slow
     def test_zero1_matches_replicated_and_shards_moments(self, mesh):
         """ZeRO-1 sharded optimizer state: same training trajectory as
         the replicated state (up to collective reduction order), with

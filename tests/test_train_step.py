@@ -49,6 +49,7 @@ def setup():
     return factory, state, av_batch, tv_batch
 
 
+@pytest.mark.slow
 def test_joint_step_loss_decreases(setup):
     factory, state, av_batch, tv_batch = setup
     step = jax.jit(factory.make_step("joint"))
@@ -61,6 +62,7 @@ def test_joint_step_loss_decreases(setup):
     assert losses[-1] < losses[0], f"no learning: {losses[0]} -> {losses[-1]}"
 
 
+@pytest.mark.slow
 def test_accumulation_boundary_updates_params(setup):
     factory, state, av_batch, tv_batch = setup
     step = jax.jit(factory.make_step("av"))

@@ -67,6 +67,7 @@ def run_dir(tmp_path_factory):
     return tmp_path_factory.mktemp("trainer")
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end(run_dir):
     from triad_tpu.train.trainer import Trainer
 
@@ -88,6 +89,7 @@ def test_trainer_end_to_end(run_dir):
     assert trainer.ckpt.latest_step() == 3
 
 
+@pytest.mark.slow
 def test_resume_restores_state(run_dir):
     from triad_tpu.train.trainer import Trainer
 
@@ -135,3 +137,21 @@ def test_phase_schedule():
     phase, w_av, _ = f(Stub, 3)
     assert phase == "weighted_joint" and w_av == pytest.approx(0.65)
     assert f(Stub, 4)[0] == "full_joint"
+
+
+def test_retrieval_encoders_compile_once(run_dir):
+    """eval_1000_way_retrieval must reuse the trainer's jitted encoders
+    (round-1 weak spot: fresh @jax.jit closures per call recompiled the
+    encoders on every periodic eval — minutes each over the
+    remote-compile tunnel)."""
+    from triad_tpu.train.trainer import Trainer
+
+    cfg = tiny_config(run_dir)
+    trainer = Trainer(cfg, force_new_training=False)
+    trainer.eval_1000_way_retrieval()
+    av_compiles = trainer._enc_av._cache_size()
+    tv_compiles = trainer._enc_tv._cache_size()
+    assert av_compiles == 1 and tv_compiles == 1
+    trainer.eval_1000_way_retrieval()
+    assert trainer._enc_av._cache_size() == av_compiles
+    assert trainer._enc_tv._cache_size() == tv_compiles

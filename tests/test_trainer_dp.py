@@ -11,9 +11,9 @@ import jax
 from triad_tpu.core.config import MeshConfig
 from tests.test_trainer import tiny_config
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     jax.device_count() < 8, reason="needs 8 virtual devices"
-)
+)]
 
 
 def test_dp_trainer_end_to_end(tmp_path):

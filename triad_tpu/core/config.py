@@ -131,6 +131,16 @@ class HubertConfig:
     attention_dropout: float = 0.1
     feat_proj_dropout: float = 0.0
     layerdrop: float = 0.1
+    # SpecAugment time masking (HF HubertConfig defaults — ACTIVE in the
+    # reference's training forwards: model.train() leaves HF's
+    # apply_spec_augment on, so ~5% of audio tokens are masked with the
+    # learned masked_spec_embed vector each step;
+    # modeling_hubert._mask_hidden_states). The masked_spec_embed param
+    # exists iff mask_time_prob > 0 (HF's creation rule).
+    apply_spec_augment: bool = True
+    mask_time_prob: float = 0.05
+    mask_time_length: int = 10
+    mask_time_min_masks: int = 2
 
     def num_audio_tokens(self, num_samples: int) -> int:
         """Output sequence length of the conv feature encoder."""
@@ -247,6 +257,13 @@ class DataConfig:
     # Synthetic dataset sizes when no real data is configured.
     synthetic_av_size: int = 256
     synthetic_tv_size: int = 256
+    # Draw AV batches with unique source-video ids (no same-video false
+    # negatives in a contrastive batch — the reference's
+    # VideoBatchSampler intent, dataset.py:137-164, defined there but
+    # never wired). Ids derive from filenames: a trailing _<digits>
+    # clip-index is stripped, so "ytid_30_40.mp4" and "ytid_40_50.mp4"
+    # share an id.
+    unique_videos: bool = False
 
 
 @dataclass(frozen=True)

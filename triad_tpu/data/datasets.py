@@ -52,13 +52,19 @@ class LocalCaptionDataset:
         return len(self.image_files)
 
     def __getitem__(
-        self, idx: int, apply_augmentation: Optional[bool] = None
+        self, idx: int, apply_augmentation: Optional[bool] = None,
+        rng: Optional[np.random.Generator] = None,
     ) -> Tuple[np.ndarray, str]:
+        """``rng``: augmentation RNG. The loaders pass one keyed on
+        (seed, epoch, batch, idx) so a resumed run replays the exact
+        augmentations of an uninterrupted one (the reference restores
+        all four RNG states instead, train.py:500-514)."""
         aug = self.augment if apply_augmentation is None else apply_augmentation
         img_path = self.image_files[idx]
         try:
             img = load_image(str(img_path), self.image_size)
-            rng = np.random.default_rng(random.getrandbits(32))
+            if rng is None:
+                rng = np.random.default_rng(random.getrandbits(32))
             img = augment_tv_image(img, rng) if aug else clean_image(img)
             caption = img_path.with_suffix(".txt").read_text().strip()
             return img, caption
@@ -100,7 +106,13 @@ class AudioVisualDataset:
     def __len__(self) -> int:
         return len(self.video_files)
 
-    def __getitem__(self, idx: int, apply_augmentation: bool = True) -> Dict:
+    def __getitem__(
+        self, idx: int, apply_augmentation: bool = True,
+        rng: Optional[np.random.Generator] = None,
+    ) -> Dict:
+        """``rng`` seeds both the random-frame pick and the augmentation
+        draws (keyed per (seed, epoch, batch, idx) by the loaders for
+        exact mid-epoch resume)."""
         path = self.video_files[idx]
         try:
             audio = extract_audio(str(path))
@@ -109,7 +121,8 @@ class AudioVisualDataset:
             audio = np.zeros(FALLBACK_NUM_SAMPLES, np.float32)
         try:
             frame = load_video_frame(
-                str(path), size=self.image_size, apply_augmentation=apply_augmentation
+                str(path), rng=rng, size=self.image_size,
+                apply_augmentation=apply_augmentation,
             )
         except Exception as e:  # noqa: BLE001
             print(f"Error processing {path} video frame: {e}")
@@ -155,7 +168,8 @@ class SyntheticTVDataset:
         return self.size
 
     def __getitem__(
-        self, idx: int, apply_augmentation: Optional[bool] = None
+        self, idx: int, apply_augmentation: Optional[bool] = None,
+        rng: Optional[np.random.Generator] = None,
     ) -> Tuple[np.ndarray, str]:
         rng = np.random.default_rng(self.seed * 1_000_003 + idx)
         img = rng.uniform(0, 1, size=(self.image_size, self.image_size, 3))
@@ -192,7 +206,10 @@ class SyntheticAVDataset:
     def __len__(self) -> int:
         return self.size
 
-    def __getitem__(self, idx: int, apply_augmentation: bool = True) -> Dict:
+    def __getitem__(
+        self, idx: int, apply_augmentation: bool = True,
+        rng: Optional[np.random.Generator] = None,
+    ) -> Dict:
         rng = np.random.default_rng(self.seed * 7_000_003 + idx)
         img = rng.uniform(0, 1, size=(self.image_size, self.image_size, 3))
         frame = clean_image(img.astype(np.float32))

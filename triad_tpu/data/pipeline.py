@@ -47,6 +47,20 @@ class _IndexSampler:
         return self.order[lo : lo + self.batch_size]
 
 
+def video_id_from_path(path) -> str:
+    """Source-video id of a clip file: the stem with trailing
+    ``_<digits>`` clip/segment indices stripped, so AudioSet-style
+    shards of one video ("ytid_30_40.mp4", "ytid_40_50.mp4") share an
+    id. The reference's VideoBatchSampler takes precomputed vid_nums
+    (dataset.py:137-141); this derives them from the filenames we have.
+    """
+    import re
+    from pathlib import Path
+
+    stem = Path(path).stem
+    return re.sub(r"(_\d+)+$", "", stem) or stem
+
+
 class UniqueVideoSampler:
     """Batches with unique source-video ids — no same-video false
     negatives inside a contrastive batch.
@@ -96,12 +110,15 @@ class AVLoader:
         augment: bool = True,
         drop_last: bool = True,
         unique_video_ids=None,
+        unique_videos: bool = False,
         worker_mode: str = "thread",
     ):
         """``unique_video_ids``: optional per-sample source-video ids;
         when given, batches are drawn with the UniqueVideoSampler (no
         same-video false negatives — the reference's VideoBatchSampler
-        intent, dataset.py:137-164).
+        intent, dataset.py:137-164). ``unique_videos``: derive those ids
+        from the dataset's current file list via video_id_from_path at
+        each epoch start (tracks segment switches).
 
         ``worker_mode``: "thread" (in-process) or "process" (spawned
         decode workers — true CPU parallelism, data/workers.py)."""
@@ -114,6 +131,14 @@ class AVLoader:
         self.augment = augment
         self.drop_last = drop_last
         self.unique_video_ids = unique_video_ids
+        self.unique_videos = unique_videos
+        if unique_videos and unique_video_ids is None and not hasattr(
+            dataset, "video_files"
+        ):
+            raise ValueError(
+                "unique_videos needs a dataset with video_files (or pass "
+                "unique_video_ids)"
+            )
         self.pool = WorkerPool(dataset, num_workers, worker_mode)
 
     def __len__(self) -> int:
@@ -123,9 +148,12 @@ class AVLoader:
         return n
 
     def epoch(self, epoch: int, start_batch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
-        if self.unique_video_ids is not None:
+        ids = self.unique_video_ids
+        if ids is None and self.unique_videos:
+            ids = [video_id_from_path(p) for p in self.dataset.video_files]
+        if ids is not None:
             sampler = UniqueVideoSampler(
-                self.unique_video_ids, self.batch_size, self.seed, epoch
+                ids, self.batch_size, self.seed, epoch
             )
         else:
             sampler = _IndexSampler(
@@ -134,7 +162,12 @@ class AVLoader:
             )
         for b in range(start_batch, sampler.num_batches):
             idx = sampler.batch_indices(b)
-            items = self.pool.map(idx, self.augment)
+            # Deterministic augmentation: one RNG per draw, keyed on
+            # (seed, epoch, batch, idx) — a resumed run replays the
+            # exact augmentations (reference RNG restore,
+            # train.py:500-514).
+            seeds = [(self.seed, epoch, b, int(i)) for i in idx]
+            items = self.pool.map(idx, self.augment, seeds=seeds)
             images = np.stack([it["video_frames"] for it in items])
             audio = np.stack(
                 [pad_or_trim(it["audio"], self.audio_num_samples) for it in items]
@@ -190,7 +223,8 @@ class TVLoader:
         )
         for b in range(start_batch, sampler.num_batches):
             idx = sampler.batch_indices(b)
-            items = self.pool.map(idx, self.augment)
+            seeds = [(self.seed, epoch, b, int(i)) for i in idx]
+            items = self.pool.map(idx, self.augment, seeds=seeds)
             images = np.stack([img for img, _ in items])
             captions = [cap for _, cap in items]
             ids, mask = self.tokenizer.encode_batch(

@@ -18,7 +18,9 @@ from __future__ import annotations
 
 import multiprocessing as mp
 from concurrent.futures import ThreadPoolExecutor
-from typing import Any, List, Sequence
+from typing import Any, List, Optional, Sequence
+
+import numpy as np
 
 _WORKER_DATASET: Any = None
 
@@ -29,8 +31,11 @@ def _init_worker(dataset: Any) -> None:
 
 
 def _load_item(args) -> Any:
-    idx, augment = args
-    return _WORKER_DATASET.__getitem__(int(idx), apply_augmentation=augment)
+    idx, augment, seed = args
+    rng = None if seed is None else np.random.default_rng(seed)
+    return _WORKER_DATASET.__getitem__(
+        int(idx), apply_augmentation=augment, rng=rng
+    )
 
 
 class WorkerPool:
@@ -59,19 +64,27 @@ class WorkerPool:
                 self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
         return self._pool
 
-    def map(self, indices: Sequence[int], augment: bool) -> List[Any]:
+    def map(self, indices: Sequence[int], augment: bool,
+            seeds: Optional[Sequence] = None) -> List[Any]:
+        """``seeds``: optional per-item augmentation-RNG seeds (any
+        np.random.default_rng-accepted seed, e.g. (seed, epoch, batch,
+        idx) tuples) — deterministic augmentation for exact resume."""
         pool = self._ensure()
-        args = [(int(i), augment) for i in indices]
+        if seeds is None:
+            seeds = [None] * len(indices)
+        args = [(int(i), augment, s) for i, s in zip(indices, seeds)]
         if self.mode == "process":
             return pool.map(_load_item, args)
         # Thread mode: bind the dataset locally (the module global would
         # be racy across concurrently-prefetching loaders).
         ds = self.dataset
-        return list(
-            pool.map(
-                lambda a: ds.__getitem__(a[0], apply_augmentation=a[1]), args
-            )
-        )
+
+        def load(a):
+            idx, aug, seed = a
+            rng = None if seed is None else np.random.default_rng(seed)
+            return ds.__getitem__(idx, apply_augmentation=aug, rng=rng)
+
+        return list(pool.map(load, args))
 
     def close(self) -> None:
         if self._pool is None:

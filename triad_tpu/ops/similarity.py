@@ -227,9 +227,6 @@ def aggregate_crossbatch(
     compute_diag: bool = True,
     precision: str = "highest",
 ) -> AggregateOut:
-    unroll = False
-    if implementation == "chunked_unrolled":
-        implementation, unroll = "chunked", True
     """Cross-batch max-mean aggregation (reference model.py:370-392/490-514).
 
     query: (B, Nq, D) audio or text tokens (rows of clip_sims).
@@ -240,6 +237,9 @@ def aggregate_crossbatch(
     query_mask: optional (B, Nq) validity mask => masked mean over queries
         (the reference TV path, model.py:509-512).
     """
+    unroll = False
+    if implementation == "chunked_unrolled":
+        implementation, unroll = "chunked", True
     if implementation == "dense":
         return _aggregate_dense(
             query, key, temperature, clamp_min, query_mask, compute_diag,

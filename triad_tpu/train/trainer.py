@@ -130,6 +130,8 @@ class Trainer:
             self.av_dataset, dc.batch_size_av, dc.audio_num_samples,
             seed=tc.seed, num_workers=dc.num_workers,
             worker_mode=dc.worker_mode,
+            unique_videos=dc.unique_videos
+            and hasattr(self.av_dataset, "video_files"),
         )
         self.tv_loader = TVLoader(
             self.tv_dataset, self.tokenizer, dc.batch_size_tv,
@@ -211,6 +213,35 @@ class Trainer:
             mode: jax.jit(self.factory.make_eval_loss(mode))
             for mode in ("av", "tv", "joint")
         }
+
+        # Retrieval-eval encoders, jitted ONCE here with params as an
+        # argument: building fresh @jax.jit closures inside
+        # eval_1000_way_retrieval recompiled the encoders on every
+        # periodic eval (minutes each through the remote-compile tunnel).
+        def _enc_av(params, images, audio):
+            a = self.model.apply(
+                {"params": params}, audio, train=False,
+                method=TriadModel.encode_audio,
+            )
+            v = self.model.apply(
+                {"params": params}, images, train=False,
+                method=TriadModel.encode_visual,
+            )
+            return a, v
+
+        def _enc_tv(params, images, ids, mask):
+            t = self.model.apply(
+                {"params": params}, ids, mask, train=False,
+                method=TriadModel.encode_text,
+            )
+            v = self.model.apply(
+                {"params": params}, images, train=False,
+                method=TriadModel.encode_visual,
+            )
+            return t, v
+
+        self._enc_av = jax.jit(_enc_av)
+        self._enc_tv = jax.jit(_enc_tv)
 
         # -- progress / resume ----------------------------------------
         self.progress = HostProgress()
@@ -511,17 +542,8 @@ class Trainer:
                 subset_size,
             )
 
-            @jax.jit
             def enc_av(images, audio):
-                a = self.model.apply(
-                    {"params": self.state.params}, audio, train=False,
-                    method=TriadModel.encode_audio,
-                )
-                v = self.model.apply(
-                    {"params": self.state.params}, images, train=False,
-                    method=TriadModel.encode_visual,
-                )
-                return a, v
+                return self._enc_av(self.state.params, images, audio)
 
             a, am, v = embed_av_subset(
                 enc_av, self.val_av_dataset, indices,
@@ -536,17 +558,8 @@ class Trainer:
                 subset_size,
             )
 
-            @jax.jit
             def enc_tv(images, ids, mask):
-                t = self.model.apply(
-                    {"params": self.state.params}, ids, mask, train=False,
-                    method=TriadModel.encode_text,
-                )
-                v = self.model.apply(
-                    {"params": self.state.params}, images, train=False,
-                    method=TriadModel.encode_visual,
-                )
-                return t, v
+                return self._enc_tv(self.state.params, images, ids, mask)
 
             t, tm, v = embed_tv_subset(
                 enc_tv, self.val_tv_dataset, indices, self.tokenizer,
@@ -605,6 +618,10 @@ class Trainer:
                     sim_av, item["video_frames"], audio,
                     str(viz_dir / f"av_{i}.png"), num_tokens_to_show=8,
                 )
+                self.metrics.log_image(
+                    f"viz_av_{i}", str(viz_dir / f"av_{i}.png"),
+                    step=self.progress.global_step,
+                )
                 if i == 0:
                     # attention mp4 with the original audio muxed when the
                     # source file + ffmpeg exist (train.py:658-680).
@@ -613,6 +630,11 @@ class Trainer:
                         sim_av, item["video_frames"], audio,
                         str(viz_dir / "av_0_attention.mp4"),
                         video_path=src if src and not str(src).startswith("synthetic") else None,
+                    )
+                    self.metrics.log_video(
+                        "viz_av_0_attention",
+                        str(viz_dir / "av_0_attention.mp4"),
+                        step=self.progress.global_step,
                     )
 
         def sim_tv(frame, text):
@@ -641,5 +663,9 @@ class Trainer:
                     continue
                 self.text_viz.plot_token_attentions(
                     sim_tv, img, caption, str(viz_dir / f"tv_{i}.png")
+                )
+                self.metrics.log_image(
+                    f"viz_tv_{i}", str(viz_dir / f"tv_{i}.png"),
+                    step=self.progress.global_step,
                 )
         self.metrics.info(f"Wrote visualizations to {viz_dir}")

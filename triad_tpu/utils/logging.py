@@ -70,6 +70,28 @@ class MetricsLogger:
         if self._wandb is not None:
             self._wandb.log(record)
 
+    def log_image(self, name: str, path: str,
+                  step: Optional[int] = None) -> None:
+        """Mirror a viz PNG into wandb (reference train.py:674-680,
+        696-702 pushes heatmap images via wandb.Image). JSONL records
+        the artifact path either way."""
+        record: Dict[str, Any] = {f"{name}_path": str(path)}
+        if step is not None:
+            record["global_step"] = step
+        self._jsonl.write(json.dumps(record) + "\n")
+        if self._wandb is not None:
+            self._wandb.log({name: self._wandb.Image(str(path))})
+
+    def log_video(self, name: str, path: str,
+                  step: Optional[int] = None) -> None:
+        """Mirror an attention video into wandb (train.py:676-678)."""
+        record: Dict[str, Any] = {f"{name}_path": str(path)}
+        if step is not None:
+            record["global_step"] = step
+        self._jsonl.write(json.dumps(record) + "\n")
+        if self._wandb is not None:
+            self._wandb.log({name: self._wandb.Video(str(path))})
+
     def info(self, msg: str) -> None:
         self.logger.info(msg)
         print(msg)
