@@ -112,7 +112,6 @@ class DistilBertModel(nn.Module):
     cfg: DistilBertConfig
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
-    dropout_rate: float = 0.1
 
     @nn.compact
     def __call__(
@@ -141,7 +140,9 @@ class DistilBertModel(nn.Module):
             epsilon=c.layer_norm_eps, dtype=self.dtype, param_dtype=self.param_dtype,
             name="emb_layer_norm",
         )(x)
-        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        # HF DistilBERT embeddings dropout shares config.dropout (was
+        # hard-coded 0.1 — caught by the e2e train-parity harness).
+        x = nn.Dropout(c.dropout)(x, deterministic=deterministic)
         for i in range(c.num_layers):
             x = DistilBertBlock(
                 c, dtype=self.dtype, param_dtype=self.param_dtype, name=f"layer_{i}"

@@ -23,6 +23,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from triad_tpu.core.config import HubertConfig
@@ -541,6 +542,42 @@ class HubertEncoderLayer(nn.Module):
         return self._residual_ln("final_layer_norm", x, h, deterministic)
 
 
+def _spec_augment_time_mask(
+    x: jax.Array,
+    masked_embed: jax.Array,
+    rng: jax.Array,
+    mask_prob: float,
+    mask_length: int,
+    min_masks: int,
+) -> jax.Array:
+    """HF ``_compute_mask_indices`` time masking, shape-static.
+
+    Per batch row: the span count is ``max(min_masks,
+    floor(mask_prob*T/L + U[0,1)))`` (HF's stochastic rounding), span
+    starts are uniform over [0, T-L]; spans may overlap (as in HF).
+    Masked positions are replaced by the learned ``masked_spec_embed``
+    vector. Statically we always draw ``max_spans`` candidate spans and
+    activate the first ``num_spans`` of them.
+    """
+    B, T, _ = x.shape
+    L = min(mask_length, T)
+    mean_spans = mask_prob * T / L
+    max_spans = max(min_masks, int(np.ceil(mean_spans)) + 1)
+    r_eps, r_start = jax.random.split(rng)
+    eps = jax.random.uniform(r_eps, (B,))
+    num_spans = jnp.maximum(
+        min_masks, jnp.floor(mean_spans + eps).astype(jnp.int32)
+    )
+    starts = jax.random.randint(
+        r_start, (B, max_spans), 0, max(1, T - L + 1)
+    )
+    active = jnp.arange(max_spans)[None, :] < num_spans[:, None]  # (B, S)
+    pos = jnp.arange(T)[None, None, :]  # (1, 1, T)
+    in_span = (pos >= starts[..., None]) & (pos < starts[..., None] + L)
+    time_mask = jnp.any(in_span & active[..., None], axis=1)  # (B, T)
+    return jnp.where(time_mask[..., None], masked_embed, x)
+
+
 class HubertModel(nn.Module):
     """(B, T) normalized waveform -> (B, T', hidden) last hidden state.
 
@@ -653,6 +690,24 @@ class HubertModel(nn.Module):
         x = nn.Dropout(c.feat_proj_dropout, name="feat_proj_dropout")(
             x, deterministic=deterministic
         )
+        # SpecAugment time masking (HF modeling_hubert applies it right
+        # after feature projection, before the encoder; active in the
+        # reference's train forwards). The param is declared iff
+        # mask_time_prob > 0 — HF's creation rule — so ported HF trees
+        # match ours key-for-key.
+        if c.mask_time_prob > 0:
+            masked_embed = self.param(
+                "masked_spec_embed",
+                nn.initializers.uniform(scale=1.0),
+                (c.hidden_size,),
+                self.param_dtype,
+            )
+            if not deterministic and c.apply_spec_augment:
+                x = _spec_augment_time_mask(
+                    x, masked_embed.astype(x.dtype), self.make_rng("dropout"),
+                    c.mask_time_prob, c.mask_time_length,
+                    c.mask_time_min_masks,
+                )
         pos = PositionalConvEmbedding(
             c, dtype=self.dtype, param_dtype=self.param_dtype, name="pos_conv_embed"
         )(x)

@@ -171,6 +171,10 @@ def port_hubert(hf_model) -> Dict[str, Any]:
         },
         "encoder_layer_norm": _norm(enc.layer_norm),
     }
+    # Present iff mask_time_prob > 0 (HF creation rule; our HubertModel
+    # declares the param under the same condition).
+    if hasattr(hf_model, "masked_spec_embed"):
+        params["masked_spec_embed"] = _t(hf_model.masked_spec_embed)
     for i, layer in enumerate(enc.layers):
         params[f"layer_{i}"] = {
             "attention": {
