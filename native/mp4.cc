@@ -452,6 +452,25 @@ int64_t mp4_decoder_config(void* h, int32_t ti, uint8_t* out, int64_t max) {
   return static_cast<int64_t>(t.dconf.size());
 }
 
+// Bulk sample table: fills offsets[i]/sizes[i] for up to `max` samples
+// in one FFI call (the compressed-codec decode path hands the whole
+// packet table to libavcodec at once). Returns the count written, <0
+// on a bad handle/track.
+int64_t mp4_sample_table(void* h, int32_t ti, int64_t* offsets,
+                         int64_t* sizes, int64_t max) {
+  Mp4* f = static_cast<Mp4*>(h);
+  if (!f) return -1;
+  if (ti < 0 || ti >= static_cast<int32_t>(f->tracks.size())) return -1;
+  const Track& t = f->tracks[ti];
+  int64_t n = static_cast<int64_t>(t.sample_offsets.size());
+  if (n > max) n = max;
+  for (int64_t i = 0; i < n; ++i) {
+    offsets[i] = static_cast<int64_t>(t.sample_offsets[i]);
+    sizes[i] = t.sample_sizes[i];
+  }
+  return n;
+}
+
 // Total payload bytes across all samples of a track (one call instead
 // of n_samples mp4_sample_range FFI round-trips — PCM tracks commonly
 // table one sample per frame, ~160k for 10 s audio). Returns <0 on a

@@ -63,7 +63,76 @@ def run(loader: AVLoader, n_batches: int) -> float:
     return clips / dt
 
 
+def run_packed(
+    image_size: int = 224,
+    audio_secs: float = 10.0,
+    n_clips: int = 256,
+    batch_size: int = 64,
+    seconds: float = 10.0,
+    workers: int = 4,
+    mode: str = "thread",
+) -> float:
+    """Full-shape packed-pipeline measurement: TriadPack shard ->
+    AVLoader (augmentation on) -> Prefetcher (device_put) at B=64,
+    sustained over >= ``seconds`` wall seconds. This is the number to
+    compare against the chip's eval consumption (bench.py clips/s/chip):
+    the loader must outrun it."""
+    import tempfile
+
+    import jax
+
+    from triad_tpu.data.datasets import SyntheticAVDataset
+    from triad_tpu.data.packed import PackedAVDataset, pack_dataset
+    from triad_tpu.data.pipeline import Prefetcher, cycling
+
+    audio_samples = int(audio_secs * 16_000)
+    tmp = tempfile.mkdtemp(prefix="triad_pack_bench_")
+    path = os.path.join(tmp, "bench.tpack")
+    try:
+        src = SyntheticAVDataset(
+            size=n_clips, image_size=image_size, audio_seconds=audio_secs
+        )
+        t0 = time.perf_counter()
+        pack_dataset(
+            src, path, image_size=image_size, audio_samples=audio_samples
+        )
+        print(f"packed {n_clips} clips in {time.perf_counter() - t0:.1f}s")
+        ds = PackedAVDataset(path)
+        loader = AVLoader(
+            ds, batch_size=batch_size, audio_num_samples=audio_samples,
+            num_workers=workers, worker_mode=mode, seed=0,
+        )
+        it = Prefetcher(
+            cycling(lambda e, b: loader.epoch(e, b)), prefetch=4
+        )
+        batch = next(it)  # warm: workers + device transfer path
+        jax.block_until_ready(batch["audio"])
+        clips = 0
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < seconds:
+            batch = next(it)
+            jax.block_until_ready(batch["audio"])
+            clips += batch["images"].shape[0]
+        dt = time.perf_counter() - t0
+        it.close()
+        loader.pool.close()
+        rate = clips / dt
+        print(
+            f"packed pipeline ({mode} x{workers}, B={batch_size}, "
+            f"{image_size}px, {audio_secs}s audio): {rate:.1f} clips/s "
+            f"to device over {dt:.1f}s"
+        )
+        return rate
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "packed":
+        workers = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+        mode = sys.argv[3] if len(sys.argv) > 3 else "thread"
+        run_packed(workers=workers, mode=mode)
+        return
     n_clips = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     secs = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
     cpus = os.cpu_count() or 1

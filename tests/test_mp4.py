@@ -83,7 +83,7 @@ class TestMux:
             0.5 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)
         ).astype(np.float32)
         out = str(tmp_path / "remux.mp4")
-        mux_mp4(out, cv2_mp4, audio, sr)
+        mux_mp4(out, cv2_mp4, audio, sr, audio_codec="sowt")
 
         # our demuxer reads both tracks back
         with Mp4File.from_path(out) as f:
@@ -126,7 +126,7 @@ class TestMux:
             0.3 * np.sin(2 * np.pi * 330 * np.arange(sr) / sr)
         ).astype(np.float32)
         out = str(tmp_path / "av.mp4")
-        mux_mp4(out, cv2_mp4, audio, sr)
+        mux_mp4(out, cv2_mp4, audio, sr, audio_codec="sowt")
         got = extract_audio(out, target_sr=16_000)
         # resampled to 16 kHz, content preserved (not the zero sentinel)
         assert abs(len(got) - 16_000) <= 2
@@ -290,3 +290,102 @@ class TestPcmVariants:
             _ = f.tracks
         with pytest.raises(ValueError, match="closed"):
             f.sample_range(0, 0)
+
+
+class TestAvDecode:
+    """libavcodec-backed compressed-codec paths (native/avdecode.cc —
+    the reference reaches the same library via torchcodec/torchaudio)."""
+
+    @pytest.fixture(scope="class", autouse=True)
+    def require_avdec(self):
+        if not native.avdec_supported():
+            pytest.skip("native library built without libavcodec")
+
+    def test_aac_mux_demux_decode_roundtrip(self, cv2_mp4, tmp_path):
+        """mp4a (AAC-LC) audio track: our muxer writes it (esds chain
+        from the native encoder), our demuxer+libavcodec decode it."""
+        from triad_tpu.data.mp4 import Mp4File, extract_audio_track, mux_mp4
+
+        sr = 16_000
+        audio = (
+            0.4 * np.sin(2 * np.pi * 440 * np.arange(2 * sr) / sr)
+        ).astype(np.float32)
+        out = str(tmp_path / "aac.mp4")
+        mux_mp4(out, cv2_mp4, audio, sr, audio_codec="mp4a")
+        with Mp4File.from_path(out) as f:
+            a = f.tracks[f.find_track("soun")]
+            assert a.codec == "mp4a" and not a.is_pcm
+            assert a.sample_rate == sr
+        got, got_sr = extract_audio_track(out)
+        assert got_sr == sr
+        # lossy codec: check length (~encoder delay tolerance) + tone
+        assert abs(len(got) - len(audio)) < 5000
+        spec = np.abs(np.fft.rfft(got[2048 : 2048 + sr]))
+        assert abs(int(np.argmax(spec)) - 440) <= 2
+
+    def test_extract_audio_handles_aac(self, cv2_mp4, tmp_path):
+        """data/audio.extract_audio decodes AAC natively (no ffmpeg
+        binary in this image)."""
+        from triad_tpu.data.audio import extract_audio
+        from triad_tpu.data.mp4 import mux_mp4
+
+        sr = 44_100
+        audio = (
+            0.3 * np.sin(2 * np.pi * 330 * np.arange(sr) / sr)
+        ).astype(np.float32)
+        out = str(tmp_path / "aac44.mp4")
+        mux_mp4(out, cv2_mp4, audio, sr, audio_codec="mp4a")
+        got = extract_audio(out, target_sr=16_000)
+        assert got.size > 8000  # decoded + resampled, not the sentinel
+        spec = np.abs(np.fft.rfft(got[:16_000]))
+        assert abs(int(np.argmax(spec)) - 330) <= 2
+
+    def test_native_video_frame_matches_cv2(self, cv2_mp4):
+        """Native demux + libavcodec frame decode vs cv2 on the same
+        mp4v file (identical codec, same frame index)."""
+        from triad_tpu.data.mp4 import Mp4File
+
+        with Mp4File.from_path(cv2_mp4) as f:
+            ti = f.find_track("vide")
+            rgb = f.decode_frame(ti, 5)
+        assert rgb.shape == (48, 64, 3)
+        cap = cv2.VideoCapture(cv2_mp4)
+        cap.set(cv2.CAP_PROP_POS_FRAMES, 5)
+        ok, bgr = cap.read()
+        cap.release()
+        assert ok
+        ref = bgr[:, :, ::-1].astype(np.int16)
+        diff = np.abs(rgb.astype(np.int16) - ref)
+        assert float(diff.mean()) < 4.0, f"mean abs diff {diff.mean()}"
+
+    def test_load_video_frame_uses_native(self, cv2_mp4):
+        from triad_tpu.data.video import load_video_frame
+
+        rng = np.random.default_rng(0)
+        frame = load_video_frame(cv2_mp4, rng=rng, size=32,
+                                 apply_augmentation=False)
+        assert frame.shape == (32, 32, 3)
+        assert np.isfinite(frame).all()
+
+    def test_attention_video_aac_audio(self, tmp_path):
+        """Attention videos now embed AAC audio (the reference's codec,
+        viz.py:134) instead of PCM when libavcodec is linked."""
+        from triad_tpu.data.mp4 import Mp4File
+        from triad_tpu.viz.heatmaps import AudioVisualizer
+
+        viz = AudioVisualizer(image_size=224)
+        frame = np.zeros((224, 224, 3), np.float32)
+        audio = 0.1 * np.sin(
+            2 * np.pi * 440 * np.arange(16_000) / 16_000
+        ).astype(np.float32)
+
+        def similarity_fn(frame, audio):
+            return np.random.default_rng(0).normal(
+                size=(4, 16 * 16)
+            ).astype(np.float32)
+
+        out = tmp_path / "attn_aac.mp4"
+        viz.make_attention_video(similarity_fn, frame, audio, str(out))
+        with Mp4File.from_path(str(out)) as f:
+            a = f.tracks[f.find_track("soun")]
+            assert a.codec == "mp4a"

@@ -1,0 +1,101 @@
+"""TriadPack pre-decoded shard format (data/packed.py — SURVEY §7.3
+item 5's packed-format escape hatch for chip-rate ingest)."""
+
+import numpy as np
+import pytest
+
+from triad_tpu.data.datasets import SyntheticAVDataset
+from triad_tpu.data.packed import PackedAVDataset, pack_dataset
+
+
+@pytest.fixture(scope="module")
+def shard(tmp_path_factory):
+    root = tmp_path_factory.mktemp("pack")
+    ds = SyntheticAVDataset(size=6, image_size=28, audio_seconds=0.1)
+    path = str(root / "train_000.tpack")
+    n = pack_dataset(ds, path, image_size=28, audio_samples=1600)
+    assert n == 6
+    return path, ds
+
+
+class TestRoundTrip:
+    def test_unaugmented_matches_source(self, shard):
+        path, src = shard
+        packed = PackedAVDataset(path)
+        assert len(packed) == 6
+        for i in range(6):
+            a = src.__getitem__(i, apply_augmentation=False)
+            b = packed.__getitem__(i, apply_augmentation=False)
+            # uint8 quantization: pixel error <= 0.5/255 pre-normalize
+            np.testing.assert_allclose(
+                a["video_frames"], b["video_frames"], atol=0.5 / 255 / 0.22
+            )
+            a_audio = a["audio"][:1600]
+            np.testing.assert_allclose(
+                a_audio, b["audio"][: len(a_audio)], atol=1.5 / 32767
+            )
+
+    def test_deterministic_augmentation(self, shard):
+        path, _ = shard
+        packed = PackedAVDataset(path)
+        r1 = packed.__getitem__(0, rng=np.random.default_rng((1, 2, 3)))
+        r2 = packed.__getitem__(0, rng=np.random.default_rng((1, 2, 3)))
+        np.testing.assert_array_equal(r1["video_frames"], r2["video_frames"])
+
+    def test_corrupt_record_returns_zeros(self, shard, tmp_path):
+        path, _ = shard
+        import shutil
+
+        bad = tmp_path / "bad.tpack"
+        shutil.copy(path, bad)
+        packed = PackedAVDataset(str(bad))
+        packed.shards[0].paths = ["x"]  # force index error on sample 1
+        item = packed.__getitem__(1, apply_augmentation=False)
+        assert float(np.abs(item["video_frames"]).sum()) == 0.0
+
+    def test_multi_shard_and_segments(self, tmp_path):
+        ds = SyntheticAVDataset(size=4, image_size=28, audio_seconds=0.05)
+        for k in range(2):
+            pack_dataset(
+                ds, str(tmp_path / f"s{k}.tpack"), image_size=28,
+                audio_samples=800, indices=[0, 1] if k == 0 else [2, 3],
+            )
+        flat = PackedAVDataset(str(tmp_path))
+        assert len(flat) == 4
+        ref = ds.__getitem__(3, apply_augmentation=False)
+        got = flat.__getitem__(3, apply_augmentation=False)
+        np.testing.assert_allclose(
+            ref["video_frames"], got["video_frames"], atol=0.5 / 255 / 0.22
+        )
+
+        seg = PackedAVDataset(str(tmp_path), segmented=True)
+        assert len(seg) == 2
+        seg.set_segment(1)
+        got = seg.__getitem__(0, apply_augmentation=False)
+        np.testing.assert_allclose(
+            ds.__getitem__(2, apply_augmentation=False)["video_frames"],
+            got["video_frames"], atol=0.5 / 255 / 0.22,
+        )
+
+    def test_av_loader_integration(self, shard):
+        from triad_tpu.data.pipeline import AVLoader
+
+        path, _ = shard
+        packed = PackedAVDataset(path)
+        loader = AVLoader(
+            packed, batch_size=3, audio_num_samples=1600, num_workers=2,
+            seed=1,
+        )
+        batches = list(loader.epoch(0))
+        assert len(batches) == 2
+        assert batches[0]["images"].shape == (3, 28, 28, 3)
+        assert batches[0]["audio"].shape == (3, 1600)
+
+    def test_trainer_root_detection(self, shard):
+        from triad_tpu.train.trainer import _open_av_root
+
+        path, _ = shard
+        ds = _open_av_root(path, 28, segmented=False)
+        assert isinstance(ds, PackedAVDataset)
+        with pytest.raises(ValueError, match="image_size"):
+            _open_av_root(path, 224, segmented=False)

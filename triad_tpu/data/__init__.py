@@ -1,4 +1,5 @@
 from triad_tpu.data.audio import extract_audio, pad_or_trim, resample
+from triad_tpu.data.packed import PackedAVDataset, pack_dataset
 from triad_tpu.data.datasets import (
     AudioVisualDataset,
     FlatAudioVisualDataset,
@@ -21,6 +22,8 @@ from triad_tpu.data.video import load_video_frame
 __all__ = [
     "AVLoader",
     "AudioVisualDataset",
+    "PackedAVDataset",
+    "pack_dataset",
     "FlatAudioVisualDataset",
     "LocalCaptionDataset",
     "Prefetcher",

@@ -97,17 +97,19 @@ def extract_audio(path: str, target_sr: int = TARGET_SR) -> np.ndarray:
             data, sr = load_wav(str(p))
             return resample_preferred(data, sr, target_sr)
         if p.suffix.lower() in (".mp4", ".m4a", ".mov"):
-            # Native demux + PCM decode (native/mp4.cc); compressed
-            # audio codecs (AAC) fall through to ffmpeg.
+            # Native demux (native/mp4.cc) + native decode: PCM
+            # directly, AAC via the linked libavcodec
+            # (native/avdecode.cc). ffmpeg-binary fallback below only
+            # for codecs neither covers.
             from triad_tpu.data import native
-            from triad_tpu.data.mp4 import extract_audio_pcm
+            from triad_tpu.data.mp4 import extract_audio_track
 
             if native.available():
                 try:
-                    data, sr = extract_audio_pcm(str(p))
+                    data, sr = extract_audio_track(str(p))
                     return resample_preferred(data, sr, target_sr)
                 except ValueError:
-                    pass  # non-PCM track — needs a codec decoder
+                    pass  # unsupported codec — try ffmpeg
         if _ffmpeg_available():
             return load_audio_ffmpeg(str(p), target_sr)
         raise RuntimeError(

@@ -185,6 +185,101 @@ class Mp4File:
         )
         return out.tobytes()
 
+    def sample_table(self, track: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(offsets, sizes) int64 arrays for all samples — one FFI call."""
+        n = self.tracks[track].n_samples
+        offsets = np.empty(max(n, 1), np.int64)
+        sizes = np.empty(max(n, 1), np.int64)
+        got = self._lib.mp4_sample_table(
+            self._handle(), track,
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            max(n, 1),
+        )
+        if got < 0:
+            raise ValueError(f"bad track {track} (code {got})")
+        return offsets[:got], sizes[:got]
+
+    def _avdec(self):
+        if not hasattr(self._lib, "avdec_decode_aac"):
+            raise ValueError(
+                "compressed-codec decode unavailable (library built "
+                "without libavcodec)"
+            )
+        return self._lib
+
+    def decode_aac(self, track: int, channel: int = 0) -> Tuple[np.ndarray, int]:
+        """AAC (mp4a) track -> (mono float32 in [-1, 1], sample_rate)
+        via native libavcodec (native/avdecode.cc) — the reference gets
+        this through torchaudio (dataset.py:80-89)."""
+        lib = self._avdec()
+        info = self.tracks[track]
+        offsets, sizes = self.sample_table(track)
+        dconf = np.frombuffer(
+            self.decoder_config(track) or b"\x00", np.uint8
+        ).copy()
+        # One AAC access unit decodes to 1024 frames (2048 for SBR).
+        max_frames = int(len(offsets)) * 2048 + 4096
+        out = np.empty(max_frames, np.float32)
+        sr = ctypes.c_int32(info.sample_rate)
+        got = lib.avdec_decode_aac(
+            self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(offsets),
+            dconf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(dconf),
+            channel, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            max_frames, ctypes.byref(sr),
+        )
+        if got < 0:
+            raise ValueError(f"AAC decode failed (code {got})")
+        return out[:got], sr.value or info.sample_rate
+
+    def decode_audio(self, track: int, channel: int = 0) -> Tuple[np.ndarray, int]:
+        """Any supported audio track -> (mono float32, sample_rate):
+        PCM natively, AAC via libavcodec."""
+        info = self.tracks[track]
+        if info.is_pcm:
+            return self.decode_pcm(track, channel)
+        if info.codec == "mp4a":
+            return self.decode_aac(track, channel)
+        raise ValueError(f"unsupported audio codec {info.codec!r}")
+
+    def decode_frame(self, track: int, idx: int) -> np.ndarray:
+        """One video frame -> RGB uint8 (H, W, 3) via native libavcodec:
+        packets from the preceding keyframe through ``idx`` are fed in
+        decode order (the reference gets frames from torchcodec,
+        dataset.py:91-95). With B-frames the returned frame can be off
+        by the reorder depth — irrelevant for random-frame sampling."""
+        lib = self._avdec()
+        info = self.tracks[track]
+        if idx < 0 or idx >= info.n_samples:
+            raise IndexError(f"frame {idx} of {info.n_samples}")
+        sync = self.sync_samples(track)
+        start = int(sync[sync <= idx].max()) if len(sync) else 0
+        offsets, sizes = self.sample_table(track)
+        offsets = np.ascontiguousarray(offsets[start : idx + 1])
+        sizes = np.ascontiguousarray(sizes[start : idx + 1])
+        dconf = np.frombuffer(
+            self.decoder_config(track) or b"\x00", np.uint8
+        ).copy()
+        rgb = np.empty((info.height, info.width, 3), np.uint8)
+        fourcc = struct.unpack(">I", info.codec.encode("latin-1"))[0]
+        rc = lib.avdec_decode_video_frame(
+            self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(offsets),
+            dconf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(dconf), fourcc,
+            rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            info.width, info.height,
+        )
+        if rc != 0:
+            raise ValueError(f"video decode failed (code {rc})")
+        return rgb
+
     def decode_pcm(self, track: int, channel: int = 0) -> Tuple[np.ndarray, int]:
         """PCM audio track -> (float32 samples in [-1, 1], sample_rate).
 
@@ -218,14 +313,43 @@ class Mp4File:
 def extract_audio_pcm(path: str) -> Tuple[np.ndarray, int]:
     """Audio track of an .mp4 as (mono float32 channel 0, sample rate).
 
-    Native demux + PCM decode only — AAC tracks raise (decode via the
-    ffmpeg fallback in data/audio.py when the binary exists).
+    Native demux + PCM decode only — AAC tracks raise (use
+    :func:`extract_audio_track` for the codec-aware path).
     """
     with Mp4File.from_path(path) as f:
         ti = f.find_track("soun")
         if ti is None:
             raise ValueError(f"no audio track in {path}")
         return f.decode_pcm(ti, channel=0)
+
+
+def extract_audio_track(path: str) -> Tuple[np.ndarray, int]:
+    """Audio track of an .mp4 as (mono float32 channel 0, sample rate):
+    PCM decoded natively, AAC via the linked libavcodec
+    (native/avdecode.cc) — covers real AudioSet media without the
+    ffmpeg binary."""
+    with Mp4File.from_path(path) as f:
+        ti = f.find_track("soun")
+        if ti is None:
+            raise ValueError(f"no audio track in {path}")
+        return f.decode_audio(ti, channel=0)
+
+
+def extract_random_frame(path: str, rng=None) -> np.ndarray:
+    """One uniformly-random video frame as RGB uint8 (H, W, 3) via the
+    native demux + libavcodec decode path (reference torchcodec
+    semantics, dataset.py:91-95)."""
+    import numpy as _np
+
+    rng = rng or _np.random.default_rng()
+    with Mp4File.from_path(path) as f:
+        ti = f.find_track("vide")
+        if ti is None:
+            raise ValueError(f"no video track in {path}")
+        n = f.tracks[ti].n_samples
+        if n <= 0:
+            raise ValueError(f"no frames in {path}")
+        return f.decode_frame(ti, int(rng.integers(0, n)))
 
 
 # ---------------------------------------------------------------------------
@@ -355,19 +479,54 @@ def _pcm_sowt_entry(channels: int, sample_rate: int) -> bytes:
     return _box(b"sowt", body)
 
 
+def _desc(tag: int, payload: bytes) -> bytes:
+    """MPEG-4 descriptor with a 4-byte expandable length (always
+    emitted long-form: unambiguous and accepted everywhere)."""
+    n = len(payload)
+    return bytes(
+        [tag, 0x80 | (n >> 21) & 0x7F, 0x80 | (n >> 14) & 0x7F,
+         0x80 | (n >> 7) & 0x7F, n & 0x7F]
+    ) + payload
+
+
+def _mp4a_entry(channels: int, sample_rate: int, asc: bytes) -> bytes:
+    """AudioSampleEntry for AAC ('mp4a') with the esds descriptor chain
+    wrapping the encoder's AudioSpecificConfig."""
+    dsi = _desc(0x05, asc)
+    dcd = _desc(
+        0x04,
+        struct.pack(">BBBHII", 0x40, 0x15, 0, 0, 0, 0)  # AAC, audio stream
+        + dsi,
+    )
+    slc = _desc(0x06, b"\x02")
+    es = _desc(0x03, struct.pack(">HB", 0, 0) + dcd + slc)
+    esds = _full_box(b"esds", 0, 0, es)
+    body = (
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + struct.pack(">HHI", 0, 0, 0)  # version 0
+        + struct.pack(">HHHH", channels, 16, 0, 0)
+        + struct.pack(">I", sample_rate << 16)
+        + esds
+    )
+    return _box(b"mp4a", body)
+
+
 def mux_mp4(
     out_path: str,
     video_mp4_path: str,
     audio: Optional[np.ndarray] = None,
     sample_rate: int = 16_000,
+    audio_codec: str = "auto",
 ) -> None:
     """Remux the video track of ``video_mp4_path`` (e.g. a cv2-authored
-    attention video) with a PCM audio track into ``out_path``.
+    attention video) with an audio track into ``out_path``.
 
-    The ffmpeg-free equivalent of the reference's attention-video audio
-    mux (viz.py:128-137: ffmpeg -i temp.mp4 -i source.mp4 -c:v copy
-    -c:a aac). Audio is written as 16-bit 'sowt' PCM (no encoder
-    needed); video samples are byte-copied.
+    The ffmpeg-binary-free equivalent of the reference's attention-video
+    audio mux (viz.py:128-137: ffmpeg -i temp.mp4 -i source.mp4 -c:v
+    copy -c:a aac). ``audio_codec``: "mp4a" encodes AAC-LC via the
+    linked libavcodec (the reference's codec), "sowt" writes raw 16-bit
+    PCM (no encoder needed), "auto" picks mp4a when the libavcodec-
+    backed build is present. Video samples are byte-copied either way.
     """
     with Mp4File.from_path(video_mp4_path) as src:
         vi = src.find_track("vide")
@@ -383,11 +542,20 @@ def mux_mp4(
     ) or 1
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
 
+    if audio_codec == "auto":
+        audio_codec = "mp4a" if native.avdec_supported() else "sowt"
     a_bytes = b""
+    a_sizes: List[int] = []
+    asc = b""
     if audio is not None:
         pcm = np.clip(np.asarray(audio, np.float32), -1.0, 1.0)
-        a_i16 = np.round(pcm * 32767.0).astype("<i2")
-        a_bytes = a_i16.tobytes()
+        if audio_codec == "mp4a":
+            aus, asc = native.encode_aac(pcm, sample_rate)
+            a_bytes = b"".join(aus)
+            a_sizes = [len(a) for a in aus]
+        else:
+            a_i16 = np.round(pcm * 32767.0).astype("<i2")
+            a_bytes = a_i16.tobytes()
 
     mdat_payload = b"".join(v_samples) + a_bytes
     mdat = _box(b"mdat", mdat_payload)
@@ -405,19 +573,30 @@ def mux_mp4(
         v_stbl, vinfo.width, vinfo.height,
     )
     next_id = 2
+    a_dur = 0  # in audio-track timescale (= sample_rate) units
     if audio is not None:
-        n_frames = len(a_bytes) // 2
-        # One "sample" per PCM frame (uniform stsz = frame bytes).
-        a_stbl = _stbl_boxes(
-            n_frames, 1, [2], a_chunk_off, _pcm_sowt_entry(1, sample_rate)
-        )
-        traks += _trak(2, mvhd_ts, sample_rate, n_frames, b"soun", a_stbl)
+        if audio_codec == "mp4a":
+            # One sample per AAC access unit, 1024 PCM frames each.
+            a_dur = 1024 * len(a_sizes)
+            a_stbl = _stbl_boxes(
+                len(a_sizes), 1024, a_sizes, a_chunk_off,
+                _mp4a_entry(1, sample_rate, asc),
+            )
+            traks += _trak(
+                2, mvhd_ts, sample_rate, a_dur, b"soun", a_stbl
+            )
+        else:
+            n_frames = len(a_bytes) // 2
+            a_dur = n_frames
+            # One "sample" per PCM frame (uniform stsz = frame bytes).
+            a_stbl = _stbl_boxes(
+                n_frames, 1, [2], a_chunk_off, _pcm_sowt_entry(1, sample_rate)
+            )
+            traks += _trak(2, mvhd_ts, sample_rate, n_frames, b"soun", a_stbl)
         next_id = 3
 
     dur_v = v_delta * len(v_samples) * mvhd_ts // max(vinfo.timescale, 1)
-    dur_a = (
-        (len(a_bytes) // 2) * mvhd_ts // sample_rate if audio is not None else 0
-    )
+    dur_a = a_dur * mvhd_ts // sample_rate if audio is not None else 0
     mvhd = _full_box(
         b"mvhd", 0, 0,
         struct.pack(">IIII", 0, 0, mvhd_ts, max(dur_v, dur_a))

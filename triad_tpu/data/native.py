@@ -98,6 +98,29 @@ def _load_locked() -> Optional[ctypes.CDLL]:
         ]
         lib.mp4_track_total_bytes.restype = ctypes.c_int64
         lib.mp4_track_total_bytes.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.mp4_sample_table.restype = ctypes.c_int64
+        lib.mp4_sample_table.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, i64p, i64p, ctypes.c_int64,
+        ]
+        # Compressed-codec decode (native/avdecode.cc, links the system
+        # libavcodec — present only when the build probe found headers).
+        if hasattr(lib, "avdec_decode_aac"):
+            lib.avdec_available.restype = ctypes.c_int32
+            lib.avdec_decode_aac.restype = ctypes.c_int64
+            lib.avdec_decode_aac.argtypes = [
+                u8p, i64p, i64p, ctypes.c_int64, u8p, ctypes.c_int64,
+                ctypes.c_int32, f32p, ctypes.c_int64, i32p,
+            ]
+            lib.avdec_decode_video_frame.restype = ctypes.c_int32
+            lib.avdec_decode_video_frame.argtypes = [
+                u8p, i64p, i64p, ctypes.c_int64, u8p, ctypes.c_int64,
+                ctypes.c_uint32, u8p, ctypes.c_int32, ctypes.c_int32,
+            ]
+            lib.avdec_encode_aac.restype = ctypes.c_int64
+            lib.avdec_encode_aac.argtypes = [
+                f32p, ctypes.c_int64, ctypes.c_int32, u8p, ctypes.c_int64,
+                i64p, ctypes.c_int64, u8p, ctypes.c_int64, i64p,
+            ]
         lib.mp4_decode_pcm.restype = ctypes.c_int64
         lib.mp4_decode_pcm.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, f32p, ctypes.c_int64,
@@ -218,6 +241,44 @@ def _decode_wav_py(data: bytes, channel: int = 0):
     else:
         raise ValueError(f"unsupported sample width {width}")
     return np.ascontiguousarray(x.reshape(-1, ch)[:, channel]), sr
+
+
+def avdec_supported() -> bool:
+    """True when the native library was built against libavcodec
+    (AAC/H.264 decode + AAC encode entry points present)."""
+    lib = _load()
+    return lib is not None and hasattr(lib, "avdec_decode_aac")
+
+
+def encode_aac(pcm: np.ndarray, sample_rate: int):
+    """Mono float32 PCM -> (access-unit list, AudioSpecificConfig bytes)
+    via the linked libavcodec AAC-LC encoder (native/avdecode.cc). Used
+    by the mp4a muxer path (the reference's attention videos carry AAC,
+    viz.py:128-137)."""
+    import ctypes as ct
+
+    lib = _load()
+    if lib is None or not hasattr(lib, "avdec_encode_aac"):
+        raise RuntimeError("libavcodec-backed native library unavailable")
+    pcm = np.ascontiguousarray(pcm, np.float32)
+    max_aus = len(pcm) // 1024 + 8
+    out = np.empty(len(pcm) * 4 + 65536, np.uint8)
+    sizes = np.empty(max_aus, np.int64)
+    asc = np.empty(64, np.uint8)
+    asc_len = ct.c_int64(0)
+    n = lib.avdec_encode_aac(
+        _f32p(pcm), len(pcm), sample_rate,
+        out.ctypes.data_as(ct.POINTER(ct.c_uint8)), len(out),
+        sizes.ctypes.data_as(ct.POINTER(ct.c_int64)), max_aus,
+        asc.ctypes.data_as(ct.POINTER(ct.c_uint8)), 64, ct.byref(asc_len),
+    )
+    if n < 0:
+        raise RuntimeError(f"AAC encode failed (code {n})")
+    aus, pos = [], 0
+    for i in range(n):
+        aus.append(out[pos : pos + int(sizes[i])].tobytes())
+        pos += int(sizes[i])
+    return aus, asc[: asc_len.value].tobytes()
 
 
 def load_wav(path, target_sr: int = 16_000, channel: int = 0) -> np.ndarray:

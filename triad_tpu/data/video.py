@@ -43,6 +43,16 @@ def _decode_random_frame_cv2(path: str, rng: np.random.Generator) -> np.ndarray:
         cap.release()
 
 
+def _decode_random_frame_native(
+    path: str, rng: np.random.Generator
+) -> np.ndarray:
+    """Native demux + libavcodec decode (data/mp4.py), no cv2."""
+    from triad_tpu.data.mp4 import extract_random_frame
+
+    rgb = extract_random_frame(path, rng)
+    return rgb.astype(np.float32) / 255.0
+
+
 def load_video_frame(
     path: str,
     rng: Optional[np.random.Generator] = None,
@@ -53,10 +63,21 @@ def load_video_frame(
 
     Matches reference load_and_preprocess_video (dataset.py:91-135):
     random frame, /255, bilinear resize, augment (train) or not (eval),
-    clamp, ImageNet normalize.
+    clamp, ImageNet normalize. Decode order: native demux+libavcodec
+    (framework-owned, one FFI call), cv2 fallback for anything it
+    can't handle.
     """
     rng = rng or np.random.default_rng()
-    frame = _decode_random_frame_cv2(path, rng)
+    try:
+        from triad_tpu.data import native
+
+        if not native.available() or not hasattr(
+            native._load(), "avdec_decode_video_frame"
+        ):
+            raise ValueError("native video decode unavailable")
+        frame = _decode_random_frame_native(path, rng)
+    except Exception:  # noqa: BLE001 — cv2 handles the long tail
+        frame = _decode_random_frame_cv2(path, rng)
     frame = resize_bilinear(frame, size)
     if apply_augmentation:
         return augment_av_frame(frame, rng)

@@ -56,6 +56,28 @@ from triad_tpu.utils import MetricsLogger, StepTimer
 from triad_tpu.viz import AudioVisualizer, TextVisualizer
 
 
+def _open_av_root(root: str, image_size: int, segmented: bool):
+    """AV dataset from a data root: TriadPack shards (a ``.tpack`` file
+    or a directory containing them — the pre-decoded chip-rate path,
+    data/packed.py) or the reference's mp4 folder layouts."""
+    from pathlib import Path
+
+    from triad_tpu.data.packed import PackedAVDataset
+
+    p = Path(root)
+    if p.suffix == ".tpack" or (p.is_dir() and any(p.glob("*.tpack"))):
+        ds = PackedAVDataset(root, segmented=segmented)
+        if ds.image_size != image_size:
+            raise ValueError(
+                f"packed shard image_size {ds.image_size} != configured "
+                f"{image_size}"
+            )
+        return ds
+    if segmented:
+        return AudioVisualDataset(root, image_size=image_size)
+    return FlatAudioVisualDataset(root, image_size=image_size)
+
+
 class Trainer:
     def __init__(self, config: Config, force_new_training: bool = False):
         self.config = config
@@ -72,8 +94,8 @@ class Trainer:
         # -- data ------------------------------------------------------
         dc = config.data
         if dc.audio_visual_data_root:
-            self.av_dataset = AudioVisualDataset(
-                dc.audio_visual_data_root, image_size=dc.image_size
+            self.av_dataset = _open_av_root(
+                dc.audio_visual_data_root, dc.image_size, segmented=True
             )
         else:
             self.av_dataset = SyntheticAVDataset(
@@ -92,8 +114,8 @@ class Trainer:
 
         self.val_av_dataset = None
         if dc.audio_visual_val_data_root:
-            self.val_av_dataset = FlatAudioVisualDataset(
-                dc.audio_visual_val_data_root, image_size=dc.image_size
+            self.val_av_dataset = _open_av_root(
+                dc.audio_visual_val_data_root, dc.image_size, segmented=False
             )
         elif not dc.audio_visual_data_root:
             self.val_av_dataset = SyntheticAVDataset(
