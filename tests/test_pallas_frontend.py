@@ -1,0 +1,119 @@
+"""Monolithic pallas HuBERT frontend (ops/pallas_frontend.py) — CPU
+interpret-mode correctness: the single-kernel waveform->tokens stack
+must match the plain-XLA composition and the production ConvFeatureEncoder
+within bf16 tolerance, across block-boundary / ragged-tail shapes."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from triad_tpu.ops.pallas_frontend import (
+    monolithic_frontend,
+    monolithic_frontend_vjp,
+    num_tokens,
+    reference_frontend,
+)
+
+
+def _weights(seed=0):
+    rng = np.random.default_rng(seed)
+    w0 = jnp.asarray(
+        (rng.normal(size=(10, 1, 512)) * (2 / 10) ** 0.5).astype(np.float32)
+    )
+    gs = jnp.asarray((rng.normal(size=(512,)) * 0.2 + 1.0).astype(np.float32))
+    gb = jnp.asarray((rng.normal(size=(512,)) * 0.1).astype(np.float32))
+    ws = [
+        jnp.asarray(
+            (rng.normal(size=(k, 512, 512)) * (2 / (k * 512)) ** 0.5).astype(
+                np.float32
+            )
+        )
+        for k in (3, 3, 3, 3, 2, 2)
+    ]
+    return w0, gs, gb, ws
+
+
+class TestKernel:
+    @pytest.mark.parametrize(
+        "B,T,tb",
+        [(2, 8000, 16), (2, 8000, 8), (1, 12345, 8)],
+    )
+    def test_matches_xla_reference(self, B, T, tb):
+        rng = np.random.default_rng(1)
+        wave = jnp.asarray(rng.normal(size=(B, T)).astype(np.float32))
+        w0, gs, gb, ws = _weights()
+        ref = np.asarray(
+            reference_frontend(wave, w0, gs, gb, ws, out_dtype=jnp.float32)
+        )
+        got = np.asarray(
+            monolithic_frontend(
+                wave, w0, gs, gb, ws, tb=tb, out_dtype=jnp.float32,
+                interpret=True,
+            )
+        )
+        assert got.shape == (B, num_tokens(T), 512)
+        # both paths run conv_1..6 at bf16: tolerance is bf16 rounding
+        # through 7 layers
+        tol = 0.05 * float(np.abs(ref).max())
+        np.testing.assert_allclose(got, ref, atol=tol)
+        # and tightly in aggregate
+        assert float(np.abs(got - ref).mean()) < tol / 30
+
+    def test_vjp_matches_reference_grad(self):
+        rng = np.random.default_rng(2)
+        wave = jnp.asarray(rng.normal(size=(1, 4000)).astype(np.float32))
+        w0, gs, gb, ws = _weights(3)
+
+        def loss_k(wave, w0):
+            y = monolithic_frontend_vjp(
+                wave, w0, gs, gb, ws, 8, jnp.float32
+            )
+            return jnp.sum(y * y)
+
+        def loss_r(wave, w0):
+            y = reference_frontend(wave, w0, gs, gb, ws, jnp.float32)
+            return jnp.sum(y * y)
+
+        with pltpu.force_tpu_interpret_mode():
+            gk = jax.grad(loss_k, argnums=(0, 1))(wave, w0)
+        gr = jax.grad(loss_r, argnums=(0, 1))(wave, w0)
+        for a, b in zip(gk, gr):
+            scale = float(np.abs(np.asarray(b)).max()) + 1e-9
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=0.05 * scale
+            )
+
+
+class TestModelIntegration:
+    def test_matches_production_frontend(self):
+        """ConvFeatureEncoder(frontend_impl='monolithic') == the default
+        'conv' path with shared params, bf16 tolerance."""
+        import dataclasses
+
+        from triad_tpu.core.config import HubertConfig
+        from triad_tpu.models.hubert import ConvFeatureEncoder
+
+        base = HubertConfig()  # full HuBERT-base geometry
+        rng = np.random.default_rng(4)
+        wave = jnp.asarray(rng.normal(size=(2, 16000)).astype(np.float32))
+
+        conv_fe = ConvFeatureEncoder(
+            dataclasses.replace(base, frontend_impl="conv"),
+            dtype=jnp.float32,
+        )
+        params = conv_fe.init(jax.random.key(0), wave)["params"]
+        ref = np.asarray(conv_fe.apply({"params": params}, wave))
+
+        mono_fe = ConvFeatureEncoder(
+            dataclasses.replace(base, frontend_impl="monolithic"),
+            dtype=jnp.float32,
+        )
+        # param trees are identical by construction (_ConvParams mirrors
+        # nn.Conv paths)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(mono_fe.apply({"params": params}, wave))
+        assert got.shape == ref.shape
+        scale = float(np.abs(ref).max())
+        np.testing.assert_allclose(got, ref, atol=0.05 * scale)

@@ -237,6 +237,15 @@ class ConvFeatureEncoder(nn.Module):
                         param_dtype=self.param_dtype, name=f"conv_{i}",
                     )
                 )
+            elif c.frontend_impl == "monolithic":
+                if c.conv_bias:
+                    raise ValueError("monolithic frontend: no conv bias")
+                convs.append(
+                    _ConvParams(
+                        dim, k, in_features=1 if i == 0 else c.conv_dim[i - 1],
+                        param_dtype=self.param_dtype, name=f"conv_{i}",
+                    )
+                )
             elif c.frontend_impl == "pallas" and i > 0:
                 if s != 2 or k not in (2, 3) or c.conv_bias:
                     raise ValueError(
@@ -344,6 +353,30 @@ class ConvFeatureEncoder(nn.Module):
         return nn.gelu(x[:, :t_log], approximate=False)
 
     def __call__(self, audio: jax.Array) -> jax.Array:
+        if self.cfg.frontend_impl == "monolithic":
+            from triad_tpu.ops import pallas_frontend as mf
+
+            c = self.cfg
+            if (
+                tuple(c.conv_kernel) != mf.KERNELS
+                or tuple(c.conv_stride) != mf.STRIDES
+                or any(d != mf.C for d in c.conv_dim)
+            ):
+                raise ValueError(
+                    "monolithic frontend supports the HuBERT-base "
+                    "geometry only (kernels 10,3x4,2x2 / strides "
+                    "5,2x6 / 512 channels)"
+                )
+            scale, bias = self.group_norm.affine()
+            return mf.monolithic_frontend_vjp(
+                audio,
+                self.convs[0].kernel,
+                scale.astype(jnp.float32),
+                bias.astype(jnp.float32),
+                [conv.kernel for conv in self.convs[1:]],
+                64,
+                self.dtype,
+            )
         if self.cfg.frontend_impl == "pallas":
             from triad_tpu.ops.pallas_conv import min_input_alloc
 
@@ -669,7 +702,9 @@ class HubertModel(nn.Module):
             c, dtype=self.dtype, param_dtype=self.param_dtype,
             name="feature_extractor",
         )
-        if c.remat == "chunked_conv" and c.frontend_impl != "pallas":
+        if c.remat == "chunked_conv" and c.frontend_impl not in (
+            "pallas", "monolithic"
+        ):
             # Kept for eval too: although the two-pass form exists for
             # backward-pass memory (conv_0 runs twice), it measured ~8 ms
             # FASTER than the monolithic frontend even at eval B=64 (XLA

@@ -1,0 +1,355 @@
+"""Monolithic Pallas HuBERT conv frontend: waveform -> tokens, one kernel.
+
+Round-1 measured the XLA frontend at ~43 ms of the B=64 eval step vs a
+~16 ms bf16 roofline, and two partial-pallas attacks LOST (367/373 vs
+448 clips/s) because every kernel boundary forced layout copies on the
+GB-sized inter-layer activations (ops/pallas_conv.py). This kernel
+removes the boundaries entirely: all seven convs (kernels 10,3,3,3,3,2,2
+/ strides 5,2,2,2,2,2,2), the conv_0 GroupNorm affine and every GELU run
+inside ONE pallas program per (batch row, token block); HBM sees only
+the waveform in (41 MB fp32 at B=64/10 s) and the (B, Na, 512) tokens
+out (~33 MB bf16). Inter-layer activations live and die in VMEM.
+
+Layout scheme (chosen to avoid Mosaic-hostile relayouts):
+
+* the waveform arrives PRE-RESHAPED by XLA as (B, T/10, 10) — per-block
+  windows are 8-aligned sublane slices of it (XLA pays one cheap 41 MB
+  relayout, not a GB one).
+* conv_0 (k=10, s=5) is ONE matmul per block in "G=2" form: rows
+  [X10[u] | X10[u+1]] (20 wide) times a banded (20, 1024) weight yield
+  [y[2u] | y[2u+1]] — conv_0 output is born PHASE-SPLIT (even|odd along
+  lanes), which is exactly what the stride-2 conv_1 wants: no
+  deinterleave, and the k=10 contraction widens to 20.
+* every stride-2 conv (k in {2,3}) consumes a phase-split (m, 2C) block
+  as ONE contraction-2C matmul against [W0; W1]; the k=3 third tap adds
+  a shifted even-phase matmul (static offset-1 sublane slice + one-row
+  concat — the pattern Mosaic already lowers in ops/pallas_conv.py).
+  Outputs re-fold to (m/2, 2C) with a reshape.
+* GroupNorm (512 groups == per-channel over time, the HF conv_0 norm)
+  needs global-time stats: a small first pass computes conv_0
+  sum/sumsq per channel (same G=2 matmul, grid-accumulated); the main
+  kernel applies the folded affine inline.
+
+Row bookkeeping: each block computes tb final tokens from P1 = 32*tb +
+32 conv_0 output pairs; every fold halves the row count (margin 32
+halves to 1 by conv_6 and always exceeds the k=3 lookahead chain, which
+needs at most +15 rows at conv_1 shrinking to +1 — see _MARGIN_CHECK in
+tests). Trailing rows compute on duplicated/garbage data that provably
+never reaches a valid token; the caller slices num_tokens(T).
+
+Backward: custom VJP through the identical XLA composition (training
+keeps the chunked-remat XLA frontend for memory; this kernel is the
+eval/bench fast path). Reference semantics: HF HubertFeatureEncoder
+(reference model.py:30 via transformers), reproduced op-for-op.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from triad_tpu.ops.pallas_mlp import _gelu_exact
+
+# HuBERT-base frontend geometry (HF config defaults; reference
+# model.py:30). C = 512 for every layer.
+KERNELS = (10, 3, 3, 3, 3, 2, 2)
+STRIDES = (5, 2, 2, 2, 2, 2, 2)
+C = 512
+
+
+def num_tokens(t: int) -> int:
+    for k, s in zip(KERNELS, STRIDES):
+        t = (t - k) // s + 1
+    return t
+
+
+def make_g2_weight(w0: jax.Array) -> jax.Array:
+    """conv_0 weight (10, C) -> banded (20, 2C) G=2 form: row u of
+    [X10[u] | X10[u+1]] (20 samples) -> [y[2u] | y[2u+1]]. y[2u] reads
+    samples 10u..10u+9 (band rows 0..9); y[2u+1] reads 10u+5..10u+14
+    (band rows 5..14)."""
+    c = w0.shape[1]
+    wg = jnp.zeros((20, 2 * c), jnp.float32)
+    wg = wg.at[0:10, 0:c].set(w0.astype(jnp.float32))
+    wg = wg.at[5:15, c : 2 * c].set(w0.astype(jnp.float32))
+    return wg
+
+
+def _conv0_block(x10_ref, wg_ref, p0, n_pairs):
+    """Phase-split conv_0 for pairs [p0, p0+n_pairs): (n_pairs, 2C)."""
+    xa = x10_ref[0, pl.ds(p0, n_pairs), :]
+    # pair u's odd output needs X10[u+1]; build the shifted copy with a
+    # static offset-1 slice + the (aligned) row right past the block.
+    tail = x10_ref[0, pl.ds(p0 + n_pairs, 8), :][0:1]
+    xb = jnp.concatenate([xa[1:], tail], axis=0)
+    xc = jnp.concatenate([xa, xb], axis=1)  # (n_pairs, 20)
+    return jax.lax.dot_general(
+        xc, wg_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _stride2_layer(z, w01, w2):
+    """One stride-2 conv on a phase-split input.
+
+    z: (m, 2C) fp32 = [x_even | x_odd] (= input rows 2u | 2u+1), with
+    the layer's input activation NOT yet applied — GELU happens here so
+    it is computed exactly once, in VMEM. Output (m, C) fp32:
+    y[u] = g(x[2u])W0 + g(x[2u+1])W1 (+ g(x[2u+2])W2 for k=3, where
+    x[2u+2] = even phase of the next pair)."""
+    m, c2 = z.shape
+    c = c2 // 2
+    z = _gelu_exact(z)
+    cd = jnp.bfloat16
+    acc = jax.lax.dot_general(
+        z.astype(cd), w01.astype(cd), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if w2 is not None:
+        xe = z[:, :c]
+        xe1 = jnp.concatenate([xe[1:], xe[-1:]], axis=0)
+        acc += jax.lax.dot_general(
+            xe1.astype(cd), w2.astype(cd), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return acc
+
+
+def _fold(y):
+    """(m, C) -> (m/2, 2C): row u = [y[2u] | y[2u+1]]."""
+    m, c = y.shape
+    return y.reshape(m // 2, 2 * c)
+
+
+# ---------------------------------------------------------------------------
+# Stats pass: conv_0 per-channel sum / sumsq (GroupNorm global stats)
+# ---------------------------------------------------------------------------
+
+
+def _stats_kernel(x10_ref, wg_ref, sum_ref, sq_ref, *, m0_total: int,
+                  tb_pairs: int):
+    j = pl.program_id(1)
+    u0 = pl.multiple_of(j * tb_pairs, 8)
+    y = _conv0_block(x10_ref, wg_ref, u0, tb_pairs)  # (tb_pairs, 2C)
+    c = y.shape[1] // 2
+    pair = u0 + jax.lax.broadcasted_iota(jnp.int32, (tb_pairs, 1), 0)
+    ye = jnp.where(2 * pair < m0_total, y[:, :c], 0.0)
+    yo = jnp.where(2 * pair + 1 < m0_total, y[:, c:], 0.0)
+
+    @pl.when(j == 0)
+    def _():
+        sum_ref[...] = jnp.zeros_like(sum_ref)
+        sq_ref[...] = jnp.zeros_like(sq_ref)
+
+    sum_ref[...] += jnp.sum(ye + yo, axis=0, keepdims=True)
+    sq_ref[...] += jnp.sum(ye * ye + yo * yo, axis=0, keepdims=True)
+
+
+def stats_block(n_pairs: int, tb_pairs: int = 2048) -> int:
+    """Stats-pass block size: clamped to the pair count, 8-aligned."""
+    return min(tb_pairs, ((n_pairs + 7) // 8) * 8)
+
+
+def conv0_stats(
+    x10: jax.Array, wg: jax.Array, m0_total: int, tb_pairs: int = 2048,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """(B, R10p, 10) padded waveform rows -> (mean, var) each (B, C)
+    over conv_0's m0_total logical output rows."""
+    b, r10, _ = x10.shape
+    n_pairs = (m0_total + 1) // 2
+    tb_pairs = stats_block(n_pairs, tb_pairs)
+    nb = -(-n_pairs // tb_pairs)
+    if nb * tb_pairs + 8 > r10:
+        raise ValueError(
+            f"x10 rows {r10} < stats requirement {nb * tb_pairs + 8}"
+        )
+    s, sq = pl.pallas_call(
+        functools.partial(
+            _stats_kernel, m0_total=m0_total, tb_pairs=tb_pairs
+        ),
+        grid=(b, nb),
+        in_specs=[
+            pl.BlockSpec((1, r10, 10), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((20, 2 * C), lambda i, j: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, C), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, C), lambda i, j: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, C), jnp.float32),
+            jax.ShapeDtypeStruct((b, C), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x10, wg)
+    mean = s / m0_total
+    var = sq / m0_total - mean * mean
+    return mean, var
+
+
+# ---------------------------------------------------------------------------
+# Main pass
+# ---------------------------------------------------------------------------
+
+
+def _main_kernel(
+    x10_ref,  # (1, R10p, 10) fp32
+    wg_ref,  # (20, 2C)
+    wcat_ref,  # (6, 2C, C) [W0;W1] for conv_1..conv_6
+    w2_ref,  # (4, C, C) third taps, conv_1..conv_4
+    affine_ref,  # (1, 2, 2C) folded GroupNorm scale' | bias'
+    y_ref,  # out (1, tb, C)
+    *, tb: int, p1: int,
+):
+    j = pl.program_id(1)
+    p0 = pl.multiple_of(j * (tb * 32), 8)
+    y0 = _conv0_block(x10_ref, wg_ref, p0, p1)  # (P1, 2C) phase-split
+    z = y0 * affine_ref[0, 0][None, :] + affine_ref[0, 1][None, :]
+    for li in range(6):
+        w01 = wcat_ref[li]
+        w2 = w2_ref[li] if KERNELS[1 + li] == 3 else None
+        y = _stride2_layer(z, w01, w2)
+        if li < 5:
+            z = _fold(y)
+    y_ref[0, :, :] = _gelu_exact(y[:tb]).astype(y_ref.dtype)
+
+
+def monolithic_frontend(
+    wave: jax.Array,
+    w0: jax.Array,
+    gn_scale: jax.Array,
+    gn_bias: jax.Array,
+    ws: Sequence[jax.Array],
+    tb: int = 64,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """wave (B, T) -> tokens (B, num_tokens(T), C) in out_dtype.
+
+    w0: conv_0 weight (10, 1, C) or (10, C); gn_scale/gn_bias (C,);
+    ws: conv_1..conv_6 weights, each (k, C, C). tb: final tokens per
+    block, multiple of 8.
+    """
+    if tb % 8:
+        raise ValueError(f"tb must be a multiple of 8, got {tb}")
+    b, t = wave.shape
+    t -= t % 10
+    wave = wave[:, :t]
+    n_out = num_tokens(t)
+    m0_total = (t - 10) // 5 + 1
+    wg = make_g2_weight(w0.reshape(10, -1))
+    p1 = 32 * tb + 32  # conv_0 pairs per block (margin 32, see header)
+    nb = -(-n_out // tb)
+
+    # Pad waveform rows so every block's window (incl. the +1 tail row
+    # and the stats pass) reads in-bounds; padded zeros only feed tokens
+    # >= n_out, which the final slice drops.
+    r10 = t // 10
+    n_pairs = (m0_total + 1) // 2
+    stb = stats_block(n_pairs)
+    stats_rows = -(-n_pairs // stb) * stb + 8
+    r10_pad = max(32 * tb * (nb - 1) + p1 + 8, stats_rows, r10 + 8)
+    x10 = jnp.pad(
+        wave.astype(jnp.float32), ((0, 0), (0, r10_pad * 10 - t))
+    ).reshape(b, r10_pad, 10)
+
+    mean, var = conv0_stats(x10, wg, m0_total, interpret=interpret)
+    rstd = jax.lax.rsqrt(var + 1e-5)
+    scale = rstd * gn_scale[None, :].astype(jnp.float32)
+    bias = gn_bias[None, :].astype(jnp.float32) - mean * scale
+    affine = jnp.stack(
+        [jnp.concatenate([scale, scale], 1),
+         jnp.concatenate([bias, bias], 1)], axis=1,
+    )  # (B, 2, 2C)
+
+    wcat = jnp.stack(
+        [jnp.concatenate([w[0], w[1]], axis=0).astype(jnp.float32)
+         for w in ws]
+    )  # (6, 2C, C)
+    w2 = jnp.stack(
+        [ws[i][2].astype(jnp.float32) for i in range(4)]
+    )  # (4, C, C)
+
+    y = pl.pallas_call(
+        functools.partial(_main_kernel, tb=tb, p1=p1),
+        grid=(b, nb),
+        in_specs=[
+            pl.BlockSpec((1, r10_pad, 10), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((20, 2 * C), lambda i, j: (0, 0)),
+            pl.BlockSpec((6, 2 * C, C), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((4, C, C), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((1, 2, 2 * C), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tb, C), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, nb * tb, C), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x10, wg, wcat, w2, affine)
+    return y[:, :n_out]
+
+
+def reference_frontend(wave, w0, gn_scale, gn_bias, ws,
+                       out_dtype=jnp.bfloat16):
+    """The identical composition in plain XLA (tests + custom-VJP
+    backward). Matches HF HubertFeatureEncoder: conv_0 -> GroupNorm ->
+    GELU -> (conv -> GELU) x6."""
+    x = wave.astype(jnp.float32)[:, :, None]
+    w0r = w0.reshape(10, 1, -1).astype(jnp.float32)
+    y = jax.lax.conv_general_dilated(
+        x, w0r, window_strides=(5,), padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+    mean = jnp.mean(y, axis=1, keepdims=True)
+    var = jnp.var(y, axis=1, keepdims=True)
+    y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+    y = y * gn_scale[None, None, :] + gn_bias[None, None, :]
+    # fp32 convs: keeps jax.vjp transposable (mixed bf16/fp32 conv
+    # transposes reject dtype mismatches); the kernel's bf16 matmuls
+    # differ within bf16 rounding, covered by test tolerances.
+    for w in ws:
+        y = _gelu_exact(y)
+        y = jax.lax.conv_general_dilated(
+            y, w.astype(jnp.float32), window_strides=(2,),
+            padding="VALID", dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+    return _gelu_exact(y).astype(out_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def monolithic_frontend_vjp(wave, w0, gn_scale, gn_bias, ws,
+                            tb: int = 64, out_dtype=jnp.bfloat16):
+    """monolithic_frontend with an XLA-recompute backward (the training
+    path normally uses the chunked-remat XLA frontend; this VJP exists
+    so the kernel is safe under jax.grad)."""
+    return monolithic_frontend(wave, w0, gn_scale, gn_bias, ws, tb,
+                               out_dtype)
+
+
+def _mf_fwd(wave, w0, gn_scale, gn_bias, ws, tb, out_dtype):
+    y = monolithic_frontend(wave, w0, gn_scale, gn_bias, ws, tb, out_dtype)
+    return y, (wave, w0, gn_scale, gn_bias, tuple(ws))
+
+
+def _mf_bwd(tb, out_dtype, res, dy):
+    wave, w0, gn_scale, gn_bias, ws = res
+    _, vjp = jax.vjp(
+        lambda wave, w0, s, b, ws: reference_frontend(
+            wave, w0, s, b, ws, out_dtype
+        ),
+        wave, w0, gn_scale, gn_bias, list(ws),
+    )
+    return vjp(dy)
+
+
+monolithic_frontend_vjp.defvjp(_mf_fwd, _mf_bwd)
