@@ -146,8 +146,10 @@ def _stats_kernel(x10_ref, wg_ref, sum_ref, sq_ref, *, m0_total: int,
         sum_ref[...] = jnp.zeros_like(sum_ref)
         sq_ref[...] = jnp.zeros_like(sq_ref)
 
-    sum_ref[...] += jnp.sum(ye + yo, axis=0, keepdims=True)
-    sq_ref[...] += jnp.sum(ye * ye + yo * yo, axis=0, keepdims=True)
+    # (1, 8, C) output blocks (Mosaic needs sublane-multiple block
+    # shapes); the accumulator lives in row 0.
+    sum_ref[0, 0, :] += jnp.sum(ye + yo, axis=0)
+    sq_ref[0, 0, :] += jnp.sum(ye * ye + yo * yo, axis=0)
 
 
 def stats_block(n_pairs: int, tb_pairs: int = 2048) -> int:
@@ -179,18 +181,20 @@ def conv0_stats(
             pl.BlockSpec((20, 2 * C), lambda i, j: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, C), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, C), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, 8, C), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 8, C), lambda i, j: (i, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, C), jnp.float32),
-            jax.ShapeDtypeStruct((b, C), jnp.float32),
+            jax.ShapeDtypeStruct((b, 8, C), jnp.float32),
+            jax.ShapeDtypeStruct((b, 8, C), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(x10, wg)
+    s = s[:, 0, :]
+    sq = sq[:, 0, :]
     mean = s / m0_total
     var = sq / m0_total - mean * mean
     return mean, var
