@@ -71,6 +71,7 @@ def run_packed(
     seconds: float = 10.0,
     workers: int = 4,
     mode: str = "thread",
+    device_augment: bool = False,
 ) -> float:
     """Full-shape packed-pipeline measurement: TriadPack shard ->
     AVLoader (augmentation on) -> Prefetcher (device_put) at B=64,
@@ -101,17 +102,24 @@ def run_packed(
         loader = AVLoader(
             ds, batch_size=batch_size, audio_num_samples=audio_samples,
             num_workers=workers, worker_mode=mode, seed=0,
+            device_augment=device_augment,
         )
+        put = None
+        if device_augment:
+            from triad_tpu.data.device_aug import device_ingest_av
+
+            put = device_ingest_av
         it = Prefetcher(
-            cycling(lambda e, b: loader.epoch(e, b)), prefetch=4
+            cycling(lambda e, b: loader.epoch(e, b)), prefetch=4,
+            device_put=put,
         )
-        batch = next(it)  # warm: workers + device transfer path
-        jax.block_until_ready(batch["audio"])
+        batch = next(it)  # warm: workers + device transfer + augment jit
+        jax.block_until_ready(batch["images"])
         clips = 0
         t0 = time.perf_counter()
         while time.perf_counter() - t0 < seconds:
             batch = next(it)
-            jax.block_until_ready(batch["audio"])
+            jax.block_until_ready(batch["images"])
             clips += batch["images"].shape[0]
         dt = time.perf_counter() - t0
         it.close()
@@ -119,7 +127,8 @@ def run_packed(
         rate = clips / dt
         print(
             f"packed pipeline ({mode} x{workers}, B={batch_size}, "
-            f"{image_size}px, {audio_secs}s audio): {rate:.1f} clips/s "
+            f"{image_size}px, {audio_secs}s audio, "
+            f"device_augment={device_augment}): {rate:.1f} clips/s "
             f"to device over {dt:.1f}s"
         )
         return rate

@@ -99,3 +99,40 @@ class TestRoundTrip:
         assert isinstance(ds, PackedAVDataset)
         with pytest.raises(ValueError, match="image_size"):
             _open_av_root(path, 224, segmented=False)
+
+
+class TestBatchedAugmentation:
+    def test_apply_av_batch_matches_per_item(self):
+        """Batched augmentation == per-item augment_av_frame with the
+        same draws (tolerance: reduction-order ulps in the means)."""
+        from triad_tpu.data.images import (
+            apply_av_batch,
+            augment_av_frame,
+            draw_av_params,
+        )
+
+        rng = np.random.default_rng(0)
+        imgs = rng.uniform(0, 1, size=(6, 32, 32, 3)).astype(np.float32)
+        params = [
+            draw_av_params(np.random.default_rng((5, i))) for i in range(6)
+        ]
+        batched = apply_av_batch(imgs.copy(), params)
+        for i in range(6):
+            single = augment_av_frame(
+                imgs[i], np.random.default_rng((5, i))
+            )
+            np.testing.assert_allclose(batched[i], single, atol=2e-5)
+
+    def test_loader_fast_path_deterministic(self, shard):
+        from triad_tpu.data.pipeline import AVLoader
+
+        path, _ = shard
+        packed = PackedAVDataset(path)
+        mk = lambda: AVLoader(
+            packed, batch_size=3, audio_num_samples=1600, num_workers=2,
+            seed=9, augment=True,
+        )
+        a = [b["images"] for b in mk().epoch(1)]
+        b = [b["images"] for b in mk().epoch(1)]
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)

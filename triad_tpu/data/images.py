@@ -74,22 +74,68 @@ def load_image(path: str, size: int = 224) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def augment_av_frame(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    """img (H, W, 3) in [0,1]; returns augmented, clamped, normalized."""
-    if rng.random() < 0.5:
-        img = img[:, ::-1]  # hflip (dataset.py:106-107)
+def draw_av_params(rng: np.random.Generator) -> dict:
+    """The AV augmentation's random draws (exact reference sequence,
+    dataset.py:104-126), separated from the pixel math so a batch can
+    be augmented with vectorized numpy (apply_av_batch)."""
+    p = {"flip": rng.random() < 0.5, "brightness": 1.0, "contrast": 1.0,
+         "saturation": 1.0}
     if rng.random() < 0.8:
-        img = img * rng.uniform(0.6, 1.4)  # brightness (dataset.py:110-113)
-        if rng.random() < 0.5:  # contrast (dataset.py:116-119)
-            factor = rng.uniform(0.6, 1.4)
-            mean = img.mean(axis=(0, 1), keepdims=True)
-            img = (img - mean) * factor + mean
-        if rng.random() < 0.5:  # saturation (dataset.py:122-126)
-            factor = rng.uniform(0.6, 1.4)
-            gray = img.mean(axis=2, keepdims=True)
-            img = img * factor + gray * (1 - factor)
+        p["brightness"] = float(rng.uniform(0.6, 1.4))
+        if rng.random() < 0.5:
+            p["contrast"] = float(rng.uniform(0.6, 1.4))
+        if rng.random() < 0.5:
+            p["saturation"] = float(rng.uniform(0.6, 1.4))
+    return p
+
+
+def augment_av_frame(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """img (H, W, 3) in [0,1]; returns augmented, clamped, normalized.
+
+    Exact replica of the reference recipe (dataset.py:104-126): hflip
+    p=0.5; brightness U(0.6,1.4) p=0.8 with nested contrast p=0.5 and
+    saturation p=0.5; clamp; ImageNet normalize."""
+    p = draw_av_params(rng)
+    if p["flip"]:
+        img = img[:, ::-1]
+    img = img * p["brightness"]
+    if p["contrast"] != 1.0:
+        mean = img.mean(axis=(0, 1), keepdims=True)
+        img = (img - mean) * p["contrast"] + mean
+    if p["saturation"] != 1.0:
+        gray = img.mean(axis=2, keepdims=True)
+        img = img * p["saturation"] + gray * (1 - p["saturation"])
     img = np.clip(img, 0.0, 1.0)  # dataset.py:132
     return imagenet_normalize(img)
+
+
+def apply_av_batch(imgs: np.ndarray, params: list) -> np.ndarray:
+    """Batched AV augmentation: imgs (B, H, W, 3) in [0,1], one
+    draw_av_params dict per row. Same math as augment_av_frame applied
+    with ~8 vectorized passes instead of ~8*B small ones (the per-item
+    path is GIL-bound at chip-rate ingest). Returns normalized float32.
+    """
+    imgs = np.asarray(imgs, np.float32)
+    flip = np.array([p["flip"] for p in params])
+    if flip.any():
+        imgs = imgs.copy()
+        imgs[flip] = imgs[flip, :, ::-1]
+    b = np.array([p["brightness"] for p in params], np.float32)
+    imgs = imgs * b[:, None, None, None]
+    cf = np.array([p["contrast"] for p in params], np.float32)
+    if (cf != 1.0).any():
+        mean = imgs.mean(axis=(1, 2), keepdims=True)
+        cfb = cf[:, None, None, None]
+        imgs = (imgs - mean) * cfb + mean
+    sf = np.array([p["saturation"] for p in params], np.float32)
+    if (sf != 1.0).any():
+        gray = imgs.mean(axis=3, keepdims=True)
+        sfb = sf[:, None, None, None]
+        imgs = imgs * sfb + gray * (1 - sfb)
+    np.clip(imgs, 0.0, 1.0, out=imgs)
+    imgs -= IMAGENET_MEAN
+    imgs /= IMAGENET_STD
+    return imgs
 
 
 # ---------------------------------------------------------------------------

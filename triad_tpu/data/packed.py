@@ -185,6 +185,20 @@ class PackedAVDataset:
         s = int(np.searchsorted(self._offsets, idx, side="right") - 1)
         return self.shards[s], idx - int(self._offsets[s])
 
+    def raw_item(self, idx: int) -> Dict:
+        """Un-augmented record: frame pixels in [0,1] + audio float32.
+        The loaders use this for the batched-augmentation fast path
+        (data/images.apply_av_batch) — per-item numpy augmentation is
+        GIL-bound at chip-rate ingest."""
+        shard, local = self._locate(idx)
+        frame_u8, a16 = shard.record(local)
+        return {
+            "video_path": shard.paths[local],
+            "frame_u8": np.asarray(frame_u8),  # device-augment fast path
+            "frame01": frame_u8.astype(np.float32) / 255.0,
+            "audio": a16.astype(np.float32) / 32767.0,
+        }
+
     def __getitem__(
         self, idx: int, apply_augmentation: bool = True,
         rng: Optional[np.random.Generator] = None,

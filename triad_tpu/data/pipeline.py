@@ -112,6 +112,7 @@ class AVLoader:
         unique_video_ids=None,
         unique_videos: bool = False,
         worker_mode: str = "thread",
+        device_augment: bool = False,
     ):
         """``unique_video_ids``: optional per-sample source-video ids;
         when given, batches are drawn with the UniqueVideoSampler (no
@@ -132,6 +133,12 @@ class AVLoader:
         self.drop_last = drop_last
         self.unique_video_ids = unique_video_ids
         self.unique_videos = unique_videos
+        # Emit raw uint8 frames + draw params and let the device run the
+        # augment math (data/device_aug.py) — requires a dataset with
+        # raw_item and a Prefetcher using device_ingest_av.
+        self.device_augment = device_augment and hasattr(
+            dataset, "raw_item"
+        )
         if unique_videos and unique_video_ids is None and not hasattr(
             dataset, "video_files"
         ):
@@ -160,20 +167,71 @@ class AVLoader:
                 len(self.dataset), self.batch_size, self.shuffle, self.seed,
                 epoch, self.drop_last,
             )
+        batched_aug = self.augment and hasattr(self.dataset, "raw_item")
         for b in range(start_batch, sampler.num_batches):
             idx = sampler.batch_indices(b)
-            # Deterministic augmentation: one RNG per draw, keyed on
-            # (seed, epoch, batch, idx) — a resumed run replays the
-            # exact augmentations (reference RNG restore,
-            # train.py:500-514).
-            seeds = [(self.seed, epoch, b, int(i)) for i in idx]
-            items = self.pool.map(idx, self.augment, seeds=seeds)
-            images = np.stack([it["video_frames"] for it in items])
+            if batched_aug:
+                # Fast path (pre-decoded datasets): fetch raw pixels,
+                # then augment the whole batch with vectorized numpy
+                # (or, with device_augment, ship uint8 + params and let
+                # the accelerator do the math — data/device_aug.py).
+                # Per-item augmentation is GIL-bound at chip-rate
+                # ingest. Draws stay deterministic per (seed, epoch,
+                # batch, idx).
+                from triad_tpu.data.images import (
+                    apply_av_batch,
+                    draw_av_params,
+                )
+
+                ds = self.dataset
+                items = list(
+                    self.pool._ensure().map(ds.raw_item, [int(i) for i in idx])
+                ) if self.pool.mode == "thread" else [
+                    ds.raw_item(int(i)) for i in idx
+                ]
+                params = [
+                    draw_av_params(
+                        np.random.default_rng((self.seed, epoch, b, int(i)))
+                    )
+                    for i in idx
+                ]
+                if self.device_augment:
+                    from triad_tpu.data.device_aug import av_param_arrays
+
+                    frames = np.stack(
+                        [it["frame_u8"] for it in items]
+                    ) if "frame_u8" in items[0] else np.round(
+                        np.stack([it["frame01"] for it in items]) * 255.0
+                    ).astype(np.uint8)
+                    audio = np.stack(
+                        [
+                            pad_or_trim(it["audio"], self.audio_num_samples)
+                            for it in items
+                        ]
+                    )
+                    yield {
+                        "frames_u8": frames,
+                        "audio": audio,
+                        "video_paths": [it["video_path"] for it in items],
+                        **av_param_arrays(params),
+                    }
+                    continue
+                images = apply_av_batch(
+                    np.stack([it["frame01"] for it in items]), params
+                )
+            else:
+                # Deterministic augmentation: one RNG per draw, keyed on
+                # (seed, epoch, batch, idx) — a resumed run replays the
+                # exact augmentations (reference RNG restore,
+                # train.py:500-514).
+                seeds = [(self.seed, epoch, b, int(i)) for i in idx]
+                items = self.pool.map(idx, self.augment, seeds=seeds)
+                images = np.stack([it["video_frames"] for it in items])
             audio = np.stack(
                 [pad_or_trim(it["audio"], self.audio_num_samples) for it in items]
             )
             yield {
-                "images": images.astype(np.float32),
+                "images": np.asarray(images, np.float32),  # no-op if f32
                 "audio": audio,
                 "video_paths": [it["video_path"] for it in items],
             }
@@ -232,7 +290,7 @@ class TVLoader:
                 pad_to=self.max_text_tokens,
             )
             yield {
-                "images": images.astype(np.float32),
+                "images": np.asarray(images, np.float32),
                 "token_ids": ids,
                 "text_mask": mask.astype(np.float32),
                 "captions": captions,
