@@ -64,14 +64,19 @@ def main() -> None:
         ),
         hubert=dataclasses.replace(
             base.hubert, attention_scores_dtype="bfloat16", mlp_impl="auto",
-            # Frontend stays on XLA's chunked conv path: both pallas
-            # alternatives measured SLOWER end-to-end (full pallas conv
-            # 367 clips/s, XLA-conv+pallas-activations 373, vs 448 here)
-            # — XLA keeps conv outputs in a transposed tiled layout
-            # ({2,0,1:T(8,128)}) and every pallas custom-call boundary
-            # forces layout copies on the GB-sized activations that cost
-            # more than the fused elementwise saves. See
-            # ops/pallas_conv.py for both kernels + the measurements.
+            # Frontend stays on XLA's chunked conv path. Round-2 added a
+            # MONOLITHIC pallas kernel (ops/pallas_frontend.py: all 7
+            # convs + GroupNorm + GELUs in one program, no HBM between
+            # layers) which beats XLA's *monolithic* conv composition in
+            # isolation (40.8 vs 50.8 ms at B=64,
+            # scripts/tpu_frontend_mono_check.py) — but the production
+            # CHUNKED two-pass frontend is itself ~8 ms faster than
+            # monolithic XLA at eval, and end-to-end the kernel measured
+            # 436.1 vs 443.5 clips/s: the remaining ~25 ms of in-kernel
+            # VPU work (erf-GELU passes, shifted-tap copies, fold
+            # relayouts) is not ahead of XLA's pipelined schedule. Kept
+            # as an interpret-tested opt-in (frontend_impl="monolithic")
+            # like the round-1 variants in ops/pallas_conv.py.
             # ln_impl stays "auto" (XLA at p=0): the fused add+LN
             # kernel measured neutral at eval (444.5 vs 448.5) — its
             # win is the training-path dropout-mask traffic.

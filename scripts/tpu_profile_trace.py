@@ -41,7 +41,8 @@ def build_eval_fn():
             base.vit, attention_scores_dtype="bfloat16", mlp_impl="fused"
         ),
         hubert=dataclasses.replace(
-            base.hubert, attention_scores_dtype="bfloat16", mlp_impl="auto"
+            base.hubert, attention_scores_dtype="bfloat16", mlp_impl="auto",
+            frontend_impl=os.environ.get("TRIAD_FRONTEND", "monolithic"),
         ),
         text=dataclasses.replace(base.text, attention_scores_dtype="bfloat16"),
     )
