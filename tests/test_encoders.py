@@ -526,3 +526,71 @@ class TestSpecAugment:
             audio, deterministic=True,
         )["params"]
         assert "masked_spec_embed" not in params
+
+
+class TestPhaseFrontend:
+    """frontend_impl='phase': pure-XLA phase-split matmul frontend must
+    match the default conv path exactly at fp32 (same math, different
+    schedule)."""
+
+    def test_matches_conv_frontend(self):
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from triad_tpu.core.config import HubertConfig
+        from triad_tpu.models.hubert import ConvFeatureEncoder
+
+        base = HubertConfig()
+        wave = jnp.asarray(
+            np.random.default_rng(4).normal(size=(2, 16000)), jnp.float32
+        )
+        conv_fe = ConvFeatureEncoder(
+            dataclasses.replace(base, frontend_impl="conv"),
+            dtype=jnp.float32,
+        )
+        params = conv_fe.init(jax.random.key(0), wave)["params"]
+        ref = np.asarray(conv_fe.apply({"params": params}, wave))
+        phase_fe = ConvFeatureEncoder(
+            dataclasses.replace(base, frontend_impl="phase"),
+            dtype=jnp.float32,
+        )
+        got = np.asarray(phase_fe.apply({"params": params}, wave))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_ragged_lengths(self):
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from triad_tpu.core.config import HubertConfig
+        from triad_tpu.models.hubert import ConvFeatureEncoder
+
+        base = HubertConfig()
+        for t in (8000, 12345, 16331):
+            wave = jnp.asarray(
+                np.random.default_rng(t).normal(size=(1, t)), jnp.float32
+            )
+            conv_fe = ConvFeatureEncoder(
+                dataclasses.replace(base, frontend_impl="conv"),
+                dtype=jnp.float32,
+            )
+            params = conv_fe.init(jax.random.key(0), wave)["params"]
+            # conv path consumes T % 10 != 0 tails; the phase path drops
+            # them — compare on the 10-aligned prefix (token counts can
+            # differ by at most one trailing token)
+            ref = np.asarray(
+                conv_fe.apply({"params": params}, wave[:, : t - t % 10])
+            )
+            phase_fe = ConvFeatureEncoder(
+                dataclasses.replace(base, frontend_impl="phase"),
+                dtype=jnp.float32,
+            )
+            got = np.asarray(phase_fe.apply({"params": params}, wave))
+            n = min(got.shape[1], ref.shape[1])
+            np.testing.assert_allclose(
+                got[:, :n], ref[:, :n], atol=1e-5
+            )

@@ -237,9 +237,11 @@ class ConvFeatureEncoder(nn.Module):
                         param_dtype=self.param_dtype, name=f"conv_{i}",
                     )
                 )
-            elif c.frontend_impl == "monolithic":
+            elif c.frontend_impl in ("monolithic", "phase"):
                 if c.conv_bias:
-                    raise ValueError("monolithic frontend: no conv bias")
+                    raise ValueError(
+                        f"{c.frontend_impl} frontend: no conv bias"
+                    )
                 convs.append(
                     _ConvParams(
                         dim, k, in_features=1 if i == 0 else c.conv_dim[i - 1],
@@ -352,7 +354,86 @@ class ConvFeatureEncoder(nn.Module):
                 m, r, sc, bi = identity_stats(b, cin)
         return nn.gelu(x[:, :t_log], approximate=False)
 
+    def _phase_frontend(self, audio: jax.Array) -> jax.Array:
+        """Pure-XLA phase-split matmul frontend.
+
+        Every stride-2 conv consumes its input as two phase arrays
+        (even/odd time steps) — free lane-slices of a free reshape — so
+        each layer is 2-3 plain MXU matmuls (contraction 512) plus
+        elementwise GELU, with no XLA conv lowering, no im2col widening
+        (the round-1 'matmul' impl materialized (T, K*C) windows and
+        lost), and no stride-2 gathers: a layer's (B, m, C) output
+        reshapes to (B, m/2, 2C) phase-split form for free. conv_0
+        (k=10, s=5) becomes two (B, T/10, 10) @ (10, C) matmuls (even /
+        5-shifted odd windows) whose outputs ARE conv_1's phase inputs
+        — never interleaved. GroupNorm stats come from both phase
+        arrays jointly. Eval fast path (profile: XLA's conv lowering
+        held 47 ms of the 140 ms step at B=64); training keeps the
+        chunked-remat conv path for backward memory."""
+        c = self.cfg
+        C = c.conv_dim[0]
+        B, T = audio.shape
+        T -= T % 10
+        audio = audio[:, :T].astype(self.dtype)
+        m0 = (T - 10) // 5 + 1  # conv_0 logical outputs
+
+        w0 = self.convs[0].kernel.reshape(10, C).astype(self.dtype)
+        x10a = audio.reshape(B, T // 10, 10)
+        x10b = audio[:, 5 : T - 5].reshape(B, T // 10 - 1, 10)
+        ye = jnp.einsum("btk,kc->btc", x10a, w0)  # even outputs
+        yo = jnp.einsum("btk,kc->btc", x10b, w0)  # odd outputs
+        ne, no = (m0 + 1) // 2, m0 // 2  # valid rows: 16000 / 15999
+        ye = ye[:, :ne]
+        yo = yo[:, :no]
+
+        # GroupNorm (per-channel over all m0 time steps) + affine + GELU
+        se = jnp.sum(ye.astype(jnp.float32), axis=1)
+        so = jnp.sum(yo.astype(jnp.float32), axis=1)
+        sqe = jnp.sum(jnp.square(ye.astype(jnp.float32)), axis=1)
+        sqo = jnp.sum(jnp.square(yo.astype(jnp.float32)), axis=1)
+        mean = (se + so) / m0  # (B, C)
+        var = (sqe + sqo) / m0 - jnp.square(mean)
+        g_scale, g_bias = self.group_norm.affine()
+        scale = (
+            g_scale.astype(jnp.float32)
+            * jax.lax.rsqrt(var + self.group_norm.epsilon)
+        )
+        bias = g_bias.astype(jnp.float32) - mean * scale
+        act = lambda x, s, b: nn.gelu(
+            (x.astype(jnp.float32) * s[:, None] + b[:, None]).astype(
+                self.dtype
+            ),
+            approximate=False,
+        )
+        x_e = act(ye, scale, bias)
+        x_o = act(yo, scale, bias)
+
+        t_log = m0
+        y = None
+        for conv in self.convs[1:]:
+            k = conv.kernel_size
+            w = conv.kernel.astype(self.dtype)  # (k, C, C)
+            m = (t_log - k) // 2 + 1
+            y = jnp.einsum("btc,cd->btd", x_e[:, :m], w[0])
+            y = y + jnp.einsum("btc,cd->btd", x_o[:, :m], w[1])
+            if k == 3:
+                y = y + jnp.einsum(
+                    "btc,cd->btd", x_e[:, 1 : m + 1], w[2]
+                )
+            if conv is not self.convs[-1]:
+                yg = nn.gelu(y, approximate=False)
+                # free phase split: pad 2 rows, reshape (B, m', 2C)
+                yp = jnp.pad(yg, ((0, 0), (0, 2), (0, 0)))
+                rows = (m + 2) // 2
+                x2 = yp[:, : 2 * rows].reshape(B, rows, 2 * C)
+                x_e = x2[..., :C]
+                x_o = x2[..., C:]
+            t_log = m
+        return nn.gelu(y[:, :t_log], approximate=False)
+
     def __call__(self, audio: jax.Array) -> jax.Array:
+        if self.cfg.frontend_impl == "phase":
+            return self._phase_frontend(audio)
         if self.cfg.frontend_impl == "monolithic":
             from triad_tpu.ops import pallas_frontend as mf
 
@@ -703,7 +784,7 @@ class HubertModel(nn.Module):
             name="feature_extractor",
         )
         if c.remat == "chunked_conv" and c.frontend_impl not in (
-            "pallas", "monolithic"
+            "pallas", "monolithic", "phase"
         ):
             # Kept for eval too: although the two-pass form exists for
             # backward-pass memory (conv_0 runs twice), it measured ~8 ms
