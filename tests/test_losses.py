@@ -204,3 +204,73 @@ class TestPairwiseSimilarity:
             torch.from_numpy(audio), torch.from_numpy(visual), torch.tensor(TEMP)
         )
         np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-5, atol=1e-6)
+
+
+class TestBf16VolumeOperands:
+    """bf16 features: the loss matmuls run as bf16 x bf16 with fp32
+    accumulation (DEFAULT precision) — numerically equal to casting to
+    fp32 and running HIGHEST (bf16 products are exact in the fp32
+    accumulator), at ~1/4 the MXU cost. This test pins the equality."""
+
+    def test_chunked_bf16_equals_fp32_highest(self):
+        import jax.numpy as jnp
+
+        from triad_tpu.ops.similarity import aggregate_crossbatch
+
+        rng = np.random.default_rng(0)
+        q16 = jnp.asarray(
+            rng.normal(size=(4, 12, 256)).astype(np.float32), jnp.bfloat16
+        )
+        k16 = jnp.asarray(
+            rng.normal(size=(4, 8, 256)).astype(np.float32), jnp.bfloat16
+        )
+        t = jnp.float32(1.5)
+        fast = aggregate_crossbatch(
+            q16, k16, t, clamp_min=-60.0, implementation="chunked",
+            chunk_size=2,
+        )
+        slow = aggregate_crossbatch(
+            q16.astype(jnp.float32), k16.astype(jnp.float32), t,
+            clamp_min=-60.0, implementation="chunked", chunk_size=2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fast.clip_sims), np.asarray(slow.clip_sims),
+            rtol=1e-6, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            float(fast.nonneg_sq_sum), float(slow.nonneg_sq_sum),
+            rtol=1e-5,
+        )
+
+    def test_dense_bf16_equals_fp32_highest(self):
+        import jax.numpy as jnp
+
+        from triad_tpu.ops.similarity import aggregate_crossbatch
+
+        rng = np.random.default_rng(1)
+        q16 = jnp.asarray(
+            rng.normal(size=(3, 6, 128)).astype(np.float32), jnp.bfloat16
+        )
+        k16 = jnp.asarray(
+            rng.normal(size=(3, 5, 128)).astype(np.float32), jnp.bfloat16
+        )
+        mask = jnp.asarray(
+            (np.arange(6)[None] < np.array([6, 4, 2])[:, None]), jnp.float32
+        )
+        t = jnp.float32(2.0)
+        fast = aggregate_crossbatch(
+            q16, k16, t, clamp_min=-20.0, query_mask=mask,
+            implementation="dense",
+        )
+        slow = aggregate_crossbatch(
+            q16.astype(jnp.float32), k16.astype(jnp.float32), t,
+            clamp_min=-20.0, query_mask=mask, implementation="dense",
+        )
+        np.testing.assert_allclose(
+            np.asarray(fast.clip_sims), np.asarray(slow.clip_sims),
+            rtol=1e-6, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fast.diag_token_sims),
+            np.asarray(slow.diag_token_sims), rtol=1e-6, atol=1e-5,
+        )

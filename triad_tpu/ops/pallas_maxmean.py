@@ -432,6 +432,11 @@ def maxmean_aggregate_pallas(
     bk, nk = key.shape[0], key.shape[1]
     if nk % 128 != 0 or d % 128 != 0:
         raise ValueError(f"Nk ({nk}) and D ({d}) must be multiples of 128")
+    # The kernel's key scratch is typed after the query; mixed q/k
+    # dtypes (e.g. an f32-promoted query against bf16 keys) would DMA
+    # across element types — unify here.
+    if key.dtype != query.dtype:
+        key = key.astype(query.dtype)
 
     nq_pad = _round_up(nq, 128)
     if query_mask is None:

@@ -43,6 +43,28 @@ def _prec(precision: str):
     )
 
 
+def _volume_operands(query: jax.Array, key: jax.Array, precision: str):
+    """Resolve (q, k, einsum precision) for the token-sim matmuls.
+
+    The reference computes sims in fp32 over bf16-autocast features
+    (model.py:487: autocast off for the loss). When the incoming
+    features ARE bf16, a bf16 x bf16 matmul with fp32 accumulation
+    yields the same products as casting to fp32 and running HIGHEST —
+    bf16 products are exact in the fp32 accumulator; fp32-HIGHEST
+    merely re-derives them through a multi-pass decomposition at ~4x
+    the MXU cost (measured: B=64/Bk=64 loss fwd+bwd 65 -> ~21 ms).
+    fp32 inputs keep the full HIGHEST path (parity tests feed fp32).
+    """
+    if (
+        precision == "highest"
+        and query.dtype == jnp.bfloat16
+        and key.dtype == jnp.bfloat16
+    ):
+        return query, key, jax.lax.Precision.DEFAULT
+    keep = query.dtype if precision != "highest" else jnp.float32
+    return query.astype(keep), key.astype(keep), _prec(precision)
+
+
 class AggregateOut(NamedTuple):
     """Outputs of cross-batch max-mean aggregation.
 
@@ -106,9 +128,8 @@ def diag_token_sims(
     """Positive-pair (i == i) token sims: (B, Nq, Nk) fp32, unnormalized,
     scaled by temperature (the diagonal of the reference's token_sims volume,
     model.py:387/505)."""
-    q = query.astype(jnp.float32)
-    k = key.astype(jnp.float32)
-    ts = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    q, k, prec = _volume_operands(query, key, "highest")
+    ts = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32, precision=prec)
     return ts * temperature.astype(jnp.float32)
 
 
@@ -128,11 +149,9 @@ def _aggregate_dense(
 ) -> AggregateOut:
     Bq, Nq, _ = query.shape
     Bk, Nk = key.shape[0], key.shape[1]
-    keep = query.dtype if precision != "highest" else jnp.float32
-    q = query.astype(keep)
-    k = key.astype(keep)
+    q, k, prec = _volume_operands(query, key, precision)
     # token_sims[i,j,q,k] (model.py:384-387 / 502-505)
-    ts = jnp.einsum("iqd,jkd->ijqk", q, k, preferred_element_type=jnp.float32, precision=_prec(precision))
+    ts = jnp.einsum("iqd,jkd->ijqk", q, k, preferred_element_type=jnp.float32, precision=prec)
     ts = ts * temperature.astype(jnp.float32)
     max_sims = jnp.max(ts, axis=3)  # over key tokens (model.py:389/507)
     clip_sims = _masked_mean_over_queries(max_sims, query_mask)
@@ -141,7 +160,7 @@ def _aggregate_dense(
     numel = jnp.asarray(Bq * Bk * Nq * Nk, jnp.float32)
     diag = None
     if compute_diag:
-        diag = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        diag = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32, precision=prec)
         diag = diag * temperature.astype(jnp.float32)
     return AggregateOut(clip_sims, nonneg_sq_sum, numel, diag)
 
@@ -164,9 +183,7 @@ def _aggregate_chunked(
 ) -> AggregateOut:
     Bq, Nq, D = query.shape
     Bk, Nk = key.shape[0], key.shape[1]
-    keep = query.dtype if precision != "highest" else jnp.float32
-    q = query.astype(keep)
-    k = key.astype(keep)
+    q, k, prec = _volume_operands(query, key, precision)
     temp = temperature.astype(jnp.float32)
 
     chunk = min(chunk_size, Bk)
@@ -180,7 +197,7 @@ def _aggregate_chunked(
     @jax.checkpoint
     def chunk_fn(k_chunk):
         # (Bq, chunk, Nq, Nk) — the only live slice of the volume.
-        ts = jnp.einsum("iqd,jkd->ijqk", q, k_chunk, preferred_element_type=jnp.float32, precision=_prec(precision))
+        ts = jnp.einsum("iqd,jkd->ijqk", q, k_chunk, preferred_element_type=jnp.float32, precision=prec)
         ts = ts * temp
         max_sims = jnp.max(ts, axis=3)
         clip = _masked_mean_over_queries(max_sims, query_mask)  # (Bq, chunk)
@@ -206,7 +223,7 @@ def _aggregate_chunked(
     numel = jnp.asarray(Bq * Bk * Nq * Nk, jnp.float32)
     diag = None
     if compute_diag:
-        diag = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) * temp
+        diag = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32, precision=prec) * temp
     return AggregateOut(clip_sims, nonneg_sq_sum, numel, diag)
 
 
