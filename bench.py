@@ -64,19 +64,17 @@ def main() -> None:
         ),
         hubert=dataclasses.replace(
             base.hubert, attention_scores_dtype="bfloat16", mlp_impl="auto",
-            # Frontend stays on XLA's chunked conv path. Round-2 added a
-            # MONOLITHIC pallas kernel (ops/pallas_frontend.py: all 7
+            # MONOLITHIC pallas frontend (ops/pallas_frontend.py: all 7
             # convs + GroupNorm + GELUs in one program, no HBM between
-            # layers) which beats XLA's *monolithic* conv composition in
-            # isolation (40.8 vs 50.8 ms at B=64,
-            # scripts/tpu_frontend_mono_check.py) — but the production
-            # CHUNKED two-pass frontend is itself ~8 ms faster than
-            # monolithic XLA at eval, and end-to-end the kernel measured
-            # 436.1 vs 443.5 clips/s: the remaining ~25 ms of in-kernel
-            # VPU work (erf-GELU passes, shifted-tap copies, fold
-            # relayouts) is not ahead of XLA's pipelined schedule. Kept
-            # as an interpret-tested opt-in (frontend_impl="monolithic")
-            # like the round-1 variants in ops/pallas_conv.py.
+            # layers) with the tanh-form GELU (max abs err 4.7e-4, below
+            # bf16 rounding). The kernel is VPU-bound: with the exact
+            # erf GELU (exp + divide) it ran 44.7 ms and LOST end-to-end
+            # to XLA's chunked conv path (436 vs 443 clips/s); tanh
+            # drops it to 28.5 ms — 1.4 ms above the no-activation floor
+            # (scripts/tpu_frontend_gelu_check.py) — and the bench moved
+            # 443-455 -> 501.3 clips/s. The parity default
+            # (frontend_impl="conv") keeps exact-erf XLA convs.
+            frontend_impl="monolithic", frontend_gelu="tanh",
             # ln_impl stays "auto" (XLA at p=0): the fused add+LN
             # kernel measured neutral at eval (444.5 vs 448.5) — its
             # win is the training-path dropout-mask traffic.

@@ -61,6 +61,33 @@ class TestKernel:
         # and tightly in aggregate
         assert float(np.abs(got - ref).mean()) < tol / 30
 
+    def test_tanh_gelu_matches_erf(self):
+        """gelu="tanh" (the fast eval activation, 44.7->28.5 ms on-chip)
+        stays within tanh-approximation + bf16 tolerance of the exact
+        path, and matches its own XLA reference tightly."""
+        rng = np.random.default_rng(7)
+        wave = jnp.asarray(rng.normal(size=(2, 8000)).astype(np.float32))
+        w0, gs, gb, ws = _weights()
+        erf_ref = np.asarray(
+            reference_frontend(wave, w0, gs, gb, ws, out_dtype=jnp.float32)
+        )
+        tanh_ref = np.asarray(
+            reference_frontend(
+                wave, w0, gs, gb, ws, out_dtype=jnp.float32, gelu="tanh"
+            )
+        )
+        got = np.asarray(
+            monolithic_frontend(
+                wave, w0, gs, gb, ws, tb=16, out_dtype=jnp.float32,
+                interpret=True, gelu="tanh",
+            )
+        )
+        scale = float(np.abs(erf_ref).max())
+        # tanh kernel == tanh XLA reference within bf16 rounding
+        np.testing.assert_allclose(got, tanh_ref, atol=0.05 * scale)
+        # and the tanh approximation itself is below cross-path noise
+        np.testing.assert_allclose(tanh_ref, erf_ref, atol=0.02 * scale)
+
     def test_vjp_matches_reference_grad(self):
         rng = np.random.default_rng(2)
         wave = jnp.asarray(rng.normal(size=(1, 4000)).astype(np.float32))

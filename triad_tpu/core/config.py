@@ -116,6 +116,14 @@ class HubertConfig:
     # ~60% over roofline for the elementwise passes between convs;
     # conv_0 stays XLA). Backward falls back to the XLA reference VJP.
     frontend_impl: str = "conv"
+    # Activation inside the "monolithic" pallas frontend ONLY (the
+    # default "conv" path always uses exact GELU): "tanh" (tanh-form
+    # GELU, max abs err 4.7e-4 — below bf16 rounding at unit scale;
+    # 44.7 -> 28.5 ms on-chip at B=64, within 1.4 ms of the
+    # no-activation floor) or "erf" (exact GELU via the A&S rational —
+    # its exp+divide costs ~16 ms of VPU and made the kernel lose
+    # end-to-end in round 2's first attempt).
+    frontend_gelu: str = "tanh"
     # Rematerialization for the backward pass: "none", "conv" (remat the
     # whole waveform frontend), "chunked_conv" (default: evaluate the
     # frontend in independent token blocks, each rematted — its

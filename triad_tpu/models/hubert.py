@@ -457,6 +457,7 @@ class ConvFeatureEncoder(nn.Module):
                 [conv.kernel for conv in self.convs[1:]],
                 64,
                 self.dtype,
+                c.frontend_gelu,
             )
         if self.cfg.frontend_impl == "pallas":
             from triad_tpu.ops.pallas_conv import min_input_alloc

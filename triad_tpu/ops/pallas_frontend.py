@@ -55,6 +55,40 @@ from jax.experimental.pallas import tpu as pltpu
 
 from triad_tpu.ops.pallas_mlp import _gelu_exact
 
+
+def _gelu_tanh_f32(x):
+    """tanh-form GELU (max abs err 4.7e-4 vs exact — below bf16 ulp at
+    unit scale), fp32 transient."""
+    x = x.astype(jnp.float32)
+    x3 = x * x * x
+    return 0.5 * x * (
+        1.0 + jnp.tanh(0.7978845608028654 * (x + 0.044715 * x3))
+    )
+
+
+def _gelu_tanh_native(x):
+    """tanh-form GELU computed at the input dtype (packed bf16 VPU ops)."""
+    half = jnp.asarray(0.5, x.dtype)
+    one = jnp.asarray(1.0, x.dtype)
+    c0 = jnp.asarray(0.7978845608028654, x.dtype)
+    c1 = jnp.asarray(0.044715, x.dtype)
+    x3 = x * x * x
+    return half * x * (one + jnp.tanh(c0 * (x + c1 * x3)))
+
+
+def _gelu_erf_f32(x):
+    # fp32 transient for the erf polynomial (Mosaic can't lower packed-
+    # bf16 compares).
+    return _gelu_exact(x.astype(jnp.float32))
+
+
+_GELUS = {
+    "erf": _gelu_erf_f32,
+    "tanh": _gelu_tanh_f32,
+    "tanh_native": _gelu_tanh_native,
+    "id": lambda x: x,  # measurement floor only — NOT a valid frontend
+}
+
 # HuBERT-base frontend geometry (HF config defaults; reference
 # model.py:30). C = 512 for every layer.
 KERNELS = (10, 3, 3, 3, 3, 2, 2)
@@ -81,7 +115,11 @@ def make_g2_weight(w0: jax.Array) -> jax.Array:
 
 
 def _conv0_block(x10_ref, wg_ref, p0, n_pairs):
-    """Phase-split conv_0 for pairs [p0, p0+n_pairs): (n_pairs, 2C)."""
+    """Phase-split conv_0 for pairs [p0, p0+n_pairs): (n_pairs, 2C) f32.
+
+    Matmul runs in bf16 (the production frontend computes conv_0 at the
+    model dtype — reference autocast semantics) with fp32 accumulation.
+    """
     xa = x10_ref[0, pl.ds(p0, n_pairs), :]
     # pair u's odd output needs X10[u+1]; build the shifted copy with a
     # static offset-1 slice + the (aligned) row right past the block.
@@ -89,35 +127,37 @@ def _conv0_block(x10_ref, wg_ref, p0, n_pairs):
     xb = jnp.concatenate([xa[1:], tail], axis=0)
     xc = jnp.concatenate([xa, xb], axis=1)  # (n_pairs, 20)
     return jax.lax.dot_general(
-        xc, wg_ref[...], (((1,), (0,)), ((), ())),
+        xc.astype(jnp.bfloat16), wg_ref[...].astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
 
-def _stride2_layer(z, w01, w2):
+def _stride2_layer(z, w01, w2, gelu_fn=_gelu_erf_f32):
     """One stride-2 conv on a phase-split input.
 
-    z: (m, 2C) fp32 = [x_even | x_odd] (= input rows 2u | 2u+1), with
-    the layer's input activation NOT yet applied — GELU happens here so
-    it is computed exactly once, in VMEM. Output (m, C) fp32:
+    z: (m, 2C) bf16 = [x_even | x_odd] (= input rows 2u | 2u+1), with
+    the layer's input activation NOT yet applied — GELU happens here
+    (in bf16, like the production bf16 frontend / reference autocast)
+    so it is computed exactly once, in VMEM. Output (m, C) bf16:
     y[u] = g(x[2u])W0 + g(x[2u+1])W1 (+ g(x[2u+2])W2 for k=3, where
     x[2u+2] = even phase of the next pair)."""
     m, c2 = z.shape
     c = c2 // 2
-    z = _gelu_exact(z)
     cd = jnp.bfloat16
+    z = gelu_fn(z).astype(cd)
     acc = jax.lax.dot_general(
-        z.astype(cd), w01.astype(cd), (((1,), (0,)), ((), ())),
+        z, w01.astype(cd), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     if w2 is not None:
         xe = z[:, :c]
         xe1 = jnp.concatenate([xe[1:], xe[-1:]], axis=0)
         acc += jax.lax.dot_general(
-            xe1.astype(cd), w2.astype(cd), (((1,), (0,)), ((), ())),
+            xe1, w2.astype(cd), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    return acc
+    return acc.astype(cd)
 
 
 def _fold(y):
@@ -212,19 +252,22 @@ def _main_kernel(
     w2_ref,  # (4, C, C) third taps, conv_1..conv_4
     affine_ref,  # (1, 2, 2C) folded GroupNorm scale' | bias'
     y_ref,  # out (1, tb, C)
-    *, tb: int, p1: int,
+    *, tb: int, p1: int, gelu: str = "erf",
 ):
+    gelu_fn = _GELUS[gelu]
     j = pl.program_id(1)
     p0 = pl.multiple_of(j * (tb * 32), 8)
     y0 = _conv0_block(x10_ref, wg_ref, p0, p1)  # (P1, 2C) phase-split
-    z = y0 * affine_ref[0, 0][None, :] + affine_ref[0, 1][None, :]
+    z = (
+        y0 * affine_ref[0, 0][None, :] + affine_ref[0, 1][None, :]
+    ).astype(jnp.bfloat16)
     for li in range(6):
         w01 = wcat_ref[li]
         w2 = w2_ref[li] if KERNELS[1 + li] == 3 else None
-        y = _stride2_layer(z, w01, w2)
+        y = _stride2_layer(z, w01, w2, gelu_fn)
         if li < 5:
             z = _fold(y)
-    y_ref[0, :, :] = _gelu_exact(y[:tb]).astype(y_ref.dtype)
+    y_ref[0, :, :] = gelu_fn(y[:tb]).astype(y_ref.dtype)
 
 
 def monolithic_frontend(
@@ -236,12 +279,15 @@ def monolithic_frontend(
     tb: int = 64,
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
+    gelu: str = "erf",
 ) -> jax.Array:
     """wave (B, T) -> tokens (B, num_tokens(T), C) in out_dtype.
 
     w0: conv_0 weight (10, 1, C) or (10, C); gn_scale/gn_bias (C,);
     ws: conv_1..conv_6 weights, each (k, C, C). tb: final tokens per
-    block, multiple of 8.
+    block, multiple of 8. gelu: activation impl from _GELUS ("erf"
+    exact; "tanh"/"tanh_native" 4.7e-4-max-err fast forms; "id" for
+    floor measurement only).
     """
     if tb % 8:
         raise ValueError(f"tb must be a multiple of 8, got {tb}")
@@ -284,7 +330,7 @@ def monolithic_frontend(
     )  # (4, C, C)
 
     y = pl.pallas_call(
-        functools.partial(_main_kernel, tb=tb, p1=p1),
+        functools.partial(_main_kernel, tb=tb, p1=p1, gelu=gelu),
         grid=(b, nb),
         in_specs=[
             pl.BlockSpec((1, r10_pad, 10), lambda i, j: (i, 0, 0)),
@@ -304,10 +350,11 @@ def monolithic_frontend(
 
 
 def reference_frontend(wave, w0, gn_scale, gn_bias, ws,
-                       out_dtype=jnp.bfloat16):
+                       out_dtype=jnp.bfloat16, gelu: str = "erf"):
     """The identical composition in plain XLA (tests + custom-VJP
     backward). Matches HF HubertFeatureEncoder: conv_0 -> GroupNorm ->
     GELU -> (conv -> GELU) x6."""
+    gelu_fn = _GELUS[gelu]
     x = wave.astype(jnp.float32)[:, :, None]
     w0r = w0.reshape(10, 1, -1).astype(jnp.float32)
     y = jax.lax.conv_general_dilated(
@@ -322,34 +369,36 @@ def reference_frontend(wave, w0, gn_scale, gn_bias, ws,
     # transposes reject dtype mismatches); the kernel's bf16 matmuls
     # differ within bf16 rounding, covered by test tolerances.
     for w in ws:
-        y = _gelu_exact(y)
+        y = gelu_fn(y)
         y = jax.lax.conv_general_dilated(
             y, w.astype(jnp.float32), window_strides=(2,),
             padding="VALID", dimension_numbers=("NHC", "HIO", "NHC"),
         )
-    return _gelu_exact(y).astype(out_dtype)
+    return gelu_fn(y).astype(out_dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def monolithic_frontend_vjp(wave, w0, gn_scale, gn_bias, ws,
-                            tb: int = 64, out_dtype=jnp.bfloat16):
+                            tb: int = 64, out_dtype=jnp.bfloat16,
+                            gelu: str = "erf"):
     """monolithic_frontend with an XLA-recompute backward (the training
     path normally uses the chunked-remat XLA frontend; this VJP exists
     so the kernel is safe under jax.grad)."""
     return monolithic_frontend(wave, w0, gn_scale, gn_bias, ws, tb,
-                               out_dtype)
+                               out_dtype, gelu=gelu)
 
 
-def _mf_fwd(wave, w0, gn_scale, gn_bias, ws, tb, out_dtype):
-    y = monolithic_frontend(wave, w0, gn_scale, gn_bias, ws, tb, out_dtype)
+def _mf_fwd(wave, w0, gn_scale, gn_bias, ws, tb, out_dtype, gelu):
+    y = monolithic_frontend(wave, w0, gn_scale, gn_bias, ws, tb, out_dtype,
+                            gelu=gelu)
     return y, (wave, w0, gn_scale, gn_bias, tuple(ws))
 
 
-def _mf_bwd(tb, out_dtype, res, dy):
+def _mf_bwd(tb, out_dtype, gelu, res, dy):
     wave, w0, gn_scale, gn_bias, ws = res
     _, vjp = jax.vjp(
         lambda wave, w0, s, b, ws: reference_frontend(
-            wave, w0, s, b, ws, out_dtype
+            wave, w0, s, b, ws, out_dtype, gelu=gelu
         ),
         wave, w0, gn_scale, gn_bias, list(ws),
     )
