@@ -228,3 +228,40 @@ class PackedAVDataset:
                 ),
                 "audio": np.zeros(self.audio_samples, np.float32),
             }
+
+
+def _main(argv=None) -> int:
+    """CLI: decode a reference-layout AV root once into a .tpack shard.
+
+    python -m triad_tpu.data.packed --root /data/audioset --out /data/p.tpack
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    parser.add_argument("--root", required=True, help="AV dataset root")
+    parser.add_argument("--out", required=True, help="output .tpack path")
+    parser.add_argument(
+        "--flat", action="store_true",
+        help="flat layout (FlatAudioVisualDataset) instead of segments",
+    )
+    parser.add_argument("--image-size", type=int, default=224)
+    parser.add_argument("--audio-samples", type=int, default=160_000)
+    args = parser.parse_args(argv)
+
+    from triad_tpu.data.datasets import (
+        AudioVisualDataset,
+        FlatAudioVisualDataset,
+    )
+
+    cls = FlatAudioVisualDataset if args.flat else AudioVisualDataset
+    ds = cls(args.root, image_size=args.image_size)
+    n = pack_dataset(
+        ds, args.out, image_size=args.image_size,
+        audio_samples=args.audio_samples,
+    )
+    print(f"packed {n} samples -> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(_main())
