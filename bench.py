@@ -37,9 +37,10 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    import dataclasses
-
-    from triad_tpu.core.config import LossConfig, ModelConfig
+    from triad_tpu.core.config import (
+        perf_eval_loss_config,
+        perf_eval_model_config,
+    )
     from triad_tpu.models import TriadModel, init_triad_model
     from triad_tpu.ops import av_loss, tv_loss
 
@@ -51,42 +52,15 @@ def main() -> None:
     AUDIO_SAMPLES = 160_000
     TEXT_LEN = 32
 
-    base = ModelConfig()  # bf16 compute, fp32 params
-    # Production eval knobs (round-1 sweep, scripts/tpu_eval_sweep.py):
-    # bf16 softmax scores (fp32-max-subtracted exp; halves score-matrix
-    # HBM traffic) and the fused pallas MLP kernel — everything still
-    # computes at bf16-or-better, per the metric's bf16 contract. The
-    # parity defaults (fp32 scores, xla mlp) stay for torch comparisons.
-    cfg = dataclasses.replace(
-        base,
-        vit=dataclasses.replace(
-            base.vit, attention_scores_dtype="bfloat16", mlp_impl="fused"
-        ),
-        hubert=dataclasses.replace(
-            base.hubert, attention_scores_dtype="bfloat16", mlp_impl="auto",
-            # MONOLITHIC pallas frontend (ops/pallas_frontend.py: all 7
-            # convs + GroupNorm + GELUs in one program, no HBM between
-            # layers) with the tanh-form GELU (max abs err 4.7e-4, below
-            # bf16 rounding). The kernel is VPU-bound: with the exact
-            # erf GELU (exp + divide) it ran 44.7 ms and LOST end-to-end
-            # to XLA's chunked conv path (436 vs 443 clips/s); tanh
-            # drops it to 28.5 ms — 1.4 ms above the no-activation floor
-            # (scripts/tpu_frontend_gelu_check.py) — and the bench moved
-            # 443-455 -> 501.3 clips/s. The parity default
-            # (frontend_impl="conv") keeps exact-erf XLA convs.
-            frontend_impl="monolithic", frontend_gelu="tanh",
-            # ln_impl stays "auto" (XLA at p=0): the fused add+LN
-            # kernel measured neutral at eval (444.5 vs 448.5) — its
-            # win is the training-path dropout-mask traffic.
-        ),
-        text=dataclasses.replace(
-            base.text, attention_scores_dtype="bfloat16"
-        ),
-    )
-    # Production loss path: chunked bf16-in/fp32-accum aggregation.
-    loss_cfg = LossConfig(
-        implementation="chunked", chunk_size=16, matmul_precision="default"
-    )
+    # Production eval knobs — shared with scripts/tpu_profile_trace.py
+    # so the profiled program IS the judged program. Everything computes
+    # at bf16-or-better per the metric's contract; see the helper's
+    # docstring (core/config.py) and docs/TRAINING_PERF.md for the
+    # measurement history (501.3 with erf MLP GELUs -> 519.7 with tanh).
+    # The parity defaults (fp32 scores, xla mlp, erf gelu, conv
+    # frontend) stay for torch comparisons.
+    cfg = perf_eval_model_config()
+    loss_cfg = perf_eval_loss_config()
     model = TriadModel(cfg)
     params = init_triad_model(cfg, jax.random.key(0))
 

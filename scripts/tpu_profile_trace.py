@@ -30,25 +30,22 @@ TEXT_LEN = 32
 
 
 def build_eval_fn():
-    from triad_tpu.core.config import LossConfig, ModelConfig
+    from triad_tpu.core.config import (
+        perf_eval_loss_config,
+        perf_eval_model_config,
+    )
     from triad_tpu.models import TriadModel, init_triad_model
     from triad_tpu.ops import av_loss, tv_loss
 
-    base = ModelConfig()
-    cfg = dataclasses.replace(
-        base,
-        vit=dataclasses.replace(
-            base.vit, attention_scores_dtype="bfloat16", mlp_impl="fused"
-        ),
-        hubert=dataclasses.replace(
-            base.hubert, attention_scores_dtype="bfloat16", mlp_impl="auto",
-            frontend_impl=os.environ.get("TRIAD_FRONTEND", "monolithic"),
-        ),
-        text=dataclasses.replace(base.text, attention_scores_dtype="bfloat16"),
-    )
-    loss_cfg = LossConfig(
-        implementation="chunked", chunk_size=16, matmul_precision="default"
-    )
+    # The judged bench configuration (bench.py uses the same helper).
+    # TRIAD_FRONTEND overrides the frontend impl for A/B traces.
+    cfg = perf_eval_model_config()
+    fe = os.environ.get("TRIAD_FRONTEND")
+    if fe:
+        cfg = dataclasses.replace(
+            cfg, hubert=dataclasses.replace(cfg.hubert, frontend_impl=fe)
+        )
+    loss_cfg = perf_eval_loss_config()
     model = TriadModel(cfg)
     params = init_triad_model(cfg, jax.random.key(0))
 

@@ -37,8 +37,30 @@ def main() -> None:
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     loss_impl = sys.argv[2] if len(sys.argv) > 2 else "chunked"
     moments = sys.argv[3] if len(sys.argv) > 3 else "float32"
+    # 4th arg: comma-separated perf knobs ("tanh" = tanh-form GELU in
+    # the fused MLP kernels; "monofe" = monolithic pallas frontend fwd
+    # with XLA-recompute backward). Default = parity config.
+    knobs = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else set()
+
+    import dataclasses
 
     model_cfg = ModelConfig()
+    if "tanh" in knobs:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            hubert=dataclasses.replace(model_cfg.hubert, mlp_gelu="tanh"),
+            vit=dataclasses.replace(
+                model_cfg.vit, mlp_impl="fused", mlp_gelu="tanh"
+            ),
+        )
+    if "monofe" in knobs:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            hubert=dataclasses.replace(
+                model_cfg.hubert, frontend_impl="monolithic",
+                frontend_gelu="tanh",
+            ),
+        )
     loss_cfg = LossConfig(
         implementation=loss_impl, chunk_size=16, matmul_precision="default"
     )

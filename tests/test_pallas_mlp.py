@@ -86,3 +86,45 @@ class TestFusedMlp:
         np.testing.assert_allclose(
             np.asarray(out_fused), np.asarray(out_xla), rtol=2e-5, atol=2e-5
         )
+
+
+class TestTanhGelu:
+    """mlp_gelu="tanh": cheaper VPU transcendental, parity within the
+    documented 4.7e-4 band (same bound as the frontend's tanh GELU,
+    tests/test_pallas_frontend.py)."""
+
+    def test_tanh_close_to_erf(self, tensors):
+        x, w1, b1, w2, b2 = tensors
+        with pltpu.force_tpu_interpret_mode():
+            y_t = fused_mlp(x, w1, b1, w2, b2, jnp.int32(0), 0.0, "tanh")
+        ref = ref_mlp(x, w1, b1, w2, b2)
+        # tanh-GELU abs err <= 4.7e-4 per element, amplified by |w2|_1.
+        err = np.abs(np.asarray(y_t) - np.asarray(ref)).max()
+        scale = float(np.abs(np.asarray(w2)).sum(axis=0).max())
+        assert err <= 5e-4 * max(scale, 1.0), err
+
+    def test_tanh_grads_match_autodiff(self, tensors):
+        """The hand-derived tanh-GELU derivative in the backward kernel
+        must match autodiff of the tanh-GELU forward."""
+        x, w1, b1, w2, b2 = tensors
+
+        def ref_tanh(x, w1, b1, w2, b2):
+            h = x @ w1 + b1
+            return jax.nn.gelu(h, approximate=True) @ w2 + b2
+
+        def loss_fused(*a):
+            return jnp.sum(fused_mlp(*a, jnp.int32(0), 0.0, "tanh") ** 2)
+
+        def loss_ref(*a):
+            return jnp.sum(ref_tanh(*a) ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(
+                x, w1, b1, w2, b2
+            )
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+        for gf, gr, name in zip(g_fused, g_ref, ["x", "w1", "b1", "w2", "b2"]):
+            np.testing.assert_allclose(
+                np.asarray(gf), np.asarray(gr), rtol=5e-4, atol=5e-4,
+                err_msg=name,
+            )

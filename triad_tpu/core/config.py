@@ -54,6 +54,11 @@ class ViTConfig:
     # "xla" = Dense/gelu/Dense; "fused" = single pallas fc1+gelu+fc2
     # kernel (faster on TPU, bf16-rounding-level numerics difference).
     mlp_impl: str = "xla"
+    # GELU form inside the fused MLP kernel: "erf" (HF parity) or
+    # "tanh" (max abs err 4.7e-4 — below bf16 rounding; cheaper VPU
+    # transcendental, same swap that won the conv frontend 44.7->28.5
+    # ms). Only affects mlp_impl="fused".
+    mlp_gelu: str = "erf"
 
     @property
     def num_patches(self) -> int:
@@ -96,6 +101,9 @@ class HubertConfig:
     # activation dropout on a TPU backend, XLA elsewhere; "xla"/"fused"
     # force one.
     mlp_impl: str = "auto"
+    # GELU form inside the fused MLP kernel ("erf" parity / "tanh"
+    # fast, <=4.7e-4 abs err). Only affects the fused pallas path.
+    mlp_gelu: str = "erf"
     # "auto" (default): fused pallas attention+dropout kernel
     # (ops/pallas_attention.py) when training with attention dropout on
     # a TPU backend — 2.3x faster than the XLA path there (the
@@ -409,3 +417,41 @@ def _from_dict(cls, d):
         else:
             kwargs[key] = value
     return cls(**kwargs)
+
+
+def perf_eval_model_config() -> ModelConfig:
+    """The tuned single-chip eval/bench configuration (bench.py and
+    scripts/tpu_profile_trace.py share it so the trace always profiles
+    the judged program).
+
+    Every knob keeps the bf16-or-better numerics contract; deltas vs the
+    parity defaults are within bf16 rounding (tests/test_pallas_mlp.py,
+    tests/test_pallas_frontend.py):
+
+    - bf16 softmax scores in all three encoders (halves score HBM traffic);
+    - fused pallas MLP kernels with tanh-form GELU (abs err <= 4.7e-4);
+    - monolithic pallas conv frontend with tanh GELU (44.7 -> 28.5 ms,
+      docs/TRAINING_PERF.md round 2).
+    """
+    base = ModelConfig()
+    return dataclasses.replace(
+        base,
+        vit=dataclasses.replace(
+            base.vit, attention_scores_dtype="bfloat16", mlp_impl="fused",
+            mlp_gelu="tanh",
+        ),
+        hubert=dataclasses.replace(
+            base.hubert, attention_scores_dtype="bfloat16", mlp_impl="auto",
+            mlp_gelu="tanh", frontend_impl="monolithic", frontend_gelu="tanh",
+        ),
+        text=dataclasses.replace(base.text, attention_scores_dtype="bfloat16"),
+    )
+
+
+def perf_eval_loss_config() -> LossConfig:
+    """Production loss path for the eval bench: chunked bf16-operand
+    aggregation with fp32 accumulation (bit-equal to the fp32-HIGHEST
+    volume for bf16-valued features — tests/test_losses.py)."""
+    return LossConfig(
+        implementation="chunked", chunk_size=16, matmul_precision="default"
+    )

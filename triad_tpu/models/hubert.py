@@ -639,7 +639,7 @@ class HubertEncoderLayer(nn.Module):
                 x.astype(self.dtype),
                 w1.astype(self.dtype), b1.astype(self.dtype),
                 w2.astype(self.dtype), b2.astype(self.dtype),
-                seed, float(act_rate),
+                seed, float(act_rate), c.mlp_gelu,
             )
         else:
             h = nn.Dense(

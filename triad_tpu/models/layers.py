@@ -312,6 +312,9 @@ class Mlp(nn.Module):
     # backbones use exact gelu.
     approximate_gelu: bool = False
     impl: str = "xla"
+    # GELU form inside the fused kernel: "erf" (parity) or "tanh"
+    # (cheaper VPU transcendental, <=4.7e-4 abs err).
+    gelu: str = "erf"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -329,7 +332,7 @@ class Mlp(nn.Module):
                 x.astype(self.dtype),
                 w1.astype(self.dtype), b1.astype(self.dtype),
                 w2.astype(self.dtype), b2.astype(self.dtype),
-                jnp.zeros((), jnp.int32), 0.0,
+                jnp.zeros((), jnp.int32), 0.0, self.gelu,
             )
         x = nn.Dense(
             self.hidden_features, dtype=self.dtype, param_dtype=self.param_dtype,

@@ -126,7 +126,7 @@ class ViTBlock(nn.Module):
         h = Mlp(
             int(c.hidden_size * c.mlp_ratio), c.hidden_size,
             dtype=self.dtype, param_dtype=self.param_dtype, name="mlp",
-            impl=c.mlp_impl,
+            impl=c.mlp_impl, gelu=c.mlp_gelu,
         )(h)
         h = LayerScale(
             c.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype, name="ls2"

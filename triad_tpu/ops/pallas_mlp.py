@@ -61,12 +61,36 @@ def _gelu_grad(h):
     return cdf + h * pdf
 
 
+# tanh-form GELU (max abs err 4.7e-4 vs exact erf — below bf16 rounding
+# at unit scale). The erf rational needs exp + divide on the VPU; tanh
+# lowers to one cheaper transcendental. In the monolithic conv frontend
+# this exact swap took the kernel 44.7 -> 28.5 ms (docs/TRAINING_PERF.md
+# round 2); the MLP kernels evaluate ~1.2B GELUs/step at B=64 HuBERT
+# shapes, so they get the same opt-in (config mlp_gelu="tanh").
+_TANH_C0 = 0.7978845608028654  # sqrt(2/pi)
+_TANH_C1 = 0.044715
+
+
+def _gelu_tanh(h):
+    return 0.5 * h * (1.0 + jnp.tanh(_TANH_C0 * (h + _TANH_C1 * h * h * h)))
+
+
+def _gelu_tanh_grad(h):
+    t = jnp.tanh(_TANH_C0 * (h + _TANH_C1 * h * h * h))
+    du = _TANH_C0 * (1.0 + 3.0 * _TANH_C1 * h * h)
+    return 0.5 * (1.0 + t) + 0.5 * h * (1.0 - t * t) * du
+
+
+_GELU = {"erf": _gelu_exact, "tanh": _gelu_tanh}
+_GELU_GRAD = {"erf": _gelu_grad, "tanh": _gelu_tanh_grad}
+
+
 def _fwd_kernel(
     seed_ref,  # SMEM (1, 1) int32
     x_ref,  # VMEM (1, T, Din)
     w1_ref, b1_ref, w2_ref, b2_ref,
     y_ref,  # out VMEM (1, T, Dout)
-    *, p_drop: float,
+    *, p_drop: float, gelu: str,
 ):
     if p_drop > 0.0:
         pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
@@ -75,7 +99,7 @@ def _fwd_kernel(
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b1_ref[0].astype(jnp.float32)[None, :]
-    g = _gelu_exact(h)
+    g = _GELU[gelu](h)
     if p_drop > 0.0:
         keep = _keep_mask(g.shape, p_drop)
         g = jnp.where(keep, g * (1.0 / (1.0 - p_drop)), 0.0)
@@ -93,7 +117,7 @@ def _bwd_kernel(
     dx_ref,  # out (1, T, Din)
     dh_ref,  # out (1, T, Dh)   — feeds dW1 = xᵀ·dh outside
     g_ref,  # out (1, T, Dh)    — dropped gelu output, feeds dW2 = gᵀ·dy
-    *, p_drop: float,
+    *, p_drop: float, gelu: str,
 ):
     if p_drop > 0.0:
         pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
@@ -102,7 +126,7 @@ def _bwd_kernel(
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b1_ref[0].astype(jnp.float32)[None, :]
-    g = _gelu_exact(h)
+    g = _GELU[gelu](h)
     dy = dy_ref[0].astype(jnp.float32)
     dg = jax.lax.dot_general(  # dy · W2ᵀ
         dy, w2_ref[:].astype(jnp.float32),
@@ -114,7 +138,7 @@ def _bwd_kernel(
         inv = 1.0 / (1.0 - p_drop)
         g = jnp.where(keep, g * inv, 0.0)
         dg = jnp.where(keep, dg * inv, 0.0)
-    dh = dg * _gelu_grad(h)
+    dh = dg * _GELU_GRAD[gelu](h)
     dx_ref[0] = jax.lax.dot_general(
         dh.astype(w1_ref.dtype), w1_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -129,13 +153,13 @@ def _full(shape):
     return pl.BlockSpec(shape, lambda i: (0,) * nd)
 
 
-def _fwd(x, w1, b1, w2, b2, seed, p_drop):
+def _fwd(x, w1, b1, w2, b2, seed, p_drop, gelu):
     b, t, din = x.shape
     dh, dout = w1.shape[1], w2.shape[1]
     seed2d = seed.astype(jnp.int32).reshape(1, 1)
     row = lambda d: pl.BlockSpec((1, t, d), lambda i: (i, 0, 0))
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, p_drop=p_drop),
+        functools.partial(_fwd_kernel, p_drop=p_drop, gelu=gelu),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -150,14 +174,14 @@ def _fwd(x, w1, b1, w2, b2, seed, p_drop):
     )(seed2d, x, w1, b1.reshape(1, dh), w2, b2.reshape(1, dout))
 
 
-def _bwd_call(x, w1, b1, w2, seed, p_drop, dy):
+def _bwd_call(x, w1, b1, w2, seed, p_drop, gelu, dy):
     b, t, din = x.shape
     dh_dim = w1.shape[1]
     dout = w2.shape[1]
     seed2d = seed.astype(jnp.int32).reshape(1, 1)
     row = lambda d: pl.BlockSpec((1, t, d), lambda i: (i, 0, 0))
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, p_drop=p_drop),
+        functools.partial(_bwd_kernel, p_drop=p_drop, gelu=gelu),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -177,25 +201,26 @@ def _bwd_call(x, w1, b1, w2, seed, p_drop, dy):
     )(seed2d, x, w1, b1.reshape(1, dh_dim), w2, dy)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def fused_mlp(x, w1, b1, w2, b2, seed, p_drop: float):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def fused_mlp(x, w1, b1, w2, b2, seed, p_drop: float, gelu: str = "erf"):
     """y = dropout(gelu(x·W1 + b1))·W2 + b2, fused per batch element.
 
     x: (B, T, Din); w1: (Din, Dh); w2: (Dh, Dout); seed: int32 scalar
     (ignored at p_drop == 0). Weights should already be in compute
-    dtype (the caller casts the fp32 masters once).
+    dtype (the caller casts the fp32 masters once). gelu: "erf" (HF
+    parity) or "tanh" (cheaper VPU transcendental, <=4.7e-4 abs err).
     """
-    return _fwd(x, w1, b1, w2, b2, seed, p_drop)
+    return _fwd(x, w1, b1, w2, b2, seed, p_drop, gelu)
 
 
-def _fused_mlp_fwd(x, w1, b1, w2, b2, seed, p_drop):
-    y = _fwd(x, w1, b1, w2, b2, seed, p_drop)
+def _fused_mlp_fwd(x, w1, b1, w2, b2, seed, p_drop, gelu="erf"):
+    y = _fwd(x, w1, b1, w2, b2, seed, p_drop, gelu)
     return y, (x, w1, b1, w2, seed)
 
 
-def _fused_mlp_bwd(p_drop, res, dy):
+def _fused_mlp_bwd(p_drop, gelu, res, dy):
     x, w1, b1, w2, seed = res
-    dx, dh, g = _bwd_call(x, w1, b1, w2, seed, p_drop, dy)
+    dx, dh, g = _bwd_call(x, w1, b1, w2, seed, p_drop, gelu, dy)
     f32 = jnp.float32
     # Cross-batch weight reductions as plain XLA matmuls (roofline).
     dw1 = jnp.einsum(
