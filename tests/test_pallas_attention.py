@@ -18,6 +18,7 @@ from jax.experimental.pallas import tpu as pltpu
 from triad_tpu.models.layers import (
     dot_product_attention,
     fused_dot_product_attention,
+    packed_dot_product_attention,
 )
 from triad_tpu.ops.pallas_attention import fused_attention
 
@@ -101,3 +102,38 @@ class TestBackward:
                 np.asarray(gf), np.asarray(gr), rtol=2e-4, atol=2e-4,
                 err_msg=name,
             )
+
+
+class TestPackedEval:
+    """fused_attention_eval (packed (B, N, H*D) layout, delayed
+    normalization): matches the fp32 XLA softmax within bf16-probs
+    tolerance, incl. ragged N (query rows padded to 8, keys to 128) and
+    key masks."""
+
+    def _check(self, n, with_mask):
+        b, h, d = 2, 3, 64
+        rng = np.random.default_rng(3)
+        mk = lambda: jnp.asarray(
+            rng.normal(size=(b, n, h, d)).astype(np.float32) * 0.3
+        )
+        q, k, v = mk(), mk(), mk()
+        mask = None
+        if with_mask:
+            valid = np.ones((b, n), np.float32)
+            valid[0, n - 5 :] = 0.0
+            mask = jnp.asarray(valid)[:, None, None, :].astype(bool)
+        ref = dot_product_attention(q, k, v, mask, jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            out = packed_dot_product_attention(q, k, v, mask, jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    def test_aligned(self):
+        self._check(128, with_mask=False)
+
+    def test_ragged_hubert_like(self):
+        self._check(99, with_mask=False)
+
+    def test_key_mask(self):
+        self._check(40, with_mask=True)

@@ -443,6 +443,12 @@ def perf_eval_model_config() -> ModelConfig:
         hubert=dataclasses.replace(
             base.hubert, attention_scores_dtype="bfloat16", mlp_impl="auto",
             mlp_gelu="tanh", frontend_impl="monolithic", frontend_gelu="tanh",
+            # Packed-layout eval attention kernel (no (B, H, N, N) probs
+            # HBM round-trip, no qkv transposes): 2.76 vs 3.44 ms/layer
+            # vs the bf16-scores XLA path at (64, 499, 12, 64)
+            # (scripts/tpu_attn_eval_check.py). ViT stays XLA: its 261
+            # tokens pad to 384 lanes and the kernel measured neutral.
+            attention_impl="packed",
         ),
         text=dataclasses.replace(base.text, attention_scores_dtype="bfloat16"),
     )

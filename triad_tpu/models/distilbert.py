@@ -60,9 +60,11 @@ class DistilBertAttention(nn.Module):
             )
         else:
             probs_dropout = None
-            if c.attention_dropout > 0:
+            # Only a LIVE dropout blocks the dropout-free fused paths
+            # ("flash"/"packed"); the deterministic identity must not.
+            if c.attention_dropout > 0 and not deterministic:
                 drop = nn.Dropout(c.attention_dropout, name="attn_dropout")
-                probs_dropout = lambda p: drop(p, deterministic=deterministic)
+                probs_dropout = lambda p: drop(p, deterministic=False)
             out = dot_product_attention(
                 q, k, v, mask, self.dtype,
                 scores_dtype=jnp.dtype(c.attention_scores_dtype),

@@ -532,6 +532,12 @@ class HubertSelfAttention(nn.Module):
             # B=64; at p=0 XLA is faster). CPU (tests) stays on XLA.
             on_tpu = jax.default_backend() in ("tpu", "axon")
             impl = "fused" if (rate > 0.0 and on_tpu) else "xla"
+        elif impl == "packed" and rate > 0.0:
+            # "packed" is the dropout-free eval kernel; with live
+            # attention dropout fall back to the auto rule (fused
+            # dropout kernel on TPU, XLA elsewhere).
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+            impl = "fused" if on_tpu else "xla"
         if impl == "fused":
             rng = self.make_rng("dropout") if rate > 0 else None
             out = fused_dot_product_attention(
@@ -540,9 +546,12 @@ class HubertSelfAttention(nn.Module):
             )
         else:
             probs_dropout = None
-            if c.attention_dropout > 0:
+            # Only a LIVE dropout blocks the dropout-free fused paths
+            # ("flash"/"packed"): at eval the deterministic nn.Dropout
+            # is an identity, so don't let it mask the fast routes.
+            if c.attention_dropout > 0 and not deterministic:
                 drop = nn.Dropout(c.attention_dropout, name="attn_dropout")
-                probs_dropout = lambda p: drop(p, deterministic=deterministic)
+                probs_dropout = lambda p: drop(p, deterministic=False)
             out = dot_product_attention(
                 q, k, v, None, self.dtype,
                 scores_dtype=jnp.dtype(c.attention_scores_dtype),

@@ -137,6 +137,47 @@ def fused_dot_product_attention(
     return jnp.transpose(out[:, :, :n], (0, 2, 1, 3))
 
 
+def packed_dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array],
+    dtype: Dtype,
+) -> jax.Array:
+    """Adapter for ops.pallas_attention.fused_attention_eval: keeps the
+    projections' packed (B, N, H*Dh) layout (free reshapes, no
+    (B, H, N, D) transposes), pads query rows to 8 and keys to 128
+    (padded keys masked, padded query rows sliced off). Inference only —
+    numerics match the scores_dtype=bfloat16 XLA path (bf16 probs, fp32
+    max/sum, delayed normalization) without the (B, H, N, N) probs HBM
+    round-trip."""
+    from triad_tpu.ops.pallas_attention import fused_attention_eval
+
+    b, n, h, d = q.shape
+    nq_pad = _round_up(n, 8)
+    nk_pad = _round_up(n, 128)
+    sm_scale = float(1.0 / np.sqrt(d))
+
+    def packed(x, n_to):
+        x = x.reshape(b, n, h * d).astype(dtype)
+        if n_to != n:
+            x = jnp.pad(x, ((0, 0), (0, n_to - n), (0, 0)))
+        return x
+
+    if mask is not None:
+        key_mask = mask.reshape(b, n).astype(jnp.float32)
+    else:
+        key_mask = jnp.ones((b, n), jnp.float32)
+    if nk_pad != n:
+        key_mask = jnp.pad(key_mask, ((0, 0), (0, nk_pad - n)))
+
+    out = fused_attention_eval(
+        packed(q, nq_pad), packed(k, nk_pad), packed(v, nk_pad),
+        key_mask, sm_scale,
+    )
+    return out[:, :n].reshape(b, n, h, d)
+
+
 def dot_product_attention(
     q: jax.Array,
     k: jax.Array,
@@ -165,6 +206,8 @@ def dot_product_attention(
     """
     if impl == "flash" and probs_dropout is None:
         return flash_dot_product_attention(q, k, v, mask, dtype)
+    if impl == "packed" and probs_dropout is None:
+        return packed_dot_product_attention(q, k, v, mask, dtype)
     depth = q.shape[-1]
     scale = jnp.asarray(1.0 / jnp.sqrt(depth), dtype)
     if jnp.dtype(scores_dtype) == jnp.float32:

@@ -222,3 +222,75 @@ def _fused_bwd(p_drop, sm_scale, res, do):
 
 
 fused_attention.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Eval-path kernel: packed layout, delayed normalization, no dropout
+# ---------------------------------------------------------------------------
+
+
+def _eval_kernel(
+    q_ref,  # VMEM (1, Nq_pad, H*D)
+    k_ref, v_ref,  # VMEM (1, Nk_pad, H*D)
+    bias_ref,  # VMEM (1, 1, Nk_pad) f32 additive key bias (0 or -1e30)
+    o_ref,  # out VMEM (1, Nq_pad, H*D)
+    *, h: int, d: int, sm_scale: float,
+):
+    key_bias = bias_ref[0, 0]  # (Nk,) f32
+    for hh in range(h):
+        sl = slice(hh * d, (hh + 1) * d)
+        q = q_ref[0][:, sl]  # (Nq, D)
+        s = jax.lax.dot_general(
+            q, k_ref[0][:, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale + key_bias[None, :]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)  # fp32 transient (packed bf16 VPU math
+        # measured slower than fp32 in the frontend kernel)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(  # un-normalized P·V, fp32 accum
+            e.astype(v_ref.dtype), v_ref[0][:, sl],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = (o * (1.0 / denom)).astype(o_ref.dtype)
+
+
+def fused_attention_eval(q, k, v, mask, sm_scale: float):
+    """Inference attention, one VMEM-resident program per batch row.
+
+    q: (B, Nq_pad, H*D); k, v: (B, Nk_pad, H*D) — the PACKED projection
+    output layout (a free reshape of (B, N, H, Dh); no (B, H, N, D)
+    transposes on either side, which cost the training kernel ~4 ms/step
+    at B=64 HuBERT shapes). mask: (B, Nk_pad) f32 key mask (1 = attend).
+
+    Delayed normalization: the (Nq, Nk) probs are never divided — the
+    row sums divide the (Nq, D) output instead (Nk/D fewer divides), and
+    the un-normalized exp goes through the MXU at bf16. This is exactly
+    the trick XLA's bf16-scores lowering uses; the kernel's win is the
+    (B, H, Nq, Nk) probs tensor never reaching HBM (~0.9 ms/layer at
+    B=64, Na=499). Requires Nq_pad % 8 == 0, Nk_pad % 128 == 0; padded
+    keys are masked here, padded query rows are garbage the caller
+    slices off.
+    """
+    b, nq, hd = q.shape
+    nk = k.shape[1]
+    h = hd // 64 if hd % 64 == 0 else None
+    # head dim is always 64 in this model family; assert loudly.
+    assert h is not None, f"packed width {hd} not a multiple of 64"
+    bias = (1.0 - mask.astype(jnp.float32)) * jnp.float32(-1e30)
+    bias = bias.reshape(b, 1, nk)
+    qblk = pl.BlockSpec((1, nq, hd), lambda i: (i, 0, 0))
+    kblk = pl.BlockSpec((1, nk, hd), lambda i: (i, 0, 0))
+    bias_blk = pl.BlockSpec((1, 1, nk), lambda i: (i, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_eval_kernel, h=h, d=64, sm_scale=sm_scale),
+        grid=(b,),
+        in_specs=[qblk, kblk, kblk, bias_blk],
+        out_specs=qblk,
+        out_shape=jax.ShapeDtypeStruct((b, nq, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(q, k, v, bias)
