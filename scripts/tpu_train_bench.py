@@ -53,6 +53,13 @@ def main() -> None:
                 model_cfg.vit, mlp_impl="fused", mlp_gelu="tanh"
             ),
         )
+    if "pkattn" in knobs:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            hubert=dataclasses.replace(
+                model_cfg.hubert, attention_impl="fused_packed"
+            ),
+        )
     if "monofe" in knobs:
         model_cfg = dataclasses.replace(
             model_cfg,

@@ -32,6 +32,7 @@ from triad_tpu.models.layers import (
     NormParams,
     dot_product_attention,
     fused_dot_product_attention,
+    fused_packed_dot_product_attention,
 )
 
 Dtype = Any
@@ -538,9 +539,14 @@ class HubertSelfAttention(nn.Module):
             # dropout kernel on TPU, XLA elsewhere).
             on_tpu = jax.default_backend() in ("tpu", "axon")
             impl = "fused" if on_tpu else "xla"
-        if impl == "fused":
+        if impl in ("fused", "fused_packed"):
             rng = self.make_rng("dropout") if rate > 0 else None
-            out = fused_dot_product_attention(
+            fn = (
+                fused_packed_dot_product_attention
+                if impl == "fused_packed"
+                else fused_dot_product_attention
+            )
+            out = fn(
                 q, k, v, None, self.dtype,
                 dropout_rate=rate, dropout_rng=rng,
             )

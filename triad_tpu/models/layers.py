@@ -137,6 +137,56 @@ def fused_dot_product_attention(
     return jnp.transpose(out[:, :, :n], (0, 2, 1, 3))
 
 
+def fused_packed_dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array],
+    dtype: Dtype,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Adapter for ops.pallas_attention.fused_attention_packed — the
+    TRAINING kernel (fp32 softmax + in-kernel dropout + recompute
+    backward) on the packed (B, N, H*Dh) layout, so the (B, H, N, D)
+    transposes of fused_dot_product_attention disappear (~20 ms/step of
+    copy/pad fusions at B=64 in the round-2 train trace)."""
+    from triad_tpu.ops.pallas_attention import fused_attention_packed
+
+    b, n, h, d = q.shape
+    nq_pad = _round_up(n, 8)
+    nk_pad = _round_up(n, 128)
+    sm_scale = float(1.0 / np.sqrt(d))
+
+    def packed(x, n_to):
+        x = x.reshape(b, n, h * d).astype(dtype)
+        if n_to != n:
+            x = jnp.pad(x, ((0, 0), (0, n_to - n), (0, 0)))
+        return x
+
+    if mask is not None:
+        key_mask = mask.reshape(b, n).astype(jnp.float32)
+    else:
+        key_mask = jnp.ones((b, n), jnp.float32)
+    if nk_pad != n:
+        key_mask = jnp.pad(key_mask, ((0, 0), (0, nk_pad - n)))
+
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        seed = jax.random.randint(
+            dropout_rng, (), minval=0, maxval=jnp.iinfo(jnp.int32).max,
+            dtype=jnp.int32,
+        )
+    else:
+        seed = jnp.zeros((), jnp.int32)
+        dropout_rate = 0.0
+
+    out = fused_attention_packed(
+        packed(q, nq_pad), packed(k, nk_pad), packed(v, nk_pad),
+        key_mask, seed, float(dropout_rate), sm_scale,
+    )
+    return out[:, :n].reshape(b, n, h, d)
+
+
 def packed_dot_product_attention(
     q: jax.Array,
     k: jax.Array,

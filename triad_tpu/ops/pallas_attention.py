@@ -294,3 +294,165 @@ def fused_attention_eval(q, k, v, mask, sm_scale: float):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(q, k, v, bias)
+
+
+# ---------------------------------------------------------------------------
+# Packed-layout TRAINING kernel: same math as fused_attention (fp32
+# softmax + in-kernel dropout + flash-style recompute backward), but on
+# the projections' native packed (B, N, H*D) layout — the (B, H, N, D)
+# transposes around the original kernel cost ~20 ms/step at B=64 in the
+# round-2 train trace (copy/slice_bitcast/pad fusions).
+# ---------------------------------------------------------------------------
+
+
+def _pk_fwd_kernel(
+    seed_ref,  # SMEM (1, 1) int32
+    q_ref,  # VMEM (1, Nq, H*D)
+    k_ref, v_ref,  # VMEM (1, Nk, H*D)
+    bias_ref,  # VMEM (1, 1, Nk) f32 additive key bias
+    o_ref,  # out VMEM (1, Nq, H*D)
+    *, h: int, d: int, p_drop: float, sm_scale: float,
+):
+    if p_drop > 0.0:
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+    key_bias = bias_ref[0, 0]
+    for hh in range(h):
+        sl = slice(hh * d, (hh + 1) * d)
+        s = jax.lax.dot_general(
+            q_ref[0][:, sl], k_ref[0][:, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        p = _softmax_f32(s + key_bias[None, :])
+        if p_drop > 0.0:
+            keep = _keep_mask(p.shape, p_drop)
+            p = jnp.where(keep, p * (1.0 / (1.0 - p_drop)), 0.0)
+        o = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0][:, sl],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+
+
+def _pk_bwd_kernel(
+    seed_ref,
+    q_ref, k_ref, v_ref, bias_ref, do_ref,
+    dq_ref, dk_ref, dv_ref,  # out VMEM packed
+    *, h: int, d: int, p_drop: float, sm_scale: float,
+):
+    if p_drop > 0.0:
+        # Same seed, same per-head order => identical replayed bits.
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+    key_bias = bias_ref[0, 0]
+    inv_keep = 1.0 / (1.0 - p_drop) if p_drop > 0.0 else 1.0
+    for hh in range(h):
+        sl = slice(hh * d, (hh + 1) * d)
+        q = q_ref[0][:, sl]
+        k = k_ref[0][:, sl]
+        v = v_ref[0][:, sl]
+        do = do_ref[0][:, sl].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        p = _softmax_f32(s + key_bias[None, :])
+        dmat = jax.lax.dot_general(  # dD = dO · Vᵀ
+            do, v.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if p_drop > 0.0:
+            keep = _keep_mask(p.shape, p_drop)
+            dropped = jnp.where(keep, p * inv_keep, 0.0)
+            dp = jnp.where(keep, dmat * inv_keep, 0.0)
+        else:
+            dropped = p
+            dp = dmat
+        dv_ref[0, :, sl] = jax.lax.dot_general(  # Dᵀ · dO
+            dropped, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype)
+        di = jnp.sum(dp * p, axis=1, keepdims=True)
+        ds = p * (dp - di)
+        dq_ref[0, :, sl] = (
+            jax.lax.dot_general(
+                ds, k.astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale
+        ).astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = (
+            jax.lax.dot_general(
+                ds, q.astype(jnp.float32),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale
+        ).astype(dk_ref.dtype)
+
+
+def _pk_call(kind, q, k, v, bias, seed, p_drop, sm_scale, do=None):
+    b, nq, hd = q.shape
+    nk = k.shape[1]
+    h = hd // 64
+    seed2d = seed.astype(jnp.int32).reshape(1, 1)
+    qblk = pl.BlockSpec((1, nq, hd), lambda i: (i, 0, 0))
+    kblk = pl.BlockSpec((1, nk, hd), lambda i: (i, 0, 0))
+    bias_blk = pl.BlockSpec((1, 1, nk), lambda i: (i, 0, 0))
+    smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    if kind == "fwd":
+        return pl.pallas_call(
+            functools.partial(
+                _pk_fwd_kernel, h=h, d=64, p_drop=p_drop, sm_scale=sm_scale
+            ),
+            grid=(b,),
+            in_specs=[smem, qblk, kblk, kblk, bias_blk],
+            out_specs=qblk,
+            out_shape=jax.ShapeDtypeStruct((b, nq, hd), q.dtype),
+            compiler_params=params,
+        )(seed2d, q, k, v, bias)
+    return pl.pallas_call(
+        functools.partial(
+            _pk_bwd_kernel, h=h, d=64, p_drop=p_drop, sm_scale=sm_scale
+        ),
+        grid=(b,),
+        in_specs=[smem, qblk, kblk, kblk, bias_blk, qblk],
+        out_specs=[qblk, kblk, kblk],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nq, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, nk, hd), k.dtype),
+            jax.ShapeDtypeStruct((b, nk, hd), v.dtype),
+        ],
+        compiler_params=params,
+    )(seed2d, q, k, v, bias, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_attention_packed(q, k, v, mask, seed, p_drop: float, sm_scale: float):
+    """Training attention on packed (B, N, H*D) tensors: fp32 softmax +
+    Bernoulli keep + 1/(1-p) scaling, flash-style recompute backward
+    with replayed dropout bits — semantics identical to fused_attention,
+    layout identical to the projections (no transposes). mask: (B, Nk)
+    key mask (1 = attend). Nq % 8 == 0, Nk % 128 == 0 (pad + mask)."""
+    bias = (1.0 - mask.astype(jnp.float32)) * jnp.float32(-1e30)
+    bias = bias.reshape(q.shape[0], 1, k.shape[1])
+    return _pk_call("fwd", q, k, v, bias, seed, p_drop, sm_scale)
+
+
+def _pk_fwd(q, k, v, mask, seed, p_drop, sm_scale):
+    o = fused_attention_packed(q, k, v, mask, seed, p_drop, sm_scale)
+    return o, (q, k, v, mask, seed)
+
+
+def _pk_bwd(p_drop, sm_scale, res, do):
+    q, k, v, mask, seed = res
+    bias = (1.0 - mask.astype(jnp.float32)) * jnp.float32(-1e30)
+    bias = bias.reshape(q.shape[0], 1, k.shape[1])
+    dq, dk, dv = _pk_call(
+        "bwd", q, k, v, bias, seed, p_drop, sm_scale, do=do
+    )
+    return dq, dk, dv, None, None
+
+
+fused_attention_packed.defvjp(_pk_fwd, _pk_bwd)
