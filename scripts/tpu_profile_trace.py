@@ -80,6 +80,34 @@ def build_train_fn():
     from triad_tpu.train.step import StepFactory, init_train_state
 
     model_cfg = ModelConfig()
+    # TRIAD_TRAIN_KNOBS: same comma-separated knobs as
+    # scripts/tpu_train_bench.py (tanh, pkattn, vitpk, monofe) so the
+    # trace profiles the measured configuration.
+    knobs = set(
+        k for k in os.environ.get("TRIAD_TRAIN_KNOBS", "").split(",") if k
+    )
+    if "tanh" in knobs:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            hubert=dataclasses.replace(model_cfg.hubert, mlp_gelu="tanh"),
+            vit=dataclasses.replace(
+                model_cfg.vit, mlp_impl="fused", mlp_gelu="tanh"
+            ),
+        )
+    if "pkattn" in knobs:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            hubert=dataclasses.replace(
+                model_cfg.hubert, attention_impl="fused_packed"
+            ),
+        )
+    if "vitpk" in knobs:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            vit=dataclasses.replace(
+                model_cfg.vit, attention_impl="fused_packed"
+            ),
+        )
     loss_cfg = LossConfig(implementation="chunked", chunk_size=16)
     optim_cfg = OptimConfig(gradient_accumulation_steps=1)
     params = init_triad_model(model_cfg, jax.random.key(0))

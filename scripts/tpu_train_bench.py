@@ -60,6 +60,13 @@ def main() -> None:
                 model_cfg.hubert, attention_impl="fused_packed"
             ),
         )
+    if "vitpk" in knobs:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            vit=dataclasses.replace(
+                model_cfg.vit, attention_impl="fused_packed"
+            ),
+        )
     if "monofe" in knobs:
         model_cfg = dataclasses.replace(
             model_cfg,
@@ -67,6 +74,20 @@ def main() -> None:
                 model_cfg.hubert, frontend_impl="monolithic",
                 frontend_gelu="tanh",
             ),
+        )
+    # Remat-policy A/B: "rematconv" checkpoints the whole frontend as
+    # one unit (bwd recomputes it once, unchunked); "noremat" stores
+    # all frontend activations (no recompute; ~4-8 GB extra HBM at
+    # B=64 — may OOM, that is the experiment).
+    if "rematconv" in knobs:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            hubert=dataclasses.replace(model_cfg.hubert, remat="conv"),
+        )
+    if "noremat" in knobs:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            hubert=dataclasses.replace(model_cfg.hubert, remat="none"),
         )
     loss_cfg = LossConfig(
         implementation=loss_impl, chunk_size=16, matmul_precision="default"

@@ -85,6 +85,14 @@ class ViTAttention(nn.Module):
         if c.attention_impl == "fused":
             # DINOv2 has no attention dropout; fused kernel without RNG.
             out = fused_dot_product_attention(q, k, v, None, self.dtype)
+        elif c.attention_impl == "fused_packed":
+            from triad_tpu.models.layers import (
+                fused_packed_dot_product_attention,
+            )
+
+            out = fused_packed_dot_product_attention(
+                q, k, v, None, self.dtype
+            )
         else:
             out = dot_product_attention(
                 q, k, v, None, self.dtype,
