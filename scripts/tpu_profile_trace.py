@@ -108,6 +108,14 @@ def build_train_fn():
                 model_cfg.vit, attention_impl="fused_packed"
             ),
         )
+    if "monofe" in knobs:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            hubert=dataclasses.replace(
+                model_cfg.hubert, frontend_impl="monolithic",
+                frontend_gelu="tanh",
+            ),
+        )
     loss_cfg = LossConfig(implementation="chunked", chunk_size=16)
     optim_cfg = OptimConfig(gradient_accumulation_steps=1)
     params = init_triad_model(model_cfg, jax.random.key(0))

@@ -45,6 +45,12 @@ def main() -> None:
     import dataclasses
 
     model_cfg = ModelConfig()
+    if "perf" in knobs:
+        # Shorthand for the codified tuned set (== tanh,pkattn,vitpk,
+        # monofe; pinned by tests/test_config.py).
+        from triad_tpu.core.config import perf_train_model_config
+
+        model_cfg = perf_train_model_config()
     if "tanh" in knobs:
         model_cfg = dataclasses.replace(
             model_cfg,

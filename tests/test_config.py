@@ -1,0 +1,64 @@
+"""Config helpers: the tuned perf presets stay in sync with the knob
+compositions the benches use, and the shipped scale YAML resolves to
+the tuned training kernels."""
+
+import dataclasses
+from pathlib import Path
+
+from triad_tpu.core.config import (
+    ModelConfig,
+    perf_eval_model_config,
+    perf_train_model_config,
+)
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_perf_train_config_is_the_measured_knob_set():
+    # == scripts/tpu_train_bench.py knobs "tanh,pkattn,vitpk,monofe"
+    # (docs/TRAINING_PERF.md: 634.9 -> 491.9 ms at B=64).
+    base = ModelConfig()
+    expected = dataclasses.replace(
+        base,
+        vit=dataclasses.replace(
+            base.vit, mlp_impl="fused", mlp_gelu="tanh",
+            attention_impl="fused_packed",
+        ),
+        hubert=dataclasses.replace(
+            base.hubert, mlp_gelu="tanh", attention_impl="fused_packed",
+            frontend_impl="monolithic", frontend_gelu="tanh",
+        ),
+    )
+    assert perf_train_model_config() == expected
+
+
+def test_perf_presets_keep_parity_defaults_elsewhere():
+    # The presets may only touch kernel-dispatch / numerics-contract
+    # knobs — architecture fields must match the parity defaults.
+    base = ModelConfig()
+    for preset in (perf_train_model_config(), perf_eval_model_config()):
+        assert preset.hubert.num_layers == base.hubert.num_layers
+        assert preset.vit.num_layers == base.vit.num_layers
+        assert preset.hubert.conv_dim == base.hubert.conv_dim
+        assert preset.embedding_dim == base.embedding_dim
+        assert preset.compute_dtype == base.compute_dtype
+        assert preset.param_dtype == base.param_dtype
+
+
+def test_v5e8_yaml_resolves_to_tuned_train_kernels():
+    from triad_tpu.cli.train import load_config_file, _deep_update
+    from triad_tpu.core.config import Config
+
+    cfg_dict = load_config_file(str(REPO / "configs" / "v5e8_scale.yaml"))
+    base = Config().to_dict()
+    _deep_update(base, cfg_dict)
+    cfg = Config.from_dict(base)
+    tuned = perf_train_model_config()
+    assert cfg.model.hubert.attention_impl == tuned.hubert.attention_impl
+    assert cfg.model.hubert.frontend_impl == tuned.hubert.frontend_impl
+    assert cfg.model.hubert.mlp_gelu == tuned.hubert.mlp_gelu
+    assert cfg.model.vit.attention_impl == tuned.vit.attention_impl
+    assert cfg.model.vit.mlp_impl == tuned.vit.mlp_impl
+    assert cfg.model.vit.mlp_gelu == tuned.vit.mlp_gelu
+    assert cfg.mesh.num_devices == 8
+    assert cfg.data.batch_size_av == 512

@@ -454,6 +454,38 @@ def perf_eval_model_config() -> ModelConfig:
     )
 
 
+def perf_train_model_config() -> ModelConfig:
+    """The tuned single-chip TRAINING configuration (the knob set
+    scripts/tpu_train_bench.py calls "tanh,pkattn,vitpk,monofe";
+    measurement log in docs/TRAINING_PERF.md: 634.9 -> 491.9 ms joint
+    step at B=64). Every knob keeps the bf16-or-better numerics
+    contract; the parity defaults (erf GELU, XLA attention dispatch,
+    exact-erf conv frontend) stay for torch comparisons.
+
+    - tanh-form GELU in the fused MLP kernels (abs err <= 4.7e-4,
+      below bf16 rounding at unit scale) + fused ViT MLP at train;
+    - packed-layout training attention in HuBERT AND ViT
+      (ops/pallas_attention.fused_attention_packed): flash-style
+      recompute backward on the projections' native (B, N, H*D)
+      layout — no probs HBM round-trips, no (B, H, N, D) transpose
+      or pad-to-384-lane copies (611.7 -> 570.7 -> 510.7 ms);
+    - monolithic pallas conv frontend forward with XLA-recompute
+      backward (510.7 -> 491.9 ms).
+    """
+    base = ModelConfig()
+    return dataclasses.replace(
+        base,
+        vit=dataclasses.replace(
+            base.vit, mlp_impl="fused", mlp_gelu="tanh",
+            attention_impl="fused_packed",
+        ),
+        hubert=dataclasses.replace(
+            base.hubert, mlp_gelu="tanh", attention_impl="fused_packed",
+            frontend_impl="monolithic", frontend_gelu="tanh",
+        ),
+    )
+
+
 def perf_eval_loss_config() -> LossConfig:
     """Production loss path for the eval bench: chunked bf16-operand
     aggregation with fp32 accumulation (bit-equal to the fp32-HIGHEST
