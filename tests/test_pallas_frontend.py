@@ -112,6 +112,36 @@ class TestKernel:
                 np.asarray(a), np.asarray(b), atol=0.05 * scale
             )
 
+    def test_bf16_backward_matches_fp32_reference_grad(self):
+        """out_dtype=bf16 routes _mf_bwd through the bf16-operand
+        recompute (the production fast path, == chunked-parity conv
+        numerics); grads stay within bf16 tolerance of the fp32
+        reference's, and come back as fp32 leaves."""
+        rng = np.random.default_rng(7)
+        wave = jnp.asarray(rng.normal(size=(1, 4000)).astype(np.float32))
+        w0, gs, gb, ws = _weights(8)
+
+        def loss_k(wave, w0):
+            y = monolithic_frontend_vjp(
+                wave, w0, gs, gb, ws, 8, jnp.bfloat16
+            )
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+
+        def loss_r(wave, w0):
+            y = reference_frontend(wave, w0, gs, gb, ws, jnp.float32)
+            return jnp.sum(y * y)
+
+        with pltpu.force_tpu_interpret_mode():
+            gk = jax.grad(loss_k, argnums=(0, 1))(wave, w0)
+        gr = jax.grad(loss_r, argnums=(0, 1))(wave, w0)
+        for a, b, name in zip(gk, gr, ("dwave", "dw0")):
+            assert a.dtype == jnp.float32, name
+            scale = float(np.abs(np.asarray(b)).max()) + 1e-9
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=0.06 * scale,
+                err_msg=name,
+            )
+
 
 class TestModelIntegration:
     def test_matches_production_frontend(self):

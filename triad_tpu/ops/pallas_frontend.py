@@ -350,28 +350,38 @@ def monolithic_frontend(
 
 
 def reference_frontend(wave, w0, gn_scale, gn_bias, ws,
-                       out_dtype=jnp.bfloat16, gelu: str = "erf"):
+                       out_dtype=jnp.bfloat16, gelu: str = "erf",
+                       compute_dtype=None):
     """The identical composition in plain XLA (tests + custom-VJP
     backward). Matches HF HubertFeatureEncoder: conv_0 -> GroupNorm ->
-    GELU -> (conv -> GELU) x6."""
+    GELU -> (conv -> GELU) x6.
+
+    compute_dtype controls the conv-operand dtype (default fp32). Both
+    conv operands share it so jax.vjp stays transposable (mixed
+    bf16/fp32 conv transposes reject dtype mismatches). bf16 is what
+    the production chunked-remat path computes in (ConvFeatureEncoder
+    dtype=bf16), and what _mf_bwd recomputes in: the round-2 train
+    trace showed the fp32 recompute backward holding ~85 ms/step of
+    f32[64,31999,512]-class dgrad/wgrad fusions at B=64 — bf16 halves
+    the traffic and quadruples the MXU rate. GroupNorm stats and GELU
+    transients stay fp32 (fused converts, no materialization)."""
+    cd = jnp.float32 if compute_dtype is None else compute_dtype
     gelu_fn = _GELUS[gelu]
-    x = wave.astype(jnp.float32)[:, :, None]
-    w0r = w0.reshape(10, 1, -1).astype(jnp.float32)
+    x = wave.astype(cd)[:, :, None]
+    w0r = w0.reshape(10, 1, -1).astype(cd)
     y = jax.lax.conv_general_dilated(
         x, w0r, window_strides=(5,), padding="VALID",
         dimension_numbers=("NHC", "HIO", "NHC"),
     )
-    mean = jnp.mean(y, axis=1, keepdims=True)
-    var = jnp.var(y, axis=1, keepdims=True)
-    y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
-    y = y * gn_scale[None, None, :] + gn_bias[None, None, :]
-    # fp32 convs: keeps jax.vjp transposable (mixed bf16/fp32 conv
-    # transposes reject dtype mismatches); the kernel's bf16 matmuls
-    # differ within bf16 rounding, covered by test tolerances.
+    yf = y.astype(jnp.float32)
+    mean = jnp.mean(yf, axis=1, keepdims=True)
+    var = jnp.var(yf, axis=1, keepdims=True)
+    y = (yf - mean) * jax.lax.rsqrt(var + 1e-5)
+    y = (y * gn_scale[None, None, :] + gn_bias[None, None, :]).astype(cd)
     for w in ws:
-        y = gelu_fn(y)
+        y = gelu_fn(y).astype(cd)
         y = jax.lax.conv_general_dilated(
-            y, w.astype(jnp.float32), window_strides=(2,),
+            y, w.astype(cd), window_strides=(2,),
             padding="VALID", dimension_numbers=("NHC", "HIO", "NHC"),
         )
     return gelu_fn(y).astype(out_dtype)
@@ -396,9 +406,14 @@ def _mf_fwd(wave, w0, gn_scale, gn_bias, ws, tb, out_dtype, gelu):
 
 def _mf_bwd(tb, out_dtype, gelu, res, dy):
     wave, w0, gn_scale, gn_bias, ws = res
+    # Recompute in the model dtype (bf16 in production, == the chunked
+    # parity path's conv numerics; fp32 when out_dtype is fp32, e.g.
+    # the grad tests). Cotangents come back fp32 via the cast
+    # transposes (fp32 primals).
     _, vjp = jax.vjp(
         lambda wave, w0, s, b, ws: reference_frontend(
-            wave, w0, s, b, ws, out_dtype, gelu=gelu
+            wave, w0, s, b, ws, out_dtype, gelu=gelu,
+            compute_dtype=out_dtype,
         ),
         wave, w0, gn_scale, gn_bias, list(ws),
     )
