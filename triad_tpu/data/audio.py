@@ -120,10 +120,11 @@ def extract_audio(path: str, target_sr: int = TARGET_SR) -> np.ndarray:
         return np.zeros(FALLBACK_NUM_SAMPLES, np.float32)
 
 
-def pad_or_trim(audio: np.ndarray, num_samples: int) -> np.ndarray:
+def pad_or_trim(audio: np.ndarray, num_samples: int, dtype=np.float32) -> np.ndarray:
     """Zero-pad (reference collate, dataset.py:264-276) or trim to the
-    fixed length the XLA graph was compiled for."""
-    out = np.zeros(num_samples, np.float32)
+    fixed length the XLA graph was compiled for. dtype=np.int16 keeps
+    packed storage audio at wire width for the device-ingest path."""
+    out = np.zeros(num_samples, dtype)
     n = min(len(audio), num_samples)
     out[:n] = audio[:n]
     return out

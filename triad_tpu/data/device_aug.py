@@ -57,10 +57,19 @@ def device_augment_av(frames_u8, flip, brightness, contrast, saturation):
     return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
 
 
+@functools.partial(__import__("jax").jit, donate_argnums=())
+def _audio_i16_to_f32(a16):
+    import jax.numpy as jnp
+
+    return a16.astype(jnp.float32) / 32767.0
+
+
 def device_ingest_av(batch: Dict) -> Dict:
     """Prefetcher ``device_put`` callable for raw AV batches: transfers
-    uint8 frames + params + audio, augments on device. Passes through
-    already-augmented batches untouched (mixed pipelines)."""
+    uint8 frames + int16 audio + params at wire width (4x / 2x fewer
+    host->device bytes than fp32) and augments/converts on device.
+    Passes through already-augmented batches untouched (mixed
+    pipelines)."""
     import jax
 
     if "frames_u8" not in batch:
@@ -75,7 +84,11 @@ def device_ingest_av(batch: Dict) -> Dict:
         jax.device_put(batch["aug_contrast"]),
         jax.device_put(batch["aug_saturation"]),
     )
-    out = {"images": images, "audio": jax.device_put(batch["audio"])}
+    if "audio_i16" in batch:
+        audio = _audio_i16_to_f32(jax.device_put(batch["audio_i16"]))
+    else:
+        audio = jax.device_put(batch["audio"])
+    out = {"images": images, "audio": audio}
     if "video_paths" in batch:
         out["video_paths"] = batch["video_paths"]
     return out

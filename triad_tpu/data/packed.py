@@ -186,17 +186,19 @@ class PackedAVDataset:
         return self.shards[s], idx - int(self._offsets[s])
 
     def raw_item(self, idx: int) -> Dict:
-        """Un-augmented record: frame pixels in [0,1] + audio float32.
-        The loaders use this for the batched-augmentation fast path
-        (data/images.apply_av_batch) — per-item numpy augmentation is
-        GIL-bound at chip-rate ingest."""
+        """Un-augmented record at STORAGE dtypes (uint8 pixels, int16
+        audio). The loaders use this for the batched-augmentation fast
+        path — per-item numpy augmentation (and per-item fp32
+        conversion: ~0.7 ms/clip of the 1-core ingest budget, measured
+        in scripts/data_throughput.py) is GIL-bound at chip-rate
+        ingest, so all dtype conversion happens batched downstream
+        (data/pipeline.py) or on the device (data/device_aug.py)."""
         shard, local = self._locate(idx)
         frame_u8, a16 = shard.record(local)
         return {
             "video_path": shard.paths[local],
-            "frame_u8": np.asarray(frame_u8),  # device-augment fast path
-            "frame01": frame_u8.astype(np.float32) / 255.0,
-            "audio": a16.astype(np.float32) / 32767.0,
+            "frame_u8": np.asarray(frame_u8),
+            "audio_i16": np.asarray(a16),
         }
 
     def __getitem__(

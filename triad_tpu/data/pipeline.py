@@ -198,26 +198,35 @@ class AVLoader:
                 if self.device_augment:
                     from triad_tpu.data.device_aug import av_param_arrays
 
-                    frames = np.stack(
-                        [it["frame_u8"] for it in items]
-                    ) if "frame_u8" in items[0] else np.round(
-                        np.stack([it["frame01"] for it in items]) * 255.0
-                    ).astype(np.uint8)
-                    audio = np.stack(
-                        [
-                            pad_or_trim(it["audio"], self.audio_num_samples)
-                            for it in items
-                        ]
-                    )
+                    # Wire dtypes: uint8 pixels + int16 audio (the
+                    # shard's storage form) — the device divides by
+                    # 255/32767. Host cost per clip is one memcpy.
                     yield {
-                        "frames_u8": frames,
-                        "audio": audio,
+                        "frames_u8": np.stack(
+                            [it["frame_u8"] for it in items]
+                        ),
+                        "audio_i16": np.stack(
+                            [
+                                pad_or_trim(
+                                    it["audio_i16"], self.audio_num_samples,
+                                    np.int16,
+                                )
+                                for it in items
+                            ]
+                        ),
                         "video_paths": [it["video_path"] for it in items],
                         **av_param_arrays(params),
                     }
                     continue
+                # Host-batched augmentation: one vectorized fp32
+                # conversion for the whole batch (per-item /255 and
+                # /32767 measured ~0.7 ms/clip on 1 core).
                 images = apply_av_batch(
-                    np.stack([it["frame01"] for it in items]), params
+                    np.stack([it["frame_u8"] for it in items]).astype(
+                        np.float32
+                    )
+                    / 255.0,
+                    params,
                 )
             else:
                 # Deterministic augmentation: one RNG per draw, keyed on
@@ -227,9 +236,28 @@ class AVLoader:
                 seeds = [(self.seed, epoch, b, int(i)) for i in idx]
                 items = self.pool.map(idx, self.augment, seeds=seeds)
                 images = np.stack([it["video_frames"] for it in items])
-            audio = np.stack(
-                [pad_or_trim(it["audio"], self.audio_num_samples) for it in items]
-            )
+            if "audio_i16" in items[0]:
+                # Packed storage form: batch the int16 pad/stack, one
+                # vectorized fp32 conversion.
+                audio = (
+                    np.stack(
+                        [
+                            pad_or_trim(
+                                it["audio_i16"], self.audio_num_samples,
+                                np.int16,
+                            )
+                            for it in items
+                        ]
+                    ).astype(np.float32)
+                    / 32767.0
+                )
+            else:
+                audio = np.stack(
+                    [
+                        pad_or_trim(it["audio"], self.audio_num_samples)
+                        for it in items
+                    ]
+                )
             yield {
                 "images": np.asarray(images, np.float32),  # no-op if f32
                 "audio": audio,
