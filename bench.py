@@ -61,6 +61,15 @@ def main() -> None:
     # frontend) stay for torch comparisons.
     cfg = perf_eval_model_config()
     loss_cfg = perf_eval_loss_config()
+    # A/B hygiene: TRIAD_BENCH_LOSS=chunked|pallas overrides the loss
+    # implementation so regressions can be bisected under identical
+    # run conditions (tunnel/thermal drift is ~1-2%).
+    import dataclasses as _dc
+    import os as _os
+
+    _loss_ov = _os.environ.get("TRIAD_BENCH_LOSS")
+    if _loss_ov:
+        loss_cfg = _dc.replace(loss_cfg, implementation=_loss_ov)
     model = TriadModel(cfg)
     params = init_triad_model(cfg, jax.random.key(0))
 

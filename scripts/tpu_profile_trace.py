@@ -46,6 +46,9 @@ def build_eval_fn():
             cfg, hubert=dataclasses.replace(cfg.hubert, frontend_impl=fe)
         )
     loss_cfg = perf_eval_loss_config()
+    loss_ov = os.environ.get("TRIAD_EVAL_LOSS")
+    if loss_ov:
+        loss_cfg = dataclasses.replace(loss_cfg, implementation=loss_ov)
     model = TriadModel(cfg)
     params = init_triad_model(cfg, jax.random.key(0))
 
@@ -116,7 +119,12 @@ def build_train_fn():
                 frontend_gelu="tanh",
             ),
         )
-    loss_cfg = LossConfig(implementation="chunked", chunk_size=16)
+    # TRIAD_TRAIN_LOSS=chunked|pallas (default chunked, the production
+    # train path) — for tracing the loss-impl A/B.
+    loss_cfg = LossConfig(
+        implementation=os.environ.get("TRIAD_TRAIN_LOSS", "chunked"),
+        chunk_size=16,
+    )
     optim_cfg = OptimConfig(gradient_accumulation_steps=1)
     params = init_triad_model(model_cfg, jax.random.key(0))
     bank = OptimizerBank(optim_cfg, ParamPartition(params), total_updates=1000)

@@ -489,7 +489,15 @@ def perf_train_model_config() -> ModelConfig:
 def perf_eval_loss_config() -> LossConfig:
     """Production loss path for the eval bench: chunked bf16-operand
     aggregation with fp32 accumulation (bit-equal to the fp32-HIGHEST
-    volume for bf16-valued features — tests/test_losses.py)."""
+    volume for bf16-valued features — tests/test_losses.py).
+
+    The pallas maxmean kernel wins ISOLATED (8.95 vs 20.4 ms fwd at
+    Bq=Bk=64 — scripts/tpu_maxmean_dp_check.py) but measured ~3.5
+    ms/step SLOWER inside the full eval program (A/B/A: 575.1 / 557.4 /
+    574.6 clips/s, round-2 second half) — a composition effect under
+    investigation (eval traces /tmp/triad_trace_eval_*). Until it wins
+    in-program, chunked stays the judged config; override with
+    TRIAD_BENCH_LOSS for A/Bs."""
     return LossConfig(
         implementation="chunked", chunk_size=16, matmul_precision="default"
     )
