@@ -25,6 +25,10 @@ jax.config.update("jax_platforms", "cpu")
 # fp32 matmuls are downcast by default on this platform; parity tests
 # compare against torch fp32, so force full precision in tests.
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compile cache: the suite is dominated by CPU compiles of
+# jitted programs; caching them makes repeat runs several times faster.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 import pytest

@@ -533,6 +533,7 @@ class TestPhaseFrontend:
     match the default conv path exactly at fp32 (same math, different
     schedule)."""
 
+    @pytest.mark.slow
     def test_matches_conv_frontend(self):
         import dataclasses
 
@@ -560,6 +561,7 @@ class TestPhaseFrontend:
         assert got.shape == ref.shape
         np.testing.assert_allclose(got, ref, atol=1e-5)
 
+    @pytest.mark.slow
     def test_ragged_lengths(self):
         import dataclasses
 

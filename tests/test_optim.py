@@ -205,6 +205,7 @@ class TestClipping:
 
 
 class TestMomentDtype:
+    @pytest.mark.slow
     def test_bf16_moments_halve_state_and_track_fp32(self):
         """bf16 moment storage: state dtype is bf16, trajectory stays
         close to the fp32 bank over a short horizon (storage-only knob)."""

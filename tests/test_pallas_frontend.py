@@ -88,6 +88,7 @@ class TestKernel:
         # and the tanh approximation itself is below cross-path noise
         np.testing.assert_allclose(tanh_ref, erf_ref, atol=0.02 * scale)
 
+    @pytest.mark.slow
     def test_vjp_matches_reference_grad(self):
         rng = np.random.default_rng(2)
         wave = jnp.asarray(rng.normal(size=(1, 4000)).astype(np.float32))
@@ -112,6 +113,7 @@ class TestKernel:
                 np.asarray(a), np.asarray(b), atol=0.05 * scale
             )
 
+    @pytest.mark.slow
     def test_bf16_backward_matches_fp32_reference_grad(self):
         """out_dtype=bf16 routes _mf_bwd through the bf16-operand
         recompute (the production fast path, == chunked-parity conv

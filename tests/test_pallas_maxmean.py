@@ -63,6 +63,7 @@ class TestForward:
             _agg("pallas", q, k[:, :100])
 
 
+@pytest.mark.slow
 class TestGradients:
     def test_av_loss_grads_match_dense(self, feats):
         q, k, _ = feats

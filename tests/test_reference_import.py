@@ -149,6 +149,7 @@ def reference_checkpoint():
     return state, vit
 
 
+@pytest.mark.slow
 def test_port_runs_and_matches_direct_vit_port(reference_checkpoint):
     state, hf_vit = reference_checkpoint
     cfg = small_model_config()

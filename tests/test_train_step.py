@@ -80,6 +80,7 @@ def test_accumulation_boundary_updates_params(setup):
     assert float(m1["grad_norm_vit"]) == 0.0
 
 
+@pytest.mark.slow
 def test_av_phase_has_no_tv_metrics(setup):
     factory, state, av_batch, tv_batch = setup
     step = jax.jit(factory.make_step("av"))
@@ -89,6 +90,7 @@ def test_av_phase_has_no_tv_metrics(setup):
     assert "av_separation" in metrics
 
 
+@pytest.mark.slow
 def test_tv_phase(setup):
     factory, state, av_batch, tv_batch = setup
     step = jax.jit(factory.make_step("tv"))
@@ -98,6 +100,7 @@ def test_tv_phase(setup):
     assert np.isfinite(float(metrics["loss_tv"]))
 
 
+@pytest.mark.slow
 def test_eval_loss_deterministic(setup):
     factory, state, av_batch, tv_batch = setup
     ev = jax.jit(factory.make_eval_loss("joint"))

@@ -139,6 +139,7 @@ def test_phase_schedule():
     assert f(Stub, 4)[0] == "full_joint"
 
 
+@pytest.mark.slow
 def test_retrieval_encoders_compile_once(run_dir):
     """eval_1000_way_retrieval must reuse the trainer's jitted encoders
     (round-1 weak spot: fresh @jax.jit closures per call recompiled the

@@ -31,6 +31,19 @@ model.py:509-512), and 0 for rows added to pad Nq to the 128-lane tile
 The blockwise structure extends to chunked Nq (longer audio / ring
 execution across chips) by adding an inner Nq-block loop with a running
 max (SURVEY §5 long-context note).
+
+STATUS — measured, NOT the production loss path. In the full eval
+program the chunked-XLA scan (ops/similarity.py, bf16 matmul operands)
+costs 3.1 ms/step at B=64 flagship shapes because XLA fuses the
+normalize/temperature into neighbors and runs the token-sim matmuls in
+bf16, while this kernel computes f32 in-kernel and costs 7.0 ms/step
+(AV 5.5 + TV 1.5; xplane traces, docs/TRAINING_PERF.md "loss-impl A/B").
+An isolated 20.4 ms-vs-8.95 ms "win" for this kernel did not survive
+composition. Both impls scale linearly in B_keys, so the bf16 chunked
+scan is expected to hold at global-batch-512 key sets too. The kernel
+stays as (a) the long-context/blockwise design artifact and (b) an A/B
+target via LossConfig.implementation="pallas"; the default and the
+judged bench use "chunked".
 """
 
 from __future__ import annotations
@@ -142,7 +155,7 @@ def _forward(q, k, temperature, coeff, clamp_min, tq):
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((tq, nq, d), lambda i: (i, 0, 0)),
             pl.BlockSpec((tq, nq), lambda i: (i, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((tq, bk), lambda i: (i, 0)),
@@ -324,7 +337,7 @@ def _backward(q, k, temperature, coeff, clamp_min, tq, g_clip, g_nonneg):
             pl.BlockSpec((tq, nq, d), lambda i: (i, 0, 0)),
             pl.BlockSpec((tq, nq), lambda i: (i, 0)),
             pl.BlockSpec((tq, bk), lambda i: (i, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((tq, nq, d), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((bq, nq, d), jnp.float32),
@@ -355,9 +368,9 @@ def _backward(q, k, temperature, coeff, clamp_min, tq, g_clip, g_nonneg):
         in_specs=[
             pl.BlockSpec((1, 2), lambda j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((tko, nk, d), lambda j: (j, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((tko, nk, d), lambda j: (j, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((bk, nk, d), jnp.float32),
