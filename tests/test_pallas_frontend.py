@@ -37,10 +37,17 @@ def _weights(seed=0):
 
 class TestKernel:
     @pytest.mark.parametrize(
-        "B,T,tb",
-        [(2, 8000, 16), (2, 8000, 8), (1, 12345, 8)],
+        "B,T,tb,layout",
+        [
+            (2, 8000, 16, "x10"),
+            (2, 8000, 8, "x10"),
+            (1, 12345, 8, "x10"),
+            (2, 8000, 16, "x640"),
+            (1, 12345, 16, "x640"),
+            (1, 40000, 16, "x640"),  # multi-block stats + main grids
+        ],
     )
-    def test_matches_xla_reference(self, B, T, tb):
+    def test_matches_xla_reference(self, B, T, tb, layout):
         rng = np.random.default_rng(1)
         wave = jnp.asarray(rng.normal(size=(B, T)).astype(np.float32))
         w0, gs, gb, ws = _weights()
@@ -50,7 +57,7 @@ class TestKernel:
         got = np.asarray(
             monolithic_frontend(
                 wave, w0, gs, gb, ws, tb=tb, out_dtype=jnp.float32,
-                interpret=True,
+                interpret=True, wave_layout=layout,
             )
         )
         assert got.shape == (B, num_tokens(T), 512)

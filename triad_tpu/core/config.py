@@ -132,6 +132,13 @@ class HubertConfig:
     # its exp+divide costs ~16 ms of VPU and made the kernel lose
     # end-to-end in round 2's first attempt).
     frontend_gelu: str = "tanh"
+    # Waveform shipping layout for the "monolithic" frontend: "x10"
+    # ((B, T/10, 10) — lane dim tiles 10->128, ~12.8x padded HBM
+    # footprint plus a measured 1.35 ms/step XLA pad+relayout at
+    # B=64/10 s) or "x640" ((B, T/640, 640) — exact lane tiling; the
+    # (rows, 640)->(rows*64, 10) re-view runs on an ~84 KB VMEM block
+    # inside the kernel).
+    frontend_wave_layout: str = "x10"
     # Rematerialization for the backward pass: "none", "conv" (remat the
     # whole waveform frontend), "chunked_conv" (default: evaluate the
     # frontend in independent token blocks, each rematted — its

@@ -459,6 +459,7 @@ class ConvFeatureEncoder(nn.Module):
                 64,
                 self.dtype,
                 c.frontend_gelu,
+                c.frontend_wave_layout,
             )
         if self.cfg.frontend_impl == "pallas":
             from triad_tpu.ops.pallas_conv import min_input_alloc

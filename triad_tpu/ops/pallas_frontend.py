@@ -114,23 +114,43 @@ def make_g2_weight(w0: jax.Array) -> jax.Array:
     return wg
 
 
-def _conv0_block(x10_ref, wg_ref, p0, n_pairs):
-    """Phase-split conv_0 for pairs [p0, p0+n_pairs): (n_pairs, 2C) f32.
+def _conv0_pairs(x10v, wg_ref, n_pairs):
+    """Phase-split conv_0 on a VALUE x10v ((>= n_pairs+1, 10) f32) for
+    local pairs [0, n_pairs): (n_pairs, 2C) f32.
 
     Matmul runs in bf16 (the production frontend computes conv_0 at the
     model dtype — reference autocast semantics) with fp32 accumulation.
     """
-    xa = x10_ref[0, pl.ds(p0, n_pairs), :]
+    xa = x10v[:n_pairs]
     # pair u's odd output needs X10[u+1]; build the shifted copy with a
-    # static offset-1 slice + the (aligned) row right past the block.
-    tail = x10_ref[0, pl.ds(p0 + n_pairs, 8), :][0:1]
-    xb = jnp.concatenate([xa[1:], tail], axis=0)
+    # static offset-1 slice + the row right past the block.
+    xb = jnp.concatenate([xa[1:], x10v[n_pairs : n_pairs + 1]], axis=0)
     xc = jnp.concatenate([xa, xb], axis=1)  # (n_pairs, 20)
     return jax.lax.dot_general(
         xc.astype(jnp.bfloat16), wg_ref[...].astype(jnp.bfloat16),
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+
+
+def _load_x10(x_ref, p0, n_pairs, wave_layout):
+    """Read the (n_pairs+8, 10) f32 window for conv_0 pairs
+    [p0, p0+n_pairs) from the waveform ref.
+
+    "x10":  x_ref is (1, R10p, 10) — a direct 8-aligned sublane slice,
+            but the 10-wide lane dim tiles to 128 in both HBM and VMEM
+            (~12.8x padding on a 537 MB tensor at B=64/10 s).
+    "x640": x_ref is (1, R640p, 640) — rows of 64 pairs, lanes exactly
+            tiled (42 MB true footprint); the (rows, 640) block is
+            re-viewed as (rows*64, 10) in VMEM (one ~84 KB relayout per
+            block). Requires p0 % 64 == 0 and (p0/64) % 8 == 0.
+    """
+    if wave_layout == "x640":
+        row0 = pl.multiple_of(p0 // 64, 8)
+        nrows = (n_pairs + 8 + 63) // 64
+        rows = x_ref[0, pl.ds(row0, nrows), :]  # (nrows, 640)
+        return rows.reshape(nrows * 64, 10)
+    return x_ref[0, pl.ds(p0, n_pairs + 8), :]
 
 
 def _stride2_layer(z, w01, w2, gelu_fn=_gelu_erf_f32):
@@ -171,11 +191,12 @@ def _fold(y):
 # ---------------------------------------------------------------------------
 
 
-def _stats_kernel(x10_ref, wg_ref, sum_ref, sq_ref, *, m0_total: int,
-                  tb_pairs: int):
+def _stats_kernel(x_ref, wg_ref, sum_ref, sq_ref, *, m0_total: int,
+                  tb_pairs: int, wave_layout: str):
     j = pl.program_id(1)
     u0 = pl.multiple_of(j * tb_pairs, 8)
-    y = _conv0_block(x10_ref, wg_ref, u0, tb_pairs)  # (tb_pairs, 2C)
+    x10v = _load_x10(x_ref, u0, tb_pairs, wave_layout)
+    y = _conv0_pairs(x10v, wg_ref, tb_pairs)  # (tb_pairs, 2C)
     c = y.shape[1] // 2
     pair = u0 + jax.lax.broadcasted_iota(jnp.int32, (tb_pairs, 1), 0)
     ye = jnp.where(2 * pair < m0_total, y[:, :c], 0.0)
@@ -192,32 +213,45 @@ def _stats_kernel(x10_ref, wg_ref, sum_ref, sq_ref, *, m0_total: int,
     sq_ref[0, 0, :] += jnp.sum(ye * ye + yo * yo, axis=0)
 
 
-def stats_block(n_pairs: int, tb_pairs: int = 2048) -> int:
-    """Stats-pass block size: clamped to the pair count, 8-aligned."""
-    return min(tb_pairs, ((n_pairs + 7) // 8) * 8)
+def stats_block(n_pairs: int, tb_pairs: int = 2048,
+                wave_layout: str = "x10") -> int:
+    """Stats-pass block size: clamped to the pair count, 8-aligned
+    ("x10") or 64-aligned ("x640": blocks start on 640-sample rows)."""
+    align = 64 if wave_layout == "x640" else 8
+    return min(tb_pairs, ((n_pairs + align - 1) // align) * align)
 
 
 def conv0_stats(
     x10: jax.Array, wg: jax.Array, m0_total: int, tb_pairs: int = 2048,
-    interpret: bool = False,
+    interpret: bool = False, wave_layout: str = "x10",
 ) -> Tuple[jax.Array, jax.Array]:
-    """(B, R10p, 10) padded waveform rows -> (mean, var) each (B, C)
-    over conv_0's m0_total logical output rows."""
+    """(B, R10p, 10) (or (B, R640p, 640)) padded waveform rows ->
+    (mean, var) each (B, C) over conv_0's m0_total logical output rows."""
     b, r10, _ = x10.shape
     n_pairs = (m0_total + 1) // 2
-    tb_pairs = stats_block(n_pairs, tb_pairs)
+    tb_pairs = stats_block(n_pairs, tb_pairs, wave_layout)
     nb = -(-n_pairs // tb_pairs)
-    if nb * tb_pairs + 8 > r10:
+    if wave_layout == "x640":
+        need_rows = (nb - 1) * (tb_pairs // 64) + (tb_pairs + 8 + 63) // 64
+        if nb > 1 and (tb_pairs // 64) % 8:
+            raise ValueError(
+                f"x640 stats blocks must start on 8-row boundaries: "
+                f"tb_pairs {tb_pairs} (use a multiple of 512 or one block)"
+            )
+    else:
+        need_rows = nb * tb_pairs + 8
+    if need_rows > r10:
         raise ValueError(
-            f"x10 rows {r10} < stats requirement {nb * tb_pairs + 8}"
+            f"waveform rows {r10} < stats requirement {need_rows}"
         )
     s, sq = pl.pallas_call(
         functools.partial(
-            _stats_kernel, m0_total=m0_total, tb_pairs=tb_pairs
+            _stats_kernel, m0_total=m0_total, tb_pairs=tb_pairs,
+            wave_layout=wave_layout,
         ),
         grid=(b, nb),
         in_specs=[
-            pl.BlockSpec((1, r10, 10), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, r10, x10.shape[2]), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((20, 2 * C), lambda i, j: (0, 0)),
         ],
         out_specs=[
@@ -246,18 +280,19 @@ def conv0_stats(
 
 
 def _main_kernel(
-    x10_ref,  # (1, R10p, 10) fp32
+    x_ref,  # (1, R10p, 10) fp32 ("x10") or (1, R640p, 640) ("x640")
     wg_ref,  # (20, 2C)
     wcat_ref,  # (6, 2C, C) [W0;W1] for conv_1..conv_6
     w2_ref,  # (4, C, C) third taps, conv_1..conv_4
     affine_ref,  # (1, 2, 2C) folded GroupNorm scale' | bias'
     y_ref,  # out (1, tb, C)
-    *, tb: int, p1: int, gelu: str = "erf",
+    *, tb: int, p1: int, gelu: str = "erf", wave_layout: str = "x10",
 ):
     gelu_fn = _GELUS[gelu]
     j = pl.program_id(1)
     p0 = pl.multiple_of(j * (tb * 32), 8)
-    y0 = _conv0_block(x10_ref, wg_ref, p0, p1)  # (P1, 2C) phase-split
+    x10v = _load_x10(x_ref, p0, p1, wave_layout)
+    y0 = _conv0_pairs(x10v, wg_ref, p1)  # (P1, 2C) phase-split
     z = (
         y0 * affine_ref[0, 0][None, :] + affine_ref[0, 1][None, :]
     ).astype(jnp.bfloat16)
@@ -280,6 +315,7 @@ def monolithic_frontend(
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
     gelu: str = "erf",
+    wave_layout: str = "x10",
 ) -> jax.Array:
     """wave (B, T) -> tokens (B, num_tokens(T), C) in out_dtype.
 
@@ -287,10 +323,19 @@ def monolithic_frontend(
     ws: conv_1..conv_6 weights, each (k, C, C). tb: final tokens per
     block, multiple of 8. gelu: activation impl from _GELUS ("erf"
     exact; "tanh"/"tanh_native" 4.7e-4-max-err fast forms; "id" for
-    floor measurement only).
+    floor measurement only). wave_layout: "x10" ships the waveform as
+    (B, T/10, 10) — simple slicing but the 10-wide lane dim tiles to
+    128 (~12.8x padded HBM footprint and a measured 1.35 ms/step XLA
+    pad+relayout at B=64/10 s); "x640" ships (B, T/640, 640) — lanes
+    exactly tiled, the (rows, 640) -> (rows*64, 10) re-view happens on
+    an ~84 KB VMEM block inside the kernel (needs tb % 16 == 0).
     """
     if tb % 8:
         raise ValueError(f"tb must be a multiple of 8, got {tb}")
+    if wave_layout not in ("x10", "x640"):
+        raise ValueError(f"unknown wave_layout {wave_layout!r}")
+    if wave_layout == "x640" and tb % 16:
+        raise ValueError(f"x640 layout needs tb % 16 == 0, got {tb}")
     b, t = wave.shape
     t -= t % 10
     wave = wave[:, :t]
@@ -303,16 +348,26 @@ def monolithic_frontend(
     # Pad waveform rows so every block's window (incl. the +1 tail row
     # and the stats pass) reads in-bounds; padded zeros only feed tokens
     # >= n_out, which the final slice drops.
-    r10 = t // 10
     n_pairs = (m0_total + 1) // 2
-    stb = stats_block(n_pairs)
-    stats_rows = -(-n_pairs // stb) * stb + 8
-    r10_pad = max(32 * tb * (nb - 1) + p1 + 8, stats_rows, r10 + 8)
-    x10 = jnp.pad(
-        wave.astype(jnp.float32), ((0, 0), (0, r10_pad * 10 - t))
-    ).reshape(b, r10_pad, 10)
+    stb = stats_block(n_pairs, wave_layout=wave_layout)
+    nbs = -(-n_pairs // stb)
+    if wave_layout == "x640":
+        main_rows = (nb - 1) * (tb // 2) + (p1 + 8 + 63) // 64
+        stats_rows = (nbs - 1) * (stb // 64) + (stb + 8 + 63) // 64
+        r_pad = max(main_rows, stats_rows, -(-t // 640))
+        x10 = jnp.pad(
+            wave.astype(jnp.float32), ((0, 0), (0, r_pad * 640 - t))
+        ).reshape(b, r_pad, 640)
+    else:
+        r10 = t // 10
+        stats_rows = nbs * stb + 8
+        r_pad = max(32 * tb * (nb - 1) + p1 + 8, stats_rows, r10 + 8)
+        x10 = jnp.pad(
+            wave.astype(jnp.float32), ((0, 0), (0, r_pad * 10 - t))
+        ).reshape(b, r_pad, 10)
 
-    mean, var = conv0_stats(x10, wg, m0_total, interpret=interpret)
+    mean, var = conv0_stats(x10, wg, m0_total, interpret=interpret,
+                            wave_layout=wave_layout)
     rstd = jax.lax.rsqrt(var + 1e-5)
     scale = rstd * gn_scale[None, :].astype(jnp.float32)
     bias = gn_bias[None, :].astype(jnp.float32) - mean * scale
@@ -330,10 +385,11 @@ def monolithic_frontend(
     )  # (4, C, C)
 
     y = pl.pallas_call(
-        functools.partial(_main_kernel, tb=tb, p1=p1, gelu=gelu),
+        functools.partial(_main_kernel, tb=tb, p1=p1, gelu=gelu,
+                          wave_layout=wave_layout),
         grid=(b, nb),
         in_specs=[
-            pl.BlockSpec((1, r10_pad, 10), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, r_pad, x10.shape[2]), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((20, 2 * C), lambda i, j: (0, 0)),
             pl.BlockSpec((6, 2 * C, C), lambda i, j: (0, 0, 0)),
             pl.BlockSpec((4, C, C), lambda i, j: (0, 0, 0)),
@@ -387,24 +443,26 @@ def reference_frontend(wave, w0, gn_scale, gn_bias, ws,
     return gelu_fn(y).astype(out_dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def monolithic_frontend_vjp(wave, w0, gn_scale, gn_bias, ws,
                             tb: int = 64, out_dtype=jnp.bfloat16,
-                            gelu: str = "erf"):
+                            gelu: str = "erf", wave_layout: str = "x10"):
     """monolithic_frontend with an XLA-recompute backward (the training
     path normally uses the chunked-remat XLA frontend; this VJP exists
     so the kernel is safe under jax.grad)."""
     return monolithic_frontend(wave, w0, gn_scale, gn_bias, ws, tb,
-                               out_dtype, gelu=gelu)
+                               out_dtype, gelu=gelu,
+                               wave_layout=wave_layout)
 
 
-def _mf_fwd(wave, w0, gn_scale, gn_bias, ws, tb, out_dtype, gelu):
+def _mf_fwd(wave, w0, gn_scale, gn_bias, ws, tb, out_dtype, gelu,
+            wave_layout):
     y = monolithic_frontend(wave, w0, gn_scale, gn_bias, ws, tb, out_dtype,
-                            gelu=gelu)
+                            gelu=gelu, wave_layout=wave_layout)
     return y, (wave, w0, gn_scale, gn_bias, tuple(ws))
 
 
-def _mf_bwd(tb, out_dtype, gelu, res, dy):
+def _mf_bwd(tb, out_dtype, gelu, wave_layout, res, dy):
     wave, w0, gn_scale, gn_bias, ws = res
     # Recompute in the model dtype (bf16 in production, == the chunked
     # parity path's conv numerics; fp32 when out_dtype is fp32, e.g.
