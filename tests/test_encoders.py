@@ -596,3 +596,42 @@ class TestPhaseFrontend:
             np.testing.assert_allclose(
                 got[:, :n], ref[:, :n], atol=1e-5
             )
+
+
+class TestPosConvImpl:
+    def test_pallas_matches_conv_module(self):
+        """posconv_impl="pallas" (fused packed-layout kernel) produces
+        the same PositionalConvEmbedding outputs as the XLA conv branch
+        from the SAME param tree (the _PosConvParams shim must mirror
+        nn.Conv's tree and initializers exactly)."""
+        import dataclasses
+
+        from jax.experimental.pallas import tpu as pltpu
+
+        from triad_tpu.models.hubert import PositionalConvEmbedding
+
+        cfg = HubertConfig(
+            hidden_size=64, num_conv_pos_embeddings=16,
+            num_conv_pos_embedding_groups=4,
+        )
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.normal(size=(2, 37, 64)).astype(np.float32))
+        ref_mod = PositionalConvEmbedding(cfg)
+        params = ref_mod.init(jax.random.key(0), x)["params"]
+        ref = np.asarray(ref_mod.apply({"params": params}, x))
+
+        pal_mod = PositionalConvEmbedding(
+            dataclasses.replace(cfg, posconv_impl="pallas")
+        )
+        with pltpu.force_tpu_interpret_mode():
+            # identical param trees: the pallas branch can consume the
+            # conv branch's params verbatim (and vice versa)
+            pal_params = pal_mod.init(jax.random.key(0), x)["params"]
+            assert jax.tree.structure(pal_params) == jax.tree.structure(
+                params
+            )
+            assert [
+                tuple(p.shape) for p in jax.tree.leaves(pal_params)
+            ] == [tuple(p.shape) for p in jax.tree.leaves(params)]
+            got = np.asarray(pal_mod.apply({"params": params}, x))
+        np.testing.assert_allclose(got, ref, atol=3e-4, rtol=1e-4)

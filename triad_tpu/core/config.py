@@ -139,6 +139,12 @@ class HubertConfig:
     # (rows, 640)->(rows*64, 10) re-view runs on an ~84 KB VMEM block
     # inside the kernel).
     frontend_wave_layout: str = "x10"
+    # Positional grouped conv (kernel 128, 16 groups): "conv" = XLA's
+    # feature-grouped convolution (pays ~6.9 ms/step of {0,3,2,1}
+    # pad/relayout fusions plus an 8.3 ms dW reduction at B=64 train —
+    # round-2 trace); "pallas" = the fused packed-layout kernel with a
+    # custom VJP (ops/pallas_posconv.py).
+    posconv_impl: str = "conv"
     # Rematerialization for the backward pass: "none", "conv" (remat the
     # whole waveform frontend), "chunked_conv" (default: evaluate the
     # frontend in independent token blocks, each rematted — its

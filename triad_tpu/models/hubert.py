@@ -480,6 +480,29 @@ class ConvFeatureEncoder(nn.Module):
         return self.tail(y0, mean, var)
 
 
+class _PosConvParams(nn.Module):
+    """nn.Conv-identical params ({kernel, bias}) without running the
+    conv — the pallas fused pos-conv consumes them directly. Param tree
+    paths and initializers match nn.Conv exactly."""
+
+    features: int
+    kernel_size: int
+    in_per_group: int
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, self.in_per_group, self.features),
+            self.param_dtype,
+        )
+        self.bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,),
+            self.param_dtype,
+        )
+
+
 class PositionalConvEmbedding(nn.Module):
     cfg: HubertConfig
     dtype: Dtype = jnp.float32
@@ -489,6 +512,21 @@ class PositionalConvEmbedding(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         c = self.cfg
         k = c.num_conv_pos_embeddings
+        g = c.num_conv_pos_embedding_groups
+        if c.posconv_impl == "pallas":
+            # Fused packed-layout kernel (ops/pallas_posconv.py): no
+            # XLA grouped-conv relayouts, window-stacked MXU matmuls,
+            # custom VJP (dW accumulated in VMEM over the batch grid).
+            from triad_tpu.ops.pallas_posconv import pos_conv_gelu
+
+            p = _PosConvParams(
+                c.hidden_size, k, c.hidden_size // g,
+                param_dtype=self.param_dtype, name="conv",
+            )
+            return pos_conv_gelu(
+                x.astype(self.dtype), p.kernel.astype(self.dtype),
+                p.bias, g, "erf",
+            ).astype(self.dtype)
         pad = k // 2
         h = nn.Conv(
             c.hidden_size,
