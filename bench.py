@@ -70,6 +70,18 @@ def main() -> None:
     _loss_ov = _os.environ.get("TRIAD_BENCH_LOSS")
     if _loss_ov:
         loss_cfg = _dc.replace(loss_cfg, implementation=_loss_ov)
+    # More A/B knobs for bisecting under identical run conditions:
+    # TRIAD_BENCH_WAVE=x10|x640 (frontend waveform shipping layout),
+    # TRIAD_BENCH_POSCONV=conv|pallas (positional grouped conv impl).
+    _wave_ov = _os.environ.get("TRIAD_BENCH_WAVE")
+    _pc_ov = _os.environ.get("TRIAD_BENCH_POSCONV")
+    if _wave_ov or _pc_ov:
+        hub = cfg.hubert
+        if _wave_ov:
+            hub = _dc.replace(hub, frontend_wave_layout=_wave_ov)
+        if _pc_ov:
+            hub = _dc.replace(hub, posconv_impl=_pc_ov)
+        cfg = _dc.replace(cfg, hubert=hub)
     model = TriadModel(cfg)
     params = init_triad_model(cfg, jax.random.key(0))
 

@@ -45,6 +45,17 @@ def build_eval_fn():
         cfg = dataclasses.replace(
             cfg, hubert=dataclasses.replace(cfg.hubert, frontend_impl=fe)
         )
+    wv = os.environ.get("TRIAD_EVAL_WAVE")
+    if wv:
+        cfg = dataclasses.replace(
+            cfg,
+            hubert=dataclasses.replace(cfg.hubert, frontend_wave_layout=wv),
+        )
+    pc = os.environ.get("TRIAD_EVAL_POSCONV")
+    if pc:
+        cfg = dataclasses.replace(
+            cfg, hubert=dataclasses.replace(cfg.hubert, posconv_impl=pc)
+        )
     loss_cfg = perf_eval_loss_config()
     loss_ov = os.environ.get("TRIAD_EVAL_LOSS")
     if loss_ov:
@@ -117,6 +128,20 @@ def build_train_fn():
             hubert=dataclasses.replace(
                 model_cfg.hubert, frontend_impl="monolithic",
                 frontend_gelu="tanh",
+            ),
+        )
+    if "posconv" in knobs:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            hubert=dataclasses.replace(
+                model_cfg.hubert, posconv_impl="pallas"
+            ),
+        )
+    if "wave640" in knobs:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            hubert=dataclasses.replace(
+                model_cfg.hubert, frontend_wave_layout="x640"
             ),
         )
     # TRIAD_TRAIN_LOSS=chunked|pallas (default chunked, the production

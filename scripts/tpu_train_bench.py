@@ -81,6 +81,20 @@ def main() -> None:
                 frontend_gelu="tanh",
             ),
         )
+    if "posconv" in knobs:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            hubert=dataclasses.replace(
+                model_cfg.hubert, posconv_impl="pallas"
+            ),
+        )
+    if "wave640" in knobs:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            hubert=dataclasses.replace(
+                model_cfg.hubert, frontend_wave_layout="x640"
+            ),
+        )
     # Remat-policy A/B: "rematconv" checkpoints the whole frontend as
     # one unit (bwd recomputes it once, unchunked); "noremat" stores
     # all frontend activations (no recompute; ~4-8 GB extra HBM at
