@@ -1,0 +1,32 @@
+#!/bin/bash
+# Round-2 second-half hardware A/B runbook. Run when the TPU tunnel is
+# back; ONE TPU job at a time (the tunnel serializes). Logs to
+# /tmp/r2_measure/. Each bench prints one JSON line; train benches
+# print ms/step.
+set -u
+OUT=/tmp/r2_measure
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+
+run() { # name, timeout_s, cmd...
+  local name=$1 to=$2; shift 2
+  echo "=== $name ($(date +%H:%M:%S)) ==="
+  timeout "$to" "$@" > "$OUT/$name.log" 2>&1
+  echo "rc=$? $(tail -1 "$OUT/$name.log")"
+}
+
+# --- eval bench A/Bs (judged metric) ---
+run bench_base      1800 python bench.py
+run bench_x640      1800 env TRIAD_BENCH_WAVE=x640 python bench.py
+run bench_posconv   1800 env TRIAD_BENCH_POSCONV=pallas python bench.py
+run bench_both      1800 env TRIAD_BENCH_WAVE=x640 TRIAD_BENCH_POSCONV=pallas python bench.py
+# repeat base to bound tunnel drift
+run bench_base2     1800 python bench.py
+
+# --- train step A/Bs ---
+run train_perf          2400 python scripts/tpu_train_bench.py 64 10 chunked perf
+run train_posconv       2400 python scripts/tpu_train_bench.py 64 10 chunked perf,posconv
+run train_posconv_w640  2400 python scripts/tpu_train_bench.py 64 10 chunked perf,posconv,wave640
+
+echo "=== summary ==="
+for f in "$OUT"/*.log; do echo "--- $f"; tail -2 "$f"; done
