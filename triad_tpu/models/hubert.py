@@ -527,6 +527,10 @@ class PositionalConvEmbedding(nn.Module):
                 x.astype(self.dtype), p.kernel.astype(self.dtype),
                 p.bias, g, "erf",
             ).astype(self.dtype)
+        if c.posconv_impl != "conv":
+            # A typo must not silently fall through to the XLA branch —
+            # it would mislabel hardware A/B measurements.
+            raise ValueError(f"unknown posconv_impl {c.posconv_impl!r}")
         pad = k // 2
         h = nn.Conv(
             c.hidden_size,

@@ -233,7 +233,7 @@ def conv0_stats(
     nb = -(-n_pairs // tb_pairs)
     if wave_layout == "x640":
         need_rows = (nb - 1) * (tb_pairs // 64) + (tb_pairs + 8 + 63) // 64
-        if nb > 1 and (tb_pairs // 64) % 8:
+        if nb > 1 and tb_pairs % 512:
             raise ValueError(
                 f"x640 stats blocks must start on 8-row boundaries: "
                 f"tb_pairs {tb_pairs} (use a multiple of 512 or one block)"

@@ -177,7 +177,7 @@ def _pad_fwd(x, k, npad):
     return jnp.pad(x, ((0, 0), (left, right), (0, 0)))
 
 
-def _pos_conv_impl(x, w, b, groups, gelu, interpret, act):
+def _pos_conv_impl(x, w, b, groups, interpret, act):
     bsz, n, c = x.shape
     k, cpg, cw = w.shape
     if cw != c or cpg * groups != c:
@@ -206,11 +206,11 @@ def pos_conv_gelu(x, w, b, groups: int, gelu: str = "erf",
     then exact GELU ("erf"; the in-kernel form is the A&S rational
     polynomial from ops/pallas_mlp).
     """
-    return _pos_conv_impl(x, w, b, groups, gelu, interpret, act=gelu)
+    return _pos_conv_impl(x, w, b, groups, interpret, act=gelu)
 
 
 def _pc_fwd(x, w, b, groups, gelu, interpret):
-    z = _pos_conv_impl(x, w, b, groups, gelu, interpret, act="id")
+    z = _pos_conv_impl(x, w, b, groups, interpret, act="id")
     y = _GELUS[gelu](z).astype(z.dtype)
     return y, (x, w, b, z)
 
