@@ -140,7 +140,8 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "packed":
         workers = int(sys.argv[2]) if len(sys.argv) > 2 else 4
         mode = sys.argv[3] if len(sys.argv) > 3 else "thread"
-        run_packed(workers=workers, mode=mode)
+        dev_aug = len(sys.argv) > 4 and sys.argv[4] == "device_augment"
+        run_packed(workers=workers, mode=mode, device_augment=dev_aug)
         return
     n_clips = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     secs = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0

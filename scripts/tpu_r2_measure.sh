@@ -28,5 +28,9 @@ run train_perf          2400 python scripts/tpu_train_bench.py 64 10 chunked per
 run train_posconv       2400 python scripts/tpu_train_bench.py 64 10 chunked perf,posconv
 run train_posconv_w640  2400 python scripts/tpu_train_bench.py 64 10 chunked perf,posconv,wave640
 
+# --- host->device ingest with the wire-dtype packed path ---
+run ingest_packed      1800 python scripts/data_throughput.py packed 4 thread
+run ingest_packed_daug 1800 python scripts/data_throughput.py packed 4 thread device_augment
+
 echo "=== summary ==="
 for f in "$OUT"/*.log; do echo "--- $f"; tail -2 "$f"; done
