@@ -27,6 +27,8 @@ run bench_base2     1800 python bench.py
 run train_perf          2400 python scripts/tpu_train_bench.py 64 10 chunked perf
 run train_posconv       2400 python scripts/tpu_train_bench.py 64 10 chunked perf,posconv
 run train_posconv_w640  2400 python scripts/tpu_train_bench.py 64 10 chunked perf,posconv,wave640
+run train_lossvjp       2400 python scripts/tpu_train_bench.py 64 10 chunked_vjp perf
+run train_all           2400 python scripts/tpu_train_bench.py 64 10 chunked_vjp perf,posconv,wave640
 
 # --- host->device ingest with the wire-dtype packed path ---
 run ingest_packed      1800 python scripts/data_throughput.py packed 4 thread

@@ -274,3 +274,93 @@ class TestBf16VolumeOperands:
             np.asarray(fast.diag_token_sims),
             np.asarray(slow.diag_token_sims), rtol=1e-6, atol=1e-5,
         )
+
+
+class TestChunkedCustomVJP:
+    """implementation="chunked_vjp": same forward as "chunked", hand-
+    written backward (bf16-operand recompute, no autodiff residual
+    stash — ops/similarity._maxmean_chunked_vjp)."""
+
+    @pytest.mark.parametrize("chunk", [1, 2, 3, 6])
+    def test_av_values_match_chunked(self, feats, chunk):
+        audio, _, visual, _ = feats
+        a = av_loss(
+            jnp.asarray(audio), jnp.asarray(visual), jnp.float32(TEMP),
+            _cfg("chunked", chunk_size=chunk),
+        )
+        b = av_loss(
+            jnp.asarray(audio), jnp.asarray(visual), jnp.float32(TEMP),
+            _cfg("chunked_vjp", chunk_size=chunk),
+        )
+        np.testing.assert_allclose(b.total, a.total, rtol=1e-6)
+        np.testing.assert_allclose(b.contrastive, a.contrastive, rtol=1e-6)
+
+    def test_av_gradients_match_chunked_fp32(self, feats):
+        audio, _, visual, _ = feats
+
+        def f(impl):
+            return lambda a, v, t: av_loss(
+                a, v, t, _cfg(impl, chunk_size=2)
+            ).total
+
+        args = (jnp.asarray(audio), jnp.asarray(visual), jnp.float32(TEMP))
+        ga = jax.grad(f("chunked"), argnums=(0, 1, 2))(*args)
+        gb = jax.grad(f("chunked_vjp"), argnums=(0, 1, 2))(*args)
+        for x, y in zip(ga, gb):
+            np.testing.assert_allclose(y, x, rtol=1e-5, atol=1e-7)
+
+    def test_tv_masked_gradients_match_chunked(self, feats):
+        _, text, visual, mask = feats
+
+        def f(impl):
+            return lambda t, v, temp: tv_loss(
+                t, v, jnp.asarray(mask), temp, _cfg(impl, chunk_size=3)
+            ).total
+
+        args = (jnp.asarray(text), jnp.asarray(visual), jnp.float32(TEMP))
+        ga = jax.grad(f("chunked"), argnums=(0, 1, 2))(*args)
+        gb = jax.grad(f("chunked_vjp"), argnums=(0, 1, 2))(*args)
+        for x, y in zip(ga, gb):
+            np.testing.assert_allclose(y, x, rtol=1e-5, atol=1e-7)
+
+    def test_bf16_operands_gradients_close(self, feats):
+        """bf16 features: the custom backward casts dts to bf16 for the
+        dQ/dK matmuls (vs autodiff's mixed f32xbf16) — within bf16
+        rounding of each other."""
+        audio, _, visual, _ = feats
+        a16 = jnp.asarray(audio, jnp.bfloat16)
+        v16 = jnp.asarray(visual, jnp.bfloat16)
+
+        def f(impl):
+            return lambda a, v, t: av_loss(
+                a, v, t, _cfg(impl, chunk_size=2)
+            ).total
+
+        ga = jax.grad(f("chunked"), argnums=(0, 1, 2))(
+            a16, v16, jnp.float32(TEMP)
+        )
+        gb = jax.grad(f("chunked_vjp"), argnums=(0, 1, 2))(
+            a16, v16, jnp.float32(TEMP)
+        )
+        for x, y in zip(ga, gb):
+            x = np.asarray(x, np.float32)
+            y = np.asarray(y, np.float32)
+            scale = max(np.abs(x).max(), 1e-6)
+            np.testing.assert_allclose(y, x, atol=0.02 * scale)
+
+    def test_temperature_grad_matches_torch(self, feats):
+        audio, _, visual, _ = feats
+        ta = torch.from_numpy(audio).requires_grad_(True)
+        tv = torch.from_numpy(visual).requires_grad_(True)
+        tt = torch.tensor(TEMP, requires_grad=True)
+        oracle_av_loss(ta, tv, tt)["total"].backward()
+
+        def f(a, v, t):
+            return av_loss(a, v, t, _cfg("chunked_vjp", chunk_size=3)).total
+
+        ga, gv, gt = jax.grad(f, argnums=(0, 1, 2))(
+            jnp.asarray(audio), jnp.asarray(visual), jnp.float32(TEMP)
+        )
+        np.testing.assert_allclose(ga, ta.grad.numpy(), rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(gv, tv.grad.numpy(), rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(gt, tt.grad.numpy(), rtol=2e-4, atol=1e-6)

@@ -12,13 +12,16 @@ Reference semantics (all citations into /root/reference/src/model.py):
   (B, B, Nq, Nk) volume; at global batch 512 that volume is intractable,
   so we provide three implementations:
 
-  - ``dense``:   materialize the volume (tests / small batches).
-  - ``chunked``: lax.scan over key-batch chunks with rematerialization —
-                 O(B * chunk * Nq * Nk) live memory, gradients recompute
-                 each chunk (flash-attention-style).
-  - ``pallas``:  fused TPU kernel (triad_tpu.ops.pallas_maxmean).
+  - ``dense``:       materialize the volume (tests / small batches).
+  - ``chunked``:     lax.scan over key-batch chunks with rematerialization —
+                     O(B * chunk * Nq * Nk) live memory, gradients recompute
+                     each chunk (flash-attention-style, via autodiff).
+  - ``chunked_vjp``: same forward, hand-written backward (chunks
+                     recomputed at the operand dtype, no autodiff
+                     residual stash — see _maxmean_chunked_vjp).
+  - ``pallas``:      fused TPU kernel (triad_tpu.ops.pallas_maxmean).
 
-  All three return bitwise-comparable results (tested) and also accumulate
+  All return bitwise-comparable results (tested) and also accumulate
   the non-negativity regularizer statistics (sum of clamp(ts, m, 0)^2 over
   the full volume, model.py:417, 524) so no caller ever needs the volume.
 
@@ -29,7 +32,8 @@ measure zero for continuous features; parity tests use distinct values.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+import functools
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -228,6 +232,174 @@ def _aggregate_chunked(
 
 
 # ---------------------------------------------------------------------------
+# Chunked implementation with a hand-written VJP
+# ---------------------------------------------------------------------------
+#
+# Autodiff of the chunked scan stashes per-chunk residuals and
+# rematerializes the (Bq, chunk, Nq, Nk) volume in f32 on the way back
+# (the round-2 train trace shows ~523 MB f32 get-tuple-element chunks
+# plus ~5 ms/step of dynamic-update-slice residual stashing at B=64).
+# This VJP recomputes each chunk's token sims flash-style in the
+# operand dtype (bf16 in production), routes the max gradient through
+# the JAX reduce_max semantics (ties split equally — matching the
+# autodiff path bit-for-bit at fp32), and accumulates dQ as a scan
+# carry / dK as stacked chunk outputs, with no residual volume ever
+# reaching HBM.
+
+
+def _chunk_sizes(bk: int, chunk_size: int) -> Tuple[int, int]:
+    chunk = min(chunk_size, bk)
+    while bk % chunk != 0:
+        chunk -= 1
+    return chunk, bk // chunk
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _maxmean_chunked_vjp(
+    q, k, temperature, coeff, clamp_min: float, chunk_size: int,
+    precision: str,
+):
+    """(clip_sims (Bq, Bk) f32, nonneg_sq_sum () f32) with a custom
+    backward. q/k are the RESOLVED volume operands (_volume_operands);
+    coeff (Bq, Nq) f32 is the per-query-token mean weight (1/Nq, or
+    mask/count for the masked TV mean) — linear, so clip_sims =
+    sum_a coeff[i,a] * max_v ts[i,j,a,v]."""
+    clip, nonneg = _mm_fwd_scan(
+        q, k, temperature, coeff, clamp_min, chunk_size, precision
+    )
+    return clip, nonneg
+
+
+def _mm_fwd_scan(q, k, temperature, coeff, clamp_min, chunk_size, precision):
+    Bq, Nq, D = q.shape
+    Bk, Nk = k.shape[0], k.shape[1]
+    prec = _prec(precision) if q.dtype != jnp.bfloat16 else jax.lax.Precision.DEFAULT
+    temp = temperature.astype(jnp.float32)
+    chunk, num_chunks = _chunk_sizes(Bk, chunk_size)
+    k_chunks = k.reshape(num_chunks, chunk, Nk, D)
+
+    def body(carry, k_chunk):
+        ts = jnp.einsum(
+            "iqd,jkd->ijqk", q, k_chunk,
+            preferred_element_type=jnp.float32, precision=prec,
+        ) * temp
+        max_sims = jnp.max(ts, axis=3)  # (Bq, chunk, Nq)
+        clip = jnp.einsum("ijq,iq->ij", max_sims, coeff)
+        clamped = jnp.clip(ts, clamp_min, 0.0)
+        return carry, (clip, jnp.sum(clamped * clamped))
+
+    _, (clips, nns) = jax.lax.scan(body, None, k_chunks)
+    clip_sims = jnp.transpose(clips, (1, 0, 2)).reshape(Bq, Bk)
+    return clip_sims, jnp.sum(nns)
+
+
+def _mm_vjp_fwd(q, k, temperature, coeff, clamp_min, chunk_size, precision):
+    out = _mm_fwd_scan(
+        q, k, temperature, coeff, clamp_min, chunk_size, precision
+    )
+    return out, (q, k, temperature, coeff)
+
+
+def _mm_vjp_bwd(clamp_min, chunk_size, precision, res, cts):
+    q, k, temperature, coeff = res
+    g_clip, g_nn = cts
+    Bq, Nq, D = q.shape
+    Bk, Nk = k.shape[0], k.shape[1]
+    prec = _prec(precision) if q.dtype != jnp.bfloat16 else jax.lax.Precision.DEFAULT
+    temp = temperature.astype(jnp.float32)
+    chunk, num_chunks = _chunk_sizes(Bk, chunk_size)
+    k_chunks = k.reshape(num_chunks, chunk, Nk, D)
+    g_chunks = jnp.transpose(
+        g_clip.astype(jnp.float32).reshape(Bq, num_chunks, chunk), (1, 0, 2)
+    )  # (num_chunks, Bq, chunk)
+    g_nn = g_nn.astype(jnp.float32)
+    op_dtype = q.dtype
+
+    def body(carry, xs):
+        dq_acc, dtemp_acc = carry
+        k_chunk, g_c = xs
+        ts = jnp.einsum(
+            "iqd,jkd->ijqk", q, k_chunk,
+            preferred_element_type=jnp.float32, precision=prec,
+        ) * temp  # (Bq, chunk, Nq, Nk)
+        max_sims = jnp.max(ts, axis=3, keepdims=True)
+        eq = (ts == max_sims).astype(jnp.float32)
+        count = jnp.sum(eq, axis=3, keepdims=True)
+        # d clip / d ts: coeff routed through the (tie-splitting) max —
+        # identical to jax.grad of jnp.max.
+        g_max = g_c[:, :, None] * coeff[:, None, :]  # (Bq, chunk, Nq)
+        dts = eq * (g_max[..., None] / count)
+        # d nonneg_sq_sum / d ts = 2*clamped inside the active window.
+        clamped = jnp.clip(ts, clamp_min, 0.0)
+        active = jnp.logical_and(ts > clamp_min, ts < 0.0)
+        dts = dts + g_nn * 2.0 * jnp.where(active, ts, 0.0)
+        # temperature: ts = raw * T  =>  dT += sum(dts * raw)
+        dtemp_acc = dtemp_acc + jnp.sum(dts * ts) / temp
+        dts_op = (dts * temp).astype(op_dtype)
+        dq_acc = dq_acc + jnp.einsum(
+            "ijqk,jkd->iqd", dts_op, k_chunk,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        dk_c = jnp.einsum(
+            "ijqk,iqd->jkd", dts_op, q,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        return (dq_acc, dtemp_acc), dk_c
+
+    init = (
+        jnp.zeros((Bq, Nq, D), jnp.float32),
+        jnp.zeros((), jnp.float32),
+    )
+    (dq, dtemp), dk_chunks = jax.lax.scan(body, init, (k_chunks, g_chunks))
+    dk = dk_chunks.reshape(Bk, Nk, D)
+    # coeff carries no parameter gradient (it derives from the 0/1 text
+    # mask); return a structural zero.
+    dcoeff = jnp.zeros_like(coeff)
+    return (
+        dq.astype(q.dtype), dk.astype(k.dtype),
+        dtemp.astype(temperature.dtype), dcoeff,
+    )
+
+
+_maxmean_chunked_vjp.defvjp(_mm_vjp_fwd, _mm_vjp_bwd)
+
+
+def _aggregate_chunked_custom(
+    query: jax.Array,
+    key: jax.Array,
+    temperature: jax.Array,
+    clamp_min: float,
+    query_mask: Optional[jax.Array],
+    chunk_size: int,
+    compute_diag: bool = True,
+    precision: str = "highest",
+) -> AggregateOut:
+    """Chunked aggregation routed through the hand-written VJP
+    (implementation="chunked_vjp"). Forward values match "chunked"
+    exactly; backward recomputes chunks in the operand dtype instead of
+    autodiff's f32 residual stash."""
+    Bq, Nq, _ = query.shape
+    Bk, Nk = key.shape[0], key.shape[1]
+    q, k, prec_resolved = _volume_operands(query, key, precision)
+    if query_mask is None:
+        coeff = jnp.full((Bq, Nq), 1.0 / Nq, jnp.float32)
+    else:
+        m = query_mask.astype(jnp.float32)
+        coeff = m / jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1e-7)
+    clip_sims, nonneg_sq_sum = _maxmean_chunked_vjp(
+        q, k, temperature, coeff, clamp_min, chunk_size, precision
+    )
+    numel = jnp.asarray(Bq * Bk * Nq * Nk, jnp.float32)
+    diag = None
+    if compute_diag:
+        diag = jnp.einsum(
+            "bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32,
+            precision=prec_resolved,
+        ) * temperature.astype(jnp.float32)
+    return AggregateOut(clip_sims, nonneg_sq_sum, numel, diag)
+
+
+# ---------------------------------------------------------------------------
 # Public entry
 # ---------------------------------------------------------------------------
 
@@ -266,6 +438,11 @@ def aggregate_crossbatch(
         return _aggregate_chunked(
             query, key, temperature, clamp_min, query_mask, chunk_size,
             compute_diag, precision, unroll,
+        )
+    if implementation == "chunked_vjp":
+        return _aggregate_chunked_custom(
+            query, key, temperature, clamp_min, query_mask, chunk_size,
+            compute_diag, precision,
         )
     if implementation == "pallas":
         from triad_tpu.ops.pallas_maxmean import aggregate_pallas
