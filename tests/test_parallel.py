@@ -234,3 +234,79 @@ class TestMultiSlice:
                 float(out.stats[k]), float(ref.stats[k]), rtol=1e-4,
                 err_msg=k,
             )
+
+
+    def test_multislice_chunked_vjp_grads_match(self):
+        """Tuple-axis (check_vma=False) mesh with the custom-VJP loss:
+        gradients equal the single-device dense path."""
+        import numpy as np
+
+        from triad_tpu.parallel.dp import (
+            distributed_av_loss,
+            make_multislice_mesh,
+        )
+
+        mesh = make_multislice_mesh(2, 4)
+        B, Na, Nv, D = 8, 6, 5, 16
+        rng = np.random.default_rng(3)
+        a = jnp.asarray(rng.normal(size=(B, Na, D)).astype(np.float32) * 0.3)
+        v = jnp.asarray(rng.normal(size=(B, Nv, D)).astype(np.float32) * 0.3)
+        temp = jnp.float32(1.5)
+        cfg = LossConfig(implementation="chunked_vjp", chunk_size=2)
+        sharded = NamedSharding(mesh, P(("replica", "data")))
+
+        def dist(a, v, t):
+            return distributed_av_loss(
+                a, v, t, cfg, mesh, axis=("replica", "data")
+            ).total
+
+        ga = jax.jit(jax.grad(dist, argnums=(0, 1, 2)))(
+            jax.device_put(a, sharded), jax.device_put(v, sharded), temp
+        )
+        gr = jax.grad(
+            lambda a, v, t: av_loss(
+                a, v, t, LossConfig(implementation="dense")
+            ).total,
+            argnums=(0, 1, 2),
+        )(a, v, temp)
+        for x, y in zip(ga, gr):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-7
+            )
+
+
+class TestDistributedChunkedVJP:
+    def test_av_gradients_match_single_device(self, mesh, feats):
+        """implementation="chunked_vjp" (hand-written loss backward)
+        under shard_map: distributed gradients == single-device dense."""
+        cfg = LossConfig(implementation="chunked_vjp", chunk_size=4)
+
+        def dist_loss(a, v, t):
+            return distributed_av_loss(a, v, t, cfg, mesh).total
+
+        def ref_loss(a, v, t):
+            return av_loss(a, v, t, LossConfig(implementation="dense")).total
+
+        ga = jax.jit(jax.grad(dist_loss, argnums=(0, 1, 2)))(
+            feats["audio"], feats["visual"], jnp.float32(TEMP)
+        )
+        gr = jax.grad(ref_loss, argnums=(0, 1, 2))(
+            jnp.asarray(feats["audio_np"]), jnp.asarray(feats["visual_np"]),
+            jnp.float32(TEMP),
+        )
+        for a, b in zip(ga, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7
+            )
+
+    def test_tv_values_match_single_device(self, mesh, feats):
+        cfg = LossConfig(implementation="chunked_vjp", chunk_size=4)
+        dist = jax.jit(
+            lambda te, v, m, t: distributed_tv_loss(te, v, m, t, cfg, mesh)
+        )(feats["text"], feats["visual"], feats["mask"], jnp.float32(TEMP))
+        ref = tv_loss(
+            jnp.asarray(feats["text_np"]), jnp.asarray(feats["visual_np"]),
+            jnp.asarray(feats["mask_np"]), jnp.float32(TEMP),
+            LossConfig(implementation="dense"),
+        )
+        np.testing.assert_allclose(dist.total, ref.total, rtol=1e-5)

@@ -346,9 +346,12 @@ def _mm_vjp_bwd(clamp_min, chunk_size, precision, res, cts):
         )
         return (dq_acc, dtemp_acc), dk_c
 
+    # Derive the zero carries from traced inputs so their varying-axis
+    # type matches the body outputs under shard_map (a fresh
+    # jnp.zeros(...) is unvarying and lax.scan rejects the carry pair).
     init = (
-        jnp.zeros((Bq, Nq, D), jnp.float32),
-        jnp.zeros((), jnp.float32),
+        q.astype(jnp.float32) * 0.0,
+        g_nn * 0.0,
     )
     (dq, dtemp), dk_chunks = jax.lax.scan(body, init, (k_chunks, g_chunks))
     dk = dk_chunks.reshape(Bk, Nk, D)

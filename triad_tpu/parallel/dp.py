@@ -41,6 +41,21 @@ from jax.sharding import Mesh, PartitionSpec as P
 # lax.axis_index's flattened order).
 Axis = Union[str, Tuple[str, ...]]
 
+
+def _axes_tuple(axis: "Axis") -> Tuple[str, ...]:
+    return axis if isinstance(axis, tuple) else (axis,)
+
+
+def _temp_varying(temperature: jax.Array, axis: "Axis") -> jax.Array:
+    """Device-varying view of the replicated temperature for the
+    (possibly custom-VJP) aggregation: pcastᵀ = psum folds the
+    per-shard temperature cotangents, satisfying shard_map's transpose
+    replication check. Multi-slice wrappers run check_vma=False (no
+    vma tracking), where pcast is both unnecessary and rejected."""
+    if isinstance(axis, tuple):
+        return temperature
+    return jax.lax.pcast(temperature, (axis,), to="varying")
+
 from triad_tpu.core.config import LossConfig
 from triad_tpu.ops.losses import (
     AVLossOut,
@@ -169,11 +184,19 @@ def _av_loss_shard(
     n = jax.lax.psum(1, axis)
     B = n * B_l
 
+    # The aggregation may run a custom-VJP op (implementation
+    # "chunked_vjp") whose temperature cotangent comes back
+    # device-varying — feed it a varying temperature (_temp_varying).
+    # Only the aggregation consumes the varying copy: downstream psums
+    # make its outputs replicated again, and the calibration term keeps
+    # the replicated original.
+    temp_v = _temp_varying(temperature, axis)
+
     v_all = jax.lax.all_gather(visual, axis, tiled=True)  # (B, Nv, D)
     agg = aggregate_crossbatch(
         audio,
         v_all,
-        temperature,
+        temp_v,
         clamp_min=cfg.av_nonneg_clamp_min,
         implementation="chunked" if cfg.implementation == "dense" else cfg.implementation,
         chunk_size=cfg.chunk_size,
@@ -213,12 +236,15 @@ def _tv_loss_shard(
     Nv = visual.shape[1]
     n = jax.lax.psum(1, axis)
     B = n * B_l
+    # See _av_loss_shard: varying temperature for the (possibly
+    # custom-VJP) aggregation so its cotangent transposes cleanly.
+    temp_v = _temp_varying(temperature, axis)
 
     v_all = jax.lax.all_gather(visual, axis, tiled=True)
     agg = aggregate_crossbatch(
         text,
         v_all,
-        temperature,
+        temp_v,
         clamp_min=cfg.tv_nonneg_clamp_min,
         query_mask=text_mask,
         implementation="chunked" if cfg.implementation == "dense" else cfg.implementation,
