@@ -82,6 +82,15 @@ def main() -> None:
         if _pc_ov:
             hub = _dc.replace(hub, posconv_impl=_pc_ov)
         cfg = _dc.replace(cfg, hubert=hub)
+    # TRIAD_BENCH_VIT_ATTN=packed re-checks the ViT eval attention
+    # kernel in the current program (the in-program trace shows ~6.8 ms
+    # of probs/transpose fusions vs a ~1 ms kernel estimate; the
+    # earlier "neutral" verdict predates the current layout set).
+    _va_ov = _os.environ.get("TRIAD_BENCH_VIT_ATTN")
+    if _va_ov:
+        cfg = _dc.replace(
+            cfg, vit=_dc.replace(cfg.vit, attention_impl=_va_ov)
+        )
     model = TriadModel(cfg)
     params = init_triad_model(cfg, jax.random.key(0))
 

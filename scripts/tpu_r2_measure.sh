@@ -20,6 +20,7 @@ run bench_base      1800 python bench.py
 run bench_x640      1800 env TRIAD_BENCH_WAVE=x640 python bench.py
 run bench_posconv   1800 env TRIAD_BENCH_POSCONV=pallas python bench.py
 run bench_both      1800 env TRIAD_BENCH_WAVE=x640 TRIAD_BENCH_POSCONV=pallas python bench.py
+run bench_vitpk     1800 env TRIAD_BENCH_VIT_ATTN=packed python bench.py
 # repeat base to bound tunnel drift
 run bench_base2     1800 python bench.py
 
