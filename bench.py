@@ -28,7 +28,40 @@ import time
 import numpy as np
 
 
+def _probe_device(timeout_s: float = 900.0) -> None:
+    """Fail fast when the TPU tunnel is down.
+
+    Initializing the axon backend blocks INDEFINITELY when the tunnel
+    is unresponsive (observed: multi-hour outage, round 2) — probe
+    device discovery in a subprocess with a deadline so a dead tunnel
+    produces a clear error instead of hanging the caller forever."""
+    import subprocess
+    import sys
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True, capture_output=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            f"bench.py: TPU backend did not initialize within "
+            f"{timeout_s:.0f}s (tunnel down?) — aborting instead of "
+            f"hanging",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
+    except subprocess.CalledProcessError as e:
+        print(
+            f"bench.py: device probe failed rc={e.returncode}: "
+            f"{e.stderr.decode(errors='replace')[-500:]}",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
+
+
 def main() -> None:
+    _probe_device()
     import jax
 
     # Persistent compile cache: the tunneled TPU compile is slow (~min);
