@@ -310,3 +310,65 @@ class TestDistributedChunkedVJP:
             LossConfig(implementation="dense"),
         )
         np.testing.assert_allclose(dist.total, ref.total, rtol=1e-5)
+
+
+class TestRingNegatives:
+    """negatives="ring" (ppermuted key shards) must equal the
+    all-gather path — values and gradients — at any global batch."""
+
+    def test_av_values_and_grads_match_all_gather(self, mesh, feats):
+        ring = LossConfig(
+            implementation="chunked", chunk_size=4, negatives="ring"
+        )
+        ag = LossConfig(implementation="chunked", chunk_size=4)
+
+        def loss(cfg):
+            return lambda a, v, t: distributed_av_loss(
+                a, v, t, cfg, mesh
+            ).total
+
+        args = (feats["audio"], feats["visual"], jnp.float32(TEMP))
+        out_r = jax.jit(loss(ring))(*args)
+        out_a = jax.jit(loss(ag))(*args)
+        np.testing.assert_allclose(float(out_r), float(out_a), rtol=1e-6)
+        gr = jax.jit(jax.grad(loss(ring), argnums=(0, 1, 2)))(*args)
+        ga = jax.jit(jax.grad(loss(ag), argnums=(0, 1, 2)))(*args)
+        for x, y in zip(gr, ga):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-7
+            )
+
+    def test_tv_masked_values_match(self, mesh, feats):
+        ring = LossConfig(
+            implementation="chunked_vjp", chunk_size=4, negatives="ring"
+        )
+        dist = jax.jit(
+            lambda te, v, m, t: distributed_tv_loss(te, v, m, t, ring, mesh)
+        )(feats["text"], feats["visual"], feats["mask"], jnp.float32(TEMP))
+        ref = tv_loss(
+            jnp.asarray(feats["text_np"]), jnp.asarray(feats["visual_np"]),
+            jnp.asarray(feats["mask_np"]), jnp.float32(TEMP),
+            LossConfig(implementation="dense"),
+        )
+        np.testing.assert_allclose(
+            float(dist.total), float(ref.total), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(dist.reg), float(ref.reg), rtol=1e-5
+        )
+
+    def test_ring_rejects_tuple_axis(self, feats):
+        from triad_tpu.parallel.dp import make_multislice_mesh
+
+        mesh2 = make_multislice_mesh(2, 4)
+        cfg = LossConfig(implementation="chunked", negatives="ring")
+        sharded = NamedSharding(mesh2, P(("replica", "data")))
+        a = jax.device_put(feats["audio_np"], sharded)
+        v = jax.device_put(feats["visual_np"], sharded)
+        with pytest.raises(ValueError, match="single mesh axis"):
+            jax.jit(
+                lambda a, v: distributed_av_loss(
+                    a, v, jnp.float32(TEMP), cfg, mesh2,
+                    axis=("replica", "data"),
+                )
+            )(a, v)

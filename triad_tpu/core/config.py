@@ -244,9 +244,17 @@ class LossConfig:
     patch_sparsity_threshold: float = 0.80
     patch_sparsity_weight: float = 0.01
     # Aggregation implementation: "dense" materializes the (B,B,Nq,Nk)
-    # volume (small batches / tests), "chunked" scans j-blocks with remat,
-    # "pallas" uses the fused TPU kernel.
+    # volume (small batches / tests), "chunked" scans j-blocks with
+    # remat (autodiff backward), "chunked_vjp" adds a hand-written
+    # backward (bf16 recompute, no residual stash), "pallas" uses the
+    # fused TPU kernel.
     implementation: str = "dense"
+    # Distributed in-batch negatives (parallel/dp.py): "all_gather"
+    # materializes the global key tokens on every chip (0.4 GB at
+    # global 512); "ring" ppermutes one key shard around the data axis
+    # — peak key memory 2 shards at any global batch, identical
+    # semantics (single mesh axis only).
+    negatives: str = "all_gather"
     chunk_size: int = 8
     # Matmul precision of the aggregation einsums: "highest" reproduces
     # the reference's fp32 loss math bit-closely (parity tests);

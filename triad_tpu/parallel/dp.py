@@ -13,6 +13,9 @@ the O(B^2 * Na * Nv) aggregation work across the data axis:
     tokens over ICI and computes only its **row block** of clip sims
     (local queries x global keys) — no chip ever materializes the full
     volume, and the pairwise matmul work is sharded, not replicated;
+    LossConfig.negatives="ring" swaps the all-gather for a ppermute
+    ring of key shards (_ring_aggregate) — peak key memory two shards
+    at any global batch, identical semantics;
   * row-direction CE is local; column-direction CE uses a distributed
     (pmax / psum) logsumexp; regularizer sums and similarity stats psum.
 
@@ -171,6 +174,75 @@ def _distributed_stats(
     }
 
 
+def _ring_aggregate(
+    query: jax.Array,
+    key_local: jax.Array,
+    temperature: jax.Array,
+    cfg: LossConfig,
+    clamp_min: float,
+    query_mask: Optional[jax.Array],
+    axis: Axis,
+):
+    """Local-row block of global clip sims via a RING pass of the key
+    shard (SURVEY §7.3 item 3's alternative to all-gathered negatives).
+
+    Instead of materializing the full (B, Nk, D) gathered key set
+    (0.4 GB at global 512 / 10 s audio; ~3.2 GB at 4096), each chip
+    keeps a single key shard in flight: at every step it aggregates its
+    local queries against the resident shard and ppermutes the shard one
+    hop around the ring — peak key memory is 2 shards regardless of the
+    global batch, and the ppermute overlaps with the next block's
+    matmuls under XLA's async collectives. Semantics are identical to
+    the all-gather path (tested: values and gradients match).
+
+    Single mesh axis only: the ring rides ICI hop ordering; for
+    multi-slice tuple axes keep "all_gather" (hierarchical DCN rings
+    would need slice-aware permutes).
+    """
+    if isinstance(axis, tuple):
+        raise ValueError(
+            "negatives='ring' supports a single mesh axis; use "
+            "'all_gather' on multi-slice (tuple-axis) meshes"
+        )
+    n = jax.lax.psum(1, axis)
+    rank = jax.lax.axis_index(axis)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    B_l = query.shape[0]
+    Nk = key_local.shape[1]
+
+    def body(buf, _):
+        agg = aggregate_crossbatch(
+            query,
+            buf,
+            temperature,
+            clamp_min=clamp_min,
+            query_mask=query_mask,
+            implementation=(
+                "chunked" if cfg.implementation == "dense"
+                else cfg.implementation
+            ),
+            chunk_size=cfg.chunk_size,
+            compute_diag=False,
+            precision=cfg.matmul_precision,
+        )
+        nxt = jax.lax.ppermute(buf, axis, perm)
+        return nxt, (agg.clip_sims, agg.nonneg_sq_sum)
+
+    _, (blocks, nns) = jax.lax.scan(body, key_local, None, length=n)
+    # step s saw the shard that originated at chip (rank - s) mod n, so
+    # column block j was computed at step (rank - j) mod n — the map is
+    # its own inverse; gather the stacked blocks into global order.
+    idx = (rank - jnp.arange(n)) % n
+    cols = jnp.take(blocks, idx, axis=0)
+    clip_sims = jnp.transpose(cols, (1, 0, 2)).reshape(B_l, n * B_l)
+    numel = jnp.asarray(
+        B_l * n * B_l * query.shape[1] * Nk, jnp.float32
+    )
+    from triad_tpu.ops.similarity import AggregateOut
+
+    return AggregateOut(clip_sims, jnp.sum(nns), numel, None)
+
+
 def _av_loss_shard(
     audio: jax.Array,
     visual: jax.Array,
@@ -192,17 +264,23 @@ def _av_loss_shard(
     # the replicated original.
     temp_v = _temp_varying(temperature, axis)
 
-    v_all = jax.lax.all_gather(visual, axis, tiled=True)  # (B, Nv, D)
-    agg = aggregate_crossbatch(
-        audio,
-        v_all,
-        temp_v,
-        clamp_min=cfg.av_nonneg_clamp_min,
-        implementation="chunked" if cfg.implementation == "dense" else cfg.implementation,
-        chunk_size=cfg.chunk_size,
-        compute_diag=False,
-        precision=cfg.matmul_precision,
-    )
+    if cfg.negatives == "ring":
+        agg = _ring_aggregate(
+            audio, visual, temp_v, cfg, cfg.av_nonneg_clamp_min, None,
+            axis,
+        )
+    else:
+        v_all = jax.lax.all_gather(visual, axis, tiled=True)  # (B, Nv, D)
+        agg = aggregate_crossbatch(
+            audio,
+            v_all,
+            temp_v,
+            clamp_min=cfg.av_nonneg_clamp_min,
+            implementation="chunked" if cfg.implementation == "dense" else cfg.implementation,
+            chunk_size=cfg.chunk_size,
+            compute_diag=False,
+            precision=cfg.matmul_precision,
+        )
     contrastive, diag_vals = _distributed_symmetric_infonce(agg.clip_sims, axis)
 
     l_nonneg = jax.lax.psum(agg.nonneg_sq_sum, axis) / (
@@ -240,18 +318,24 @@ def _tv_loss_shard(
     # custom-VJP) aggregation so its cotangent transposes cleanly.
     temp_v = _temp_varying(temperature, axis)
 
-    v_all = jax.lax.all_gather(visual, axis, tiled=True)
-    agg = aggregate_crossbatch(
-        text,
-        v_all,
-        temp_v,
-        clamp_min=cfg.tv_nonneg_clamp_min,
-        query_mask=text_mask,
-        implementation="chunked" if cfg.implementation == "dense" else cfg.implementation,
-        chunk_size=cfg.chunk_size,
-        compute_diag=False,
-        precision=cfg.matmul_precision,
-    )
+    if cfg.negatives == "ring":
+        agg = _ring_aggregate(
+            text, visual, temp_v, cfg, cfg.tv_nonneg_clamp_min,
+            text_mask, axis,
+        )
+    else:
+        v_all = jax.lax.all_gather(visual, axis, tiled=True)
+        agg = aggregate_crossbatch(
+            text,
+            v_all,
+            temp_v,
+            clamp_min=cfg.tv_nonneg_clamp_min,
+            query_mask=text_mask,
+            implementation="chunked" if cfg.implementation == "dense" else cfg.implementation,
+            chunk_size=cfg.chunk_size,
+            compute_diag=False,
+            precision=cfg.matmul_precision,
+        )
     contrastive, diag_vals = _distributed_symmetric_infonce(agg.clip_sims, axis)
 
     l_nonneg = jax.lax.psum(agg.nonneg_sq_sum, axis) / (
