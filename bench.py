@@ -28,41 +28,40 @@ import time
 import numpy as np
 
 
-def _probe_device(timeout_s: float = 900.0) -> None:
+def _init_deadline(timeout_s: float = 900.0):
     """Fail fast when the TPU tunnel is down.
 
     Initializing the axon backend blocks INDEFINITELY when the tunnel
-    is unresponsive (observed: multi-hour outage, round 2) — probe
-    device discovery in a subprocess with a deadline so a dead tunnel
-    produces a clear error instead of hanging the caller forever."""
-    import subprocess
+    is unresponsive (observed: multi-hour outage, round 2). A daemon
+    watchdog aborts the process with a clear error unless backend init
+    completes within the deadline — no duplicate init on the happy
+    path. Returns a cancel callable."""
+    import os
     import sys
+    import threading
 
-    try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s, check=True, capture_output=True,
-        )
-    except subprocess.TimeoutExpired:
-        print(
-            f"bench.py: TPU backend did not initialize within "
-            f"{timeout_s:.0f}s (tunnel down?) — aborting instead of "
-            f"hanging",
-            file=sys.stderr,
-        )
-        raise SystemExit(2)
-    except subprocess.CalledProcessError as e:
-        print(
-            f"bench.py: device probe failed rc={e.returncode}: "
-            f"{e.stderr.decode(errors='replace')[-500:]}",
-            file=sys.stderr,
-        )
-        raise SystemExit(2)
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            print(
+                f"bench.py: TPU backend did not initialize within "
+                f"{timeout_s:.0f}s (tunnel down?) — aborting instead "
+                f"of hanging",
+                file=sys.stderr, flush=True,
+            )
+            os._exit(2)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    return done.set
 
 
 def main() -> None:
-    _probe_device()
+    _init_ok = _init_deadline()
     import jax
+
+    jax.devices()  # force backend init under the watchdog deadline
+    _init_ok()
 
     # Persistent compile cache: the tunneled TPU compile is slow (~min);
     # cached reruns start instantly.

@@ -25,11 +25,12 @@ run bench_vitpk     1800 env TRIAD_BENCH_VIT_ATTN=packed python bench.py
 run bench_base2     1800 python bench.py
 
 # --- train step A/Bs ---
-run train_perf          2400 python scripts/tpu_train_bench.py 64 10 chunked perf
-run train_posconv       2400 python scripts/tpu_train_bench.py 64 10 chunked perf,posconv
-run train_posconv_w640  2400 python scripts/tpu_train_bench.py 64 10 chunked perf,posconv,wave640
-run train_lossvjp       2400 python scripts/tpu_train_bench.py 64 10 chunked_vjp perf
-run train_all           2400 python scripts/tpu_train_bench.py 64 10 chunked_vjp perf,posconv,wave640
+# tpu_train_bench argv: [iters] [loss_impl] [moments_dtype] [knobs]
+run train_perf          2400 python scripts/tpu_train_bench.py 10 chunked float32 perf
+run train_posconv       2400 python scripts/tpu_train_bench.py 10 chunked float32 perf,posconv
+run train_posconv_w640  2400 python scripts/tpu_train_bench.py 10 chunked float32 perf,posconv,wave640
+run train_lossvjp       2400 python scripts/tpu_train_bench.py 10 chunked_vjp float32 perf
+run train_all           2400 python scripts/tpu_train_bench.py 10 chunked_vjp float32 perf,posconv,wave640
 
 # --- host->device ingest with the wire-dtype packed path ---
 run ingest_packed      1800 python scripts/data_throughput.py packed 4 thread

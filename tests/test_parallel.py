@@ -357,6 +357,34 @@ class TestRingNegatives:
             float(dist.reg), float(ref.reg), rtol=1e-5
         )
 
+    def test_av_grads_ring_chunked_vjp_match_dense(self, mesh, feats):
+        """The production combination — ring negatives + the custom-VJP
+        loss backward (ppermute transpose through the custom bwd scan):
+        gradients equal single-device dense."""
+        cfg = LossConfig(
+            implementation="chunked_vjp", chunk_size=4, negatives="ring"
+        )
+
+        def dist_loss(a, v, t):
+            return distributed_av_loss(a, v, t, cfg, mesh).total
+
+        ga = jax.jit(jax.grad(dist_loss, argnums=(0, 1, 2)))(
+            feats["audio"], feats["visual"], jnp.float32(TEMP)
+        )
+        gr = jax.grad(
+            lambda a, v, t: av_loss(
+                a, v, t, LossConfig(implementation="dense")
+            ).total,
+            argnums=(0, 1, 2),
+        )(
+            jnp.asarray(feats["audio_np"]), jnp.asarray(feats["visual_np"]),
+            jnp.float32(TEMP),
+        )
+        for x, y in zip(ga, gr):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-7
+            )
+
     def test_ring_rejects_tuple_axis(self, feats):
         from triad_tpu.parallel.dp import make_multislice_mesh
 

@@ -190,12 +190,9 @@ def _aggregate_chunked(
     q, k, prec = _volume_operands(query, key, precision)
     temp = temperature.astype(jnp.float32)
 
-    chunk = min(chunk_size, Bk)
-    if Bk % chunk != 0:
-        # Fall back to the largest divisor <= chunk so shapes stay static.
-        while Bk % chunk != 0:
-            chunk -= 1
-    num_chunks = Bk // chunk
+    # largest divisor <= chunk_size so shapes stay static (shared with
+    # the custom-VJP path — _chunk_sizes).
+    chunk, num_chunks = _chunk_sizes(Bk, chunk_size)
     k_chunks = k.reshape(num_chunks, chunk, Nk, D)
 
     @jax.checkpoint
@@ -257,23 +254,24 @@ def _chunk_sizes(bk: int, chunk_size: int) -> Tuple[int, int]:
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _maxmean_chunked_vjp(
     q, k, temperature, coeff, clamp_min: float, chunk_size: int,
-    precision: str,
+    prec: jax.lax.Precision,
 ):
     """(clip_sims (Bq, Bk) f32, nonneg_sq_sum () f32) with a custom
-    backward. q/k are the RESOLVED volume operands (_volume_operands);
-    coeff (Bq, Nq) f32 is the per-query-token mean weight (1/Nq, or
-    mask/count for the masked TV mean) — linear, so clip_sims =
-    sum_a coeff[i,a] * max_v ts[i,j,a,v]."""
+    backward. q/k are the RESOLVED volume operands and ``prec`` the
+    matching RESOLVED einsum precision (both from _volume_operands —
+    resolved once by the caller so forward and backward cannot drift
+    from its policy); coeff (Bq, Nq) f32 is the per-query-token mean
+    weight (1/Nq, or mask/count for the masked TV mean) — linear, so
+    clip_sims = sum_a coeff[i,a] * max_v ts[i,j,a,v]."""
     clip, nonneg = _mm_fwd_scan(
-        q, k, temperature, coeff, clamp_min, chunk_size, precision
+        q, k, temperature, coeff, clamp_min, chunk_size, prec
     )
     return clip, nonneg
 
 
-def _mm_fwd_scan(q, k, temperature, coeff, clamp_min, chunk_size, precision):
+def _mm_fwd_scan(q, k, temperature, coeff, clamp_min, chunk_size, prec):
     Bq, Nq, D = q.shape
     Bk, Nk = k.shape[0], k.shape[1]
-    prec = _prec(precision) if q.dtype != jnp.bfloat16 else jax.lax.Precision.DEFAULT
     temp = temperature.astype(jnp.float32)
     chunk, num_chunks = _chunk_sizes(Bk, chunk_size)
     k_chunks = k.reshape(num_chunks, chunk, Nk, D)
@@ -284,7 +282,10 @@ def _mm_fwd_scan(q, k, temperature, coeff, clamp_min, chunk_size, precision):
             preferred_element_type=jnp.float32, precision=prec,
         ) * temp
         max_sims = jnp.max(ts, axis=3)  # (Bq, chunk, Nq)
-        clip = jnp.einsum("ijq,iq->ij", max_sims, coeff)
+        # exact f32 multiply+reduce (an einsum here would go through the
+        # MXU at DEFAULT precision on TPU, truncating the f32 inputs to
+        # bf16 — the "chunked" path's masked mean is an exact sum).
+        clip = jnp.sum(max_sims * coeff[:, None, :], axis=-1)
         clamped = jnp.clip(ts, clamp_min, 0.0)
         return carry, (clip, jnp.sum(clamped * clamped))
 
@@ -293,19 +294,18 @@ def _mm_fwd_scan(q, k, temperature, coeff, clamp_min, chunk_size, precision):
     return clip_sims, jnp.sum(nns)
 
 
-def _mm_vjp_fwd(q, k, temperature, coeff, clamp_min, chunk_size, precision):
+def _mm_vjp_fwd(q, k, temperature, coeff, clamp_min, chunk_size, prec):
     out = _mm_fwd_scan(
-        q, k, temperature, coeff, clamp_min, chunk_size, precision
+        q, k, temperature, coeff, clamp_min, chunk_size, prec
     )
     return out, (q, k, temperature, coeff)
 
 
-def _mm_vjp_bwd(clamp_min, chunk_size, precision, res, cts):
+def _mm_vjp_bwd(clamp_min, chunk_size, prec, res, cts):
     q, k, temperature, coeff = res
     g_clip, g_nn = cts
     Bq, Nq, D = q.shape
     Bk, Nk = k.shape[0], k.shape[1]
-    prec = _prec(precision) if q.dtype != jnp.bfloat16 else jax.lax.Precision.DEFAULT
     temp = temperature.astype(jnp.float32)
     chunk, num_chunks = _chunk_sizes(Bk, chunk_size)
     k_chunks = k.reshape(num_chunks, chunk, Nk, D)
@@ -390,7 +390,7 @@ def _aggregate_chunked_custom(
         m = query_mask.astype(jnp.float32)
         coeff = m / jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1e-7)
     clip_sims, nonneg_sq_sum = _maxmean_chunked_vjp(
-        q, k, temperature, coeff, clamp_min, chunk_size, precision
+        q, k, temperature, coeff, clamp_min, chunk_size, prec_resolved
     )
     numel = jnp.asarray(Bq * Bk * Nq * Nk, jnp.float32)
     diag = None

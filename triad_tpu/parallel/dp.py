@@ -45,10 +45,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 Axis = Union[str, Tuple[str, ...]]
 
 
-def _axes_tuple(axis: "Axis") -> Tuple[str, ...]:
-    return axis if isinstance(axis, tuple) else (axis,)
-
-
 def _temp_varying(temperature: jax.Array, axis: "Axis") -> jax.Array:
     """Device-varying view of the replicated temperature for the
     (possibly custom-VJP) aggregation: pcastᵀ = psum folds the
@@ -270,6 +266,8 @@ def _av_loss_shard(
             axis,
         )
     else:
+        if cfg.negatives != "all_gather":
+            raise ValueError(f"unknown negatives {cfg.negatives!r}")
         v_all = jax.lax.all_gather(visual, axis, tiled=True)  # (B, Nv, D)
         agg = aggregate_crossbatch(
             audio,
@@ -324,6 +322,8 @@ def _tv_loss_shard(
             text_mask, axis,
         )
     else:
+        if cfg.negatives != "all_gather":
+            raise ValueError(f"unknown negatives {cfg.negatives!r}")
         v_all = jax.lax.all_gather(visual, axis, tiled=True)
         agg = aggregate_crossbatch(
             text,
