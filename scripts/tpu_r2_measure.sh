@@ -17,20 +17,20 @@ run() { # name, timeout_s, cmd...
 
 # --- eval bench A/Bs (judged metric) ---
 run bench_base      1800 python bench.py
-run bench_x640      1800 env TRIAD_BENCH_WAVE=x640 python bench.py
-run bench_posconv   1800 env TRIAD_BENCH_POSCONV=pallas python bench.py
-run bench_both      1800 env TRIAD_BENCH_WAVE=x640 TRIAD_BENCH_POSCONV=pallas python bench.py
-run bench_vitpk     1800 env TRIAD_BENCH_VIT_ATTN=packed python bench.py
+run bench_x640      3000 env TRIAD_BENCH_WAVE=x640 python bench.py
+run bench_posconv   3000 env TRIAD_BENCH_POSCONV=pallas python bench.py
+run bench_both      3000 env TRIAD_BENCH_WAVE=x640 TRIAD_BENCH_POSCONV=pallas python bench.py
+run bench_vitpk     3000 env TRIAD_BENCH_VIT_ATTN=packed python bench.py
 # repeat base to bound tunnel drift
 run bench_base2     1800 python bench.py
 
 # --- train step A/Bs ---
 # tpu_train_bench argv: [iters] [loss_impl] [moments_dtype] [knobs]
 run train_perf          2400 python scripts/tpu_train_bench.py 10 chunked float32 perf
-run train_posconv       2400 python scripts/tpu_train_bench.py 10 chunked float32 perf,posconv
-run train_posconv_w640  2400 python scripts/tpu_train_bench.py 10 chunked float32 perf,posconv,wave640
-run train_lossvjp       2400 python scripts/tpu_train_bench.py 10 chunked_vjp float32 perf
-run train_all           2400 python scripts/tpu_train_bench.py 10 chunked_vjp float32 perf,posconv,wave640
+run train_posconv       3600 python scripts/tpu_train_bench.py 10 chunked float32 perf,posconv
+run train_posconv_w640  3600 python scripts/tpu_train_bench.py 10 chunked float32 perf,posconv,wave640
+run train_lossvjp       3600 python scripts/tpu_train_bench.py 10 chunked_vjp float32 perf
+run train_all           3600 python scripts/tpu_train_bench.py 10 chunked_vjp float32 perf,posconv,wave640
 
 # --- host->device ingest with the wire-dtype packed path ---
 run ingest_packed      1800 python scripts/data_throughput.py packed 4 thread
