@@ -515,10 +515,12 @@ def perf_eval_loss_config() -> LossConfig:
     The pallas maxmean kernel wins ISOLATED (8.95 vs 20.4 ms fwd at
     Bq=Bk=64 — scripts/tpu_maxmean_dp_check.py) but measured ~3.5
     ms/step SLOWER inside the full eval program (A/B/A: 575.1 / 557.4 /
-    574.6 clips/s, round-2 second half) — a composition effect under
-    investigation (eval traces /tmp/triad_trace_eval_*). Until it wins
-    in-program, chunked stays the judged config; override with
-    TRIAD_BENCH_LOSS for A/Bs."""
+    574.6 clips/s, round-2 second half). RESOLVED from the xplane
+    traces (docs/TRAINING_PERF.md "composition effect"): in-program the
+    chunked scan costs 3.1 ms/step (bf16 matmuls, normalize/temperature
+    fused into neighbors) vs the kernel's 7.0 — the isolated
+    chained-timing numbers do not transfer. chunked is the judged
+    config; override with TRIAD_BENCH_LOSS for A/Bs."""
     return LossConfig(
         implementation="chunked", chunk_size=16, matmul_precision="default"
     )
