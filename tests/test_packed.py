@@ -136,3 +136,67 @@ class TestBatchedAugmentation:
         b = [b["images"] for b in mk().epoch(1)]
         for x, y in zip(a, b):
             np.testing.assert_array_equal(x, y)
+
+
+class TestIndexDiscipline:
+    """Index errors are LOGIC errors and must escape the zero-tensor
+    fault-tolerance net (the reference raises from video_files[idx]);
+    only corrupt-record decodes degrade to zeros."""
+
+    def test_out_of_range_raises(self, shard):
+        path, _ = shard
+        packed = PackedAVDataset(path)
+        with pytest.raises(IndexError):
+            packed[6]
+        with pytest.raises(IndexError):
+            packed.raw_item(6)
+        # Python's __getitem__ iteration protocol terminates on it.
+        assert len(list(packed[i] for i in range(len(packed)))) == 6
+
+    def test_negative_index_is_pythonic(self, shard):
+        path, _ = shard
+        packed = PackedAVDataset(path)
+        last = packed.__getitem__(len(packed) - 1, apply_augmentation=False)
+        neg = packed.__getitem__(-1, apply_augmentation=False)
+        np.testing.assert_array_equal(
+            last["video_frames"], neg["video_frames"]
+        )
+        with pytest.raises(IndexError):
+            packed[-7]
+
+    def test_segmented_stale_index_raises(self, tmp_path):
+        big = SyntheticAVDataset(size=5, image_size=28, audio_seconds=0.1)
+        small = SyntheticAVDataset(size=2, image_size=28, audio_seconds=0.1)
+        pack_dataset(big, str(tmp_path / "seg_000.tpack"),
+                     image_size=28, audio_samples=1600)
+        pack_dataset(small, str(tmp_path / "seg_001.tpack"),
+                     image_size=28, audio_samples=1600)
+        ds = PackedAVDataset(str(tmp_path), segmented=True)
+        ds.set_segment(1)
+        assert len(ds) == 2
+        with pytest.raises(IndexError):
+            ds[4]  # index from the previous (larger) segment
+
+    def test_mismatched_shard_geometry_rejected(self, tmp_path):
+        a = SyntheticAVDataset(size=2, image_size=28, audio_seconds=0.1)
+        b = SyntheticAVDataset(size=2, image_size=32, audio_seconds=0.1)
+        pack_dataset(a, str(tmp_path / "m_000.tpack"),
+                     image_size=28, audio_samples=1600)
+        pack_dataset(b, str(tmp_path / "m_001.tpack"),
+                     image_size=32, audio_samples=1600)
+        with pytest.raises(ValueError, match="geometry"):
+            PackedAVDataset(str(tmp_path))
+
+    def test_raw_item_zero_fallback_on_corrupt_record(self, shard):
+        path, _ = shard
+        ds = PackedAVDataset(path)
+        # Simulate a corrupt/short mapping: the last record's bytes are
+        # missing, so record() reshapes an undersized buffer and raises;
+        # raw_item must degrade to zeros at STORAGE dtypes (the loader
+        # fast path has no try of its own).
+        ds.shards[0].mm = ds.shards[0].mm[: ds.shards[0].stride * 5]
+        item = ds.raw_item(len(ds) - 1)
+        assert item["frame_u8"].dtype == np.uint8
+        assert item["audio_i16"].dtype == np.int16
+        assert not item["frame_u8"].any()
+        assert item["video_path"].startswith("packed://")

@@ -14,9 +14,10 @@ apply_av_batch (reference recipe, dataset.py:104-126).
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from triad_tpu.data.images import IMAGENET_MEAN, IMAGENET_STD
@@ -36,15 +37,13 @@ def av_param_arrays(params: List[dict]) -> Dict[str, np.ndarray]:
     }
 
 
-@functools.partial(__import__("jax").jit, donate_argnums=())
+@jax.jit
 def device_augment_av(frames_u8, flip, brightness, contrast, saturation):
     """(B, H, W, 3) uint8 + per-sample params -> normalized float32.
 
     Identity factors (1.0 / flip=False) make every op a no-op, so one
     traced program covers all draw combinations.
     """
-    import jax.numpy as jnp
-
     x = frames_u8.astype(jnp.float32) / 255.0
     x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
     x = x * brightness[:, None, None, None]
@@ -57,10 +56,8 @@ def device_augment_av(frames_u8, flip, brightness, contrast, saturation):
     return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
 
 
-@functools.partial(__import__("jax").jit, donate_argnums=())
+@jax.jit
 def _audio_i16_to_f32(a16):
-    import jax.numpy as jnp
-
     return a16.astype(jnp.float32) / 32767.0
 
 
@@ -70,20 +67,18 @@ def device_ingest_av(batch: Dict) -> Dict:
     host->device bytes than fp32) and augments/converts on device.
     Passes through already-augmented batches untouched (mixed
     pipelines)."""
-    import jax
-
     if "frames_u8" not in batch:
         return {
             k: jax.device_put(v) if isinstance(v, np.ndarray) else v
             for k, v in batch.items()
         }
-    images = device_augment_av(
-        jax.device_put(batch["frames_u8"]),
-        jax.device_put(batch["aug_flip"]),
-        jax.device_put(batch["aug_brightness"]),
-        jax.device_put(batch["aug_contrast"]),
-        jax.device_put(batch["aug_saturation"]),
-    )
+    # ONE device_put of the whole pytree: the four O(B) param vectors
+    # ride the frame transfer instead of paying per-call dispatch.
+    frames, flip, bright, contr, sat = jax.device_put((
+        batch["frames_u8"], batch["aug_flip"], batch["aug_brightness"],
+        batch["aug_contrast"], batch["aug_saturation"],
+    ))
+    images = device_augment_av(frames, flip, bright, contr, sat)
     if "audio_i16" in batch:
         audio = _audio_i16_to_f32(jax.device_put(batch["audio_i16"]))
     else:

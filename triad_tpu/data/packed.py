@@ -43,7 +43,12 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from triad_tpu.data.audio import pad_or_trim
-from triad_tpu.data.images import augment_av_frame, imagenet_normalize
+from triad_tpu.data.images import (
+    IMAGENET_MEAN as _MEAN,
+    IMAGENET_STD as _STD,
+    augment_av_frame,
+    imagenet_normalize,
+)
 
 _MAGIC = b"TPK1"
 _HEADER = struct.Struct("<4sIII")
@@ -80,10 +85,10 @@ def pack_dataset(
                 )
             # Datasets return normalized floats for the un-augmented
             # path; invert ImageNet normalization back to [0,1] pixels
-            # so the stored record is augmentation-ready raw RGB.
-            mean = np.array([0.485, 0.456, 0.406], np.float32)
-            std = np.array([0.229, 0.224, 0.225], np.float32)
-            pixels = np.clip(frame * std + mean, 0.0, 1.0)
+            # so the stored record is augmentation-ready raw RGB (the
+            # constants are the read-time imagenet_normalize's —
+            # data/images.py — so pack and read cannot diverge).
+            pixels = np.clip(frame * _STD + _MEAN, 0.0, 1.0)
             f.write(np.round(pixels * 255.0).astype(np.uint8).tobytes())
             audio = pad_or_trim(
                 np.asarray(item["audio"], np.float32), audio_samples
@@ -147,6 +152,15 @@ class PackedAVDataset:
         self.shards = [_Shard(str(f)) for f in files]
         self.image_size = self.shards[0].image_size
         self.audio_samples = self.shards[0].audio_samples
+        for f, s in zip(files, self.shards):
+            if (s.image_size, s.audio_samples) != (
+                self.image_size, self.audio_samples
+            ):
+                raise ValueError(
+                    f"shard {f}: geometry ({s.image_size}px, "
+                    f"{s.audio_samples} samples) != first shard "
+                    f"({self.image_size}px, {self.audio_samples})"
+                )
         self.segmented = segmented
         self.current_segment = 0
         self._offsets = np.cumsum([0] + [s.n for s in self.shards])
@@ -180,6 +194,16 @@ class PackedAVDataset:
         return int(self._offsets[-1])
 
     def _locate(self, idx: int):
+        n = len(self)
+        if idx < 0:
+            idx += n  # python negative-index semantics (reference
+            # dataset.py: video_files[idx])
+        if not 0 <= idx < n:
+            # OUTSIDE the fault-tolerance net on purpose: a bad index is
+            # a sampler/segment logic error, not a corrupt record —
+            # zero-tensor fallbacks would mask it (and Python's
+            # __getitem__ iteration protocol needs the IndexError).
+            raise IndexError(f"index {idx} out of range for {n} samples")
         if self.segmented:
             return self.shards[self.current_segment], idx
         s = int(np.searchsorted(self._offsets, idx, side="right") - 1)
@@ -194,17 +218,29 @@ class PackedAVDataset:
         ingest, so all dtype conversion happens batched downstream
         (data/pipeline.py) or on the device (data/device_aug.py)."""
         shard, local = self._locate(idx)
-        frame_u8, a16 = shard.record(local)
-        return {
-            "video_path": shard.paths[local],
-            "frame_u8": np.asarray(frame_u8),
-            "audio_i16": np.asarray(a16),
-        }
+        try:
+            frame_u8, a16 = shard.record(local)
+            return {
+                "video_path": shard.paths[local],
+                "frame_u8": np.asarray(frame_u8),
+                "audio_i16": np.asarray(a16),
+            }
+        except Exception as e:  # noqa: BLE001 — reference fault tolerance
+            print(f"Error reading packed sample {idx}: {e}")
+            return {
+                "video_path": f"packed://{idx}",
+                "frame_u8": np.zeros(
+                    (self.image_size, self.image_size, 3), np.uint8
+                ),
+                "audio_i16": np.zeros(self.audio_samples, np.int16),
+            }
 
     def __getitem__(
         self, idx: int, apply_augmentation: bool = True,
         rng: Optional[np.random.Generator] = None,
     ) -> Dict:
+        # _locate raises IndexError for out-of-range indices (logic
+        # errors propagate); only record decode is fault-tolerant.
         shard, local = self._locate(idx)
         try:
             frame_u8, a16 = shard.record(local)
