@@ -108,6 +108,10 @@ bool read_box(const uint8_t* p, const uint8_t* end, Box* out) {
     size = end - p;  // box extends to end of file
   }
   if (size < static_cast<uint64_t>(hdr)) return false;
+  // Reject sizes that do not fit in int64 (a crafted largesize near
+  // 2^64 would otherwise go negative after the cast and make the box
+  // walks stop advancing or step backwards out of the buffer).
+  if (size > static_cast<uint64_t>(INT64_MAX)) return false;
   out->type = type;
   out->body = p + hdr;
   int64_t body = static_cast<int64_t>(size) - hdr;
@@ -280,7 +284,12 @@ void parse_trak(const uint8_t* p, int64_t n, Mp4* f) {
   while (p < end && read_box(p, end, &b)) {
     if (b.type == fourcc("tkhd") && b.body_size >= 12) {
       const uint8_t ver = b.body[0];
-      t.id = ver == 1 ? be32(b.body + 20) : be32(b.body + 12);
+      // v1 layout reads bytes 20..23 — only with the bigger body.
+      if (ver == 1) {
+        if (b.body_size >= 24) t.id = be32(b.body + 20);
+      } else {
+        t.id = be32(b.body + 12);
+      }
     } else if (b.type == fourcc("mdia")) {
       const uint8_t* mp = b.body;
       const uint8_t* mend = b.body + b.body_size;
@@ -288,7 +297,7 @@ void parse_trak(const uint8_t* p, int64_t n, Mp4* f) {
       while (mp < mend && read_box(mp, mend, &mb)) {
         if (mb.type == fourcc("mdhd") && mb.body_size >= 20) {
           const uint8_t ver = mb.body[0];
-          if (ver == 1) {
+          if (ver == 1 && mb.body_size >= 32) {
             t.timescale = be32(mb.body + 20);
             t.duration = be64(mb.body + 24);
           } else {

@@ -58,7 +58,6 @@ void resample_kaiser(const float* in, int64_t n_in, int32_t sr_in,
   }
   const double ratio = static_cast<double>(sr_out) / sr_in;
   const double cutoff = (ratio < 1.0 ? ratio : 1.0) * 0.97;  // anti-alias
-  const double scale = (ratio < 1.0 ? ratio : 1.0);
   const double i0_beta = bessel_i0(beta);
   // taps per side in input samples
   const double taps = width / (ratio < 1.0 ? ratio : 1.0);
@@ -78,11 +77,12 @@ void resample_kaiser(const float* in, int64_t n_in, int32_t sr_in,
       if (frac <= -1.0 || frac >= 1.0) continue;
       const double win =
           bessel_i0(beta * std::sqrt(1.0 - frac * frac)) / i0_beta;
-      const double w = sinc * win * cutoff * scale / scale;  // normalized below
+      // Gain factors cancel in the acc/wsum normalization below.
+      const double w = sinc * win;
       wsum += w;
       if (i >= 0 && i < n_in) acc += w * in[i];
     }
-    out[j] = (wsum > 0.0) ? static_cast<float>(acc / wsum * 1.0) : 0.f;
+    out[j] = (wsum > 0.0) ? static_cast<float>(acc / wsum) : 0.f;
   }
 }
 

@@ -208,6 +208,20 @@ class Mp4File:
             )
         return self._lib
 
+    def _check_in_bounds(self, offsets, sizes) -> None:
+        """Sample ranges must lie inside the mapped file: truncated
+        downloads keep their moov sample tables, and the native decode
+        paths memcpy without a length (the PCM path has an in-C guard;
+        avdecode.cc trusts the caller)."""
+        n = len(self._buf)
+        if len(offsets) and (
+            int(offsets.min()) < 0 or int((offsets + sizes).max()) > n
+        ):
+            raise ValueError(
+                f"sample table exceeds file bounds ({n} bytes) — "
+                f"truncated file?"
+            )
+
     def decode_aac(self, track: int, channel: int = 0) -> Tuple[np.ndarray, int]:
         """AAC (mp4a) track -> (mono float32 in [-1, 1], sample_rate)
         via native libavcodec (native/avdecode.cc) — the reference gets
@@ -215,6 +229,7 @@ class Mp4File:
         lib = self._avdec()
         info = self.tracks[track]
         offsets, sizes = self.sample_table(track)
+        self._check_in_bounds(offsets, sizes)
         dconf = np.frombuffer(
             self.decoder_config(track) or b"\x00", np.uint8
         ).copy()
@@ -257,10 +272,15 @@ class Mp4File:
         if idx < 0 or idx >= info.n_samples:
             raise IndexError(f"frame {idx} of {info.n_samples}")
         sync = self.sync_samples(track)
-        start = int(sync[sync <= idx].max()) if len(sync) else 0
+        # stss entries are 1-based sample numbers; tolerate malformed
+        # tables (0-valued entries, or none at/before idx) by decoding
+        # from the first sample.
+        cand = sync[(sync >= 0) & (sync <= idx)]
+        start = int(cand.max()) if len(cand) else 0
         offsets, sizes = self.sample_table(track)
         offsets = np.ascontiguousarray(offsets[start : idx + 1])
         sizes = np.ascontiguousarray(sizes[start : idx + 1])
+        self._check_in_bounds(offsets, sizes)
         dconf = np.frombuffer(
             self.decoder_config(track) or b"\x00", np.uint8
         ).copy()
@@ -468,8 +488,20 @@ def _video_sample_entry(
     return _box(codec.encode("latin-1"), body)
 
 
+def _check_rate(sample_rate: int) -> None:
+    # AudioSampleEntry v0 stores the rate as 16.16 fixed point in a
+    # 32-bit field; >= 65536 Hz would need a v1 entry (not emitted) —
+    # fail clearly instead of letting struct.pack raise.
+    if not 0 < sample_rate < 65536:
+        raise ValueError(
+            f"sample_rate {sample_rate} outside the 16.16 fixed-point "
+            f"range of a v0 AudioSampleEntry (1..65535 Hz)"
+        )
+
+
 def _pcm_sowt_entry(channels: int, sample_rate: int) -> bytes:
     """AudioSampleEntry for 16-bit little-endian PCM ('sowt')."""
+    _check_rate(sample_rate)
     body = (
         b"\x00" * 6 + struct.pack(">H", 1)
         + struct.pack(">HHI", 0, 0, 0)  # version 0
@@ -492,6 +524,7 @@ def _desc(tag: int, payload: bytes) -> bytes:
 def _mp4a_entry(channels: int, sample_rate: int, asc: bytes) -> bytes:
     """AudioSampleEntry for AAC ('mp4a') with the esds descriptor chain
     wrapping the encoder's AudioSpecificConfig."""
+    _check_rate(sample_rate)
     dsi = _desc(0x05, asc)
     dcd = _desc(
         0x04,
