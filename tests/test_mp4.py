@@ -389,3 +389,37 @@ class TestAvDecode:
         with Mp4File.from_path(str(out)) as f:
             a = f.tracks[f.find_track("soun")]
             assert a.codec == "mp4a"
+
+
+def test_trak_edit_list_box():
+    """media_time/present_duration emit a single-entry elst whose
+    segment duration is the PRESENTED length in movie-timescale units
+    and whose media_time is the AAC priming delay."""
+    import struct as _struct
+
+    from triad_tpu.data.mp4 import _trak
+
+    trak = _trak(
+        2, 1000, 16000, 17408, b"soun", b"", media_time=1024,
+        present_duration=16000,
+    )
+    i = trak.find(b"elst")
+    assert i > 0
+    # elst: size(4) type(4) ver/flags(4) count(4) then the v0 entry.
+    count, seg_dur, media_time, rate_i, rate_f = _struct.unpack(
+        ">IIiHH", trak[i + 8 : i + 24]
+    )
+    assert count == 1
+    assert seg_dur == 16000 * 1000 // 16000  # 1 s in mvhd units
+    assert media_time == 1024
+    assert (rate_i, rate_f) == (1, 0)
+    # and tkhd carries the presented (edited) duration too
+    j = trak.find(b"tkhd")
+    dur = _struct.unpack(">I", trak[j + 24 : j + 28])[0]
+    assert dur == 1000
+
+
+def test_trak_without_edit_list_unchanged():
+    from triad_tpu.data.mp4 import _trak
+
+    assert b"edts" not in _trak(1, 1000, 16000, 16000, b"soun", b"")

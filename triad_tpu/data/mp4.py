@@ -431,8 +431,14 @@ def _trak(
     stbl: bytes,
     width: int = 0,
     height: int = 0,
+    media_time: int = 0,
+    present_duration: Optional[int] = None,
 ) -> bytes:
-    dur_mv = duration * mvhd_timescale // max(timescale, 1)
+    """media_time/present_duration (track-timescale units) emit an
+    edit list: presentation starts at media_time and lasts
+    present_duration — how MP4 signals AAC encoder priming."""
+    pres = duration if present_duration is None else present_duration
+    dur_mv = pres * mvhd_timescale // max(timescale, 1)
     tkhd = _full_box(
         b"tkhd", 0, 7,
         struct.pack(">II", 0, 0)  # creation, modification
@@ -461,7 +467,15 @@ def _trak(
     dinf = _box(b"dinf", dref)
     minf = _box(b"minf", mhd + dinf + stbl)
     mdia = _box(b"mdia", mdhd + hdlr + minf)
-    return _box(b"trak", tkhd + mdia)
+    edts = b""
+    if media_time or present_duration is not None:
+        elst = _full_box(
+            b"elst", 0, 0,
+            struct.pack(">I", 1)  # one entry
+            + struct.pack(">IiHH", dur_mv, media_time, 1, 0),
+        )
+        edts = _box(b"edts", elst)
+    return _box(b"trak", tkhd + edts + mdia)
 
 
 def _video_sample_entry(
@@ -609,14 +623,21 @@ def mux_mp4(
     a_dur = 0  # in audio-track timescale (= sample_rate) units
     if audio is not None:
         if audio_codec == "mp4a":
-            # One sample per AAC access unit, 1024 PCM frames each.
-            a_dur = 1024 * len(a_sizes)
+            # One sample per AAC access unit, 1024 PCM frames each. The
+            # encoder front-loads ~1024 priming samples (ffmpeg native
+            # AAC initial_padding); an edit list trims them so playback
+            # aligns with the video (the reference's ffmpeg mux signals
+            # the same) and presents exactly the source length.
+            delay = 1024
+            media_dur = 1024 * len(a_sizes)
+            a_dur = len(pcm)  # presented duration
             a_stbl = _stbl_boxes(
                 len(a_sizes), 1024, a_sizes, a_chunk_off,
                 _mp4a_entry(1, sample_rate, asc),
             )
             traks += _trak(
-                2, mvhd_ts, sample_rate, a_dur, b"soun", a_stbl
+                2, mvhd_ts, sample_rate, media_dur, b"soun", a_stbl,
+                media_time=delay, present_duration=a_dur,
             )
         else:
             n_frames = len(a_bytes) // 2
