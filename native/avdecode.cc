@@ -257,8 +257,13 @@ int64_t avdec_encode_aac(const float* pcm, int64_t n, int32_t sample_rate,
   }
   {
     const int fs = ctx->frame_size > 0 ? ctx->frame_size : 1024;
-    for (int64_t pos = 0; pos <= n; pos += fs) {
+    // The loop runs one extra iteration past the input so the flush
+    // (send_frame(NULL)) ALWAYS happens — the old `pos <= n` bound
+    // skipped it whenever n was not a multiple of frame_size, leaving
+    // the encoder's last ~2 queued AUs unemitted (truncated tails).
+    for (int64_t pos = 0;; pos += fs) {
       int this_n = static_cast<int>(n - pos < fs ? n - pos : fs);
+      if (this_n < 0) this_n = 0;
       int send_rc;
       if (this_n > 0) {
         frame->nb_samples = this_n;

@@ -74,11 +74,18 @@ struct Track {
   // derived
   std::vector<uint64_t> sample_offsets;
   std::vector<uint32_t> sample_sizes;  // resolved (uniform expanded)
+  // edit list (edts/elst): first non-empty edit. media_time is in
+  // TRACK timescale units (for audio: sample frames — this is how MP4
+  // signals the AAC encoder priming delay); segment_duration is in
+  // MOVIE timescale units (converted via mvhd in mp4_track_edit).
+  int64_t edit_media_time = -1;  // -1 = no edit list
+  uint64_t edit_duration_mv = 0;
 };
 
 struct Mp4 {
   const uint8_t* data = nullptr;
   int64_t n = 0;
+  uint32_t movie_timescale = 0;  // mvhd
   std::vector<Track> tracks;
 };
 
@@ -290,6 +297,40 @@ void parse_trak(const uint8_t* p, int64_t n, Mp4* f) {
       } else {
         t.id = be32(b.body + 12);
       }
+    } else if (b.type == fourcc("edts")) {
+      // edts -> elst: entries are (segment_duration, media_time, rate).
+      // Keep the first entry whose media_time >= 0 (an entry with
+      // media_time == -1 is an empty edit = presentation delay; skip).
+      const uint8_t* ep = b.body;
+      const uint8_t* eend = b.body + b.body_size;
+      Box eb;
+      while (ep < eend && read_box(ep, eend, &eb)) {
+        if (eb.type == fourcc("elst") && eb.body_size >= 8) {
+          const uint8_t ver = eb.body[0];
+          const uint32_t count = be32(eb.body + 4);
+          const uint8_t* q = eb.body + 8;
+          const int64_t entry = ver == 1 ? 20 : 12;
+          for (uint32_t i = 0;
+               i < count && q + entry <= eb.body + eb.body_size;
+               ++i, q += entry) {
+            uint64_t seg;
+            int64_t mt;
+            if (ver == 1) {
+              seg = be64(q);
+              mt = static_cast<int64_t>(be64(q + 8));
+            } else {
+              seg = be32(q);
+              mt = static_cast<int32_t>(be32(q + 4));
+            }
+            if (mt >= 0) {
+              t.edit_media_time = mt;
+              t.edit_duration_mv = seg;
+              break;
+            }
+          }
+        }
+        ep += eb.total_size;
+      }
     } else if (b.type == fourcc("mdia")) {
       const uint8_t* mp = b.body;
       const uint8_t* mend = b.body + b.body_size;
@@ -372,7 +413,14 @@ void* mp4_open(const uint8_t* data, int64_t n) {
       const uint8_t* mend = b.body + b.body_size;
       Box mb;
       while (mp < mend && read_box(mp, mend, &mb)) {
-        if (mb.type == fourcc("trak")) parse_trak(mb.body, mb.body_size, f);
+        if (mb.type == fourcc("trak")) {
+          parse_trak(mb.body, mb.body_size, f);
+        } else if (mb.type == fourcc("mvhd") && mb.body_size >= 20) {
+          const uint8_t ver = mb.body[0];
+          f->movie_timescale = ver == 1 && mb.body_size >= 28
+                                   ? be32(mb.body + 20)
+                                   : be32(mb.body + 12);
+        }
         mp += mb.total_size;
       }
     }
@@ -415,6 +463,30 @@ int32_t mp4_track_info(void* h, int32_t ti, uint32_t* handler, uint32_t* codec,
   *height = t.height;
   *n_sync = t.sync.empty() ? *n_samples : static_cast<int64_t>(t.sync.size());
   *is_pcm = t.is_pcm ? 1 : 0;
+  return 0;
+}
+
+// Edit-list (elst) info for a track, both values in TRACK timescale
+// units: *media_time = presentation start offset into the media (for
+// AAC audio this is the encoder priming delay in sample frames),
+// *duration = presented length (0 if the elst did not record one).
+// Returns 0; -1 on a bad handle/index; 1 when the track has no edit
+// list (outputs set to 0).
+int32_t mp4_track_edit(void* h, int32_t ti, int64_t* media_time,
+                       int64_t* duration) {
+  Mp4* f = static_cast<Mp4*>(h);
+  if (!f) return -1;
+  if (ti < 0 || ti >= static_cast<int32_t>(f->tracks.size())) return -1;
+  const Track& t = f->tracks[ti];
+  *media_time = 0;
+  *duration = 0;
+  if (t.edit_media_time < 0) return 1;
+  *media_time = t.edit_media_time;
+  if (t.edit_duration_mv > 0 && f->movie_timescale > 0 && t.timescale > 0) {
+    *duration = static_cast<int64_t>(
+        t.edit_duration_mv * static_cast<double>(t.timescale) /
+        f->movie_timescale + 0.5);
+  }
   return 0;
 }
 

@@ -318,10 +318,37 @@ class TestAvDecode:
             assert a.sample_rate == sr
         got, got_sr = extract_audio_track(out)
         assert got_sr == sr
-        # lossy codec: check length (~encoder delay tolerance) + tone
-        assert abs(len(got) - len(audio)) < 5000
+        # The edit-list priming trim + encoder flush must hold the
+        # presented length to within movie-timescale rounding (the
+        # untrimmed/unflushed path was 1024 late and ~2k short).
+        assert abs(len(got) - len(audio)) <= 32
         spec = np.abs(np.fft.rfft(got[2048 : 2048 + sr]))
         assert abs(int(np.argmax(spec)) - 440) <= 2
+
+    def test_aac_roundtrip_sample_aligned(self, cv2_mp4, tmp_path):
+        """Decoded AAC must align SAMPLE-EXACT with the source (no
+        priming-delay shift): a 1024-frame lag is 64 ms of A/V skew,
+        which dense grounding training would silently absorb. Noise is
+        used because a sine correlates at every period."""
+        from triad_tpu.data.mp4 import Mp4File, extract_audio_track, mux_mp4
+
+        sr = 16_000
+        rng = np.random.default_rng(7)
+        n = sr * 2 + 500  # NOT a multiple of the 1024 AAC frame size
+        kernel = np.hanning(33)
+        audio = np.convolve(
+            rng.normal(size=n), kernel / kernel.sum(), mode="same"
+        ).astype(np.float32) * 0.3
+        out = str(tmp_path / "aligned.mp4")
+        mux_mp4(out, cv2_mp4, audio, sr, audio_codec="mp4a")
+        with Mp4File.from_path(out) as f:
+            ti = f.find_track("soun")
+            assert f.edit_info(ti) is not None
+            assert f.edit_info(ti)[0] == 1024  # encoder priming
+        got, _ = extract_audio_track(out)
+        m = min(len(got), n)
+        corr = np.corrcoef(got[:m], audio[:m])[0, 1]
+        assert corr > 0.98, f"misaligned decode (corr={corr:.3f})"
 
     def test_extract_audio_handles_aac(self, cv2_mp4, tmp_path):
         """data/audio.extract_audio decodes AAC natively (no ffmpeg

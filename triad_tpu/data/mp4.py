@@ -222,10 +222,31 @@ class Mp4File:
                 f"truncated file?"
             )
 
+    def edit_info(self, track: int) -> Optional[Tuple[int, int]]:
+        """(media_time, presented_duration) from the track's edit list,
+        both in TRACK timescale units (audio: sample frames), or None
+        when the track has no elst. For AAC, media_time is the encoder
+        priming delay a compliant player trims before presentation."""
+        mt = ctypes.c_int64()
+        dur = ctypes.c_int64()
+        rc = self._lib.mp4_track_edit(
+            self._handle(), track, ctypes.byref(mt), ctypes.byref(dur)
+        )
+        if rc < 0:
+            raise ValueError(f"bad track {track} (code {rc})")
+        return None if rc == 1 else (mt.value, dur.value)
+
     def decode_aac(self, track: int, channel: int = 0) -> Tuple[np.ndarray, int]:
         """AAC (mp4a) track -> (mono float32 in [-1, 1], sample_rate)
         via native libavcodec (native/avdecode.cc) — the reference gets
-        this through torchaudio (dataset.py:80-89)."""
+        this through torchaudio (dataset.py:80-89).
+
+        The edit list's media_time (encoder priming, typically 1024
+        frames) is trimmed from the raw decoder output and the result
+        capped to the presented duration, matching what ffmpeg-based
+        decoders (the reference's torchaudio path) present. Without the
+        trim every decoded waveform arrives ~64 ms late against the
+        video track — a real misalignment for dense AV grounding."""
         lib = self._avdec()
         info = self.tracks[track]
         offsets, sizes = self.sample_table(track)
@@ -249,7 +270,15 @@ class Mp4File:
         )
         if got < 0:
             raise ValueError(f"AAC decode failed (code {got})")
-        return out[:got], sr.value or info.sample_rate
+        decoded = out[:got]
+        edit = self.edit_info(track)
+        if edit is not None:
+            start, dur = edit
+            if 0 < start < got:
+                decoded = decoded[start:]
+            if dur > 0:
+                decoded = decoded[:dur]
+        return decoded, sr.value or info.sample_rate
 
     def decode_audio(self, track: int, channel: int = 0) -> Tuple[np.ndarray, int]:
         """Any supported audio track -> (mono float32, sample_rate):

@@ -37,10 +37,18 @@ def _load_locked() -> Optional[ctypes.CDLL]:
         return _lib
     _tried = True
     try:
-        if not _LIB_PATH.exists():
+        # Always run make: it is an mtime no-op when the library is
+        # fresh, and it rebuilds a STALE one (an old .so missing newer
+        # entry points would otherwise fail symbol registration below
+        # and silently disable every native fast path). If the
+        # toolchain is absent, fall through to an existing build.
+        try:
             subprocess.run(
                 ["make", "-s"], cwd=_NATIVE_DIR, check=True, capture_output=True
             )
+        except (subprocess.CalledProcessError, OSError):
+            if not _LIB_PATH.exists():
+                raise
         lib = ctypes.CDLL(str(_LIB_PATH))
         lib.resample_output_length.restype = ctypes.c_int64
         lib.resample_output_length.argtypes = [
@@ -83,6 +91,10 @@ def _load_locked() -> Optional[ctypes.CDLL]:
         lib.mp4_track_info.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, u32p, u32p, u32p, i64p, i64p,
             i32p, i32p, i32p, i32p, i32p, i64p, i32p,
+        ]
+        lib.mp4_track_edit.restype = ctypes.c_int32
+        lib.mp4_track_edit.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, i64p, i64p,
         ]
         lib.mp4_sample_range.restype = ctypes.c_int32
         lib.mp4_sample_range.argtypes = [
