@@ -303,6 +303,125 @@ fail:
   return -3;
 }
 
+// Encodes packed RGB frames to H.264 (libx264 through libavcodec) as
+// length-prefixed (AVCC) access units ready for an 'avc1' MP4 track —
+// the codec of real AudioSet media (the reference decodes it through
+// torchcodec, dataset.py:91-95; this is the authoring direction, used
+// for attention videos and self-contained avc1 test vectors).
+// B-frames are disabled so decode order == presentation order (no ctts
+// box needed). Output mirrors avdec_encode_aac: concatenated AUs in
+// `out`, per-AU sizes in `au_sizes`, per-AU keyframe flags in
+// `key_flags` (for the muxer's stss box), and the avcC payload
+// (GLOBAL_HEADER extradata) in `avcc_out`. Returns the AU count, <0 on
+// error.
+int64_t avdec_encode_h264(const uint8_t* rgb, int64_t n_frames,
+                          int32_t width, int32_t height, int32_t fps,
+                          int32_t gop, uint8_t* out, int64_t out_max,
+                          int64_t* au_sizes, uint8_t* key_flags,
+                          int64_t max_aus, uint8_t* avcc_out,
+                          int64_t avcc_max, int64_t* avcc_len) {
+  const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_H264);
+  if (!codec) return -1;
+  AVCodecContext* ctx = avcodec_alloc_context3(codec);
+  AVFrame* frame = av_frame_alloc();
+  AVPacket* pkt = av_packet_alloc();
+  if (!ctx || !frame || !pkt) return -2;
+  ctx->width = width;
+  ctx->height = height;
+  ctx->pix_fmt = AV_PIX_FMT_YUV420P;
+  ctx->time_base = AVRational{1, fps > 0 ? fps : 25};
+  ctx->gop_size = gop > 0 ? gop : 12;
+  ctx->max_b_frames = 0;  // decode order == presentation order
+  // With GLOBAL_HEADER the libx264 wrapper sets b_annexb=0: packets
+  // come length-prefixed and extradata IS the avcC payload.
+  ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  av_opt_set(ctx->priv_data, "preset", "veryfast", 0);
+  av_opt_set(ctx->priv_data, "crf", "18", 0);
+  int64_t n_aus = 0, out_pos = 0;
+  int rc = avcodec_open2(ctx, codec, nullptr);
+  if (rc < 0) goto vfail;
+  if (avcc_out && ctx->extradata_size > 0) {
+    int64_t m = ctx->extradata_size < avcc_max ? ctx->extradata_size : avcc_max;
+    std::memcpy(avcc_out, ctx->extradata, m);
+    *avcc_len = ctx->extradata_size;
+  } else if (avcc_len) {
+    *avcc_len = 0;
+  }
+  for (int64_t i = 0;; ++i) {
+    int send_rc;
+    if (i < n_frames) {
+      frame->width = width;
+      frame->height = height;
+      frame->format = AV_PIX_FMT_YUV420P;
+      if (av_frame_get_buffer(frame, 0) < 0) goto vfail;
+      if (av_frame_make_writable(frame) < 0) goto vfail;
+      // RGB -> limited-range BT.601 YUV420P (inverse of
+      // yuv420p_to_rgb above; chroma = average of each 2x2 block).
+      const uint8_t* src = rgb + i * static_cast<int64_t>(width) * height * 3;
+      for (int y = 0; y < height; ++y) {
+        uint8_t* yp = frame->data[0] + y * frame->linesize[0];
+        for (int x = 0; x < width; ++x) {
+          const uint8_t* px = src + (static_cast<int64_t>(y) * width + x) * 3;
+          float v = 0.256788f * px[0] + 0.504129f * px[1] +
+                    0.097906f * px[2] + 16.0f;
+          yp[x] = static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v + 0.5f));
+        }
+      }
+      for (int y = 0; y < height / 2; ++y) {
+        uint8_t* up = frame->data[1] + y * frame->linesize[1];
+        uint8_t* vp = frame->data[2] + y * frame->linesize[2];
+        for (int x = 0; x < width / 2; ++x) {
+          float r = 0, g = 0, b = 0;
+          for (int dy = 0; dy < 2; ++dy)
+            for (int dx = 0; dx < 2; ++dx) {
+              const uint8_t* px =
+                  src + ((static_cast<int64_t>(2 * y + dy)) * width +
+                         (2 * x + dx)) * 3;
+              r += px[0];
+              g += px[1];
+              b += px[2];
+            }
+          r *= 0.25f;
+          g *= 0.25f;
+          b *= 0.25f;
+          float u = -0.148223f * r - 0.290993f * g + 0.439216f * b + 128.0f;
+          float vv = 0.439216f * r - 0.367788f * g - 0.071427f * b + 128.0f;
+          up[x] = static_cast<uint8_t>(u < 0 ? 0 : (u > 255 ? 255 : u + 0.5f));
+          vp[x] = static_cast<uint8_t>(vv < 0 ? 0 : (vv > 255 ? 255 : vv + 0.5f));
+        }
+      }
+      frame->pts = i;
+      send_rc = avcodec_send_frame(ctx, frame);
+      av_frame_unref(frame);
+    } else {
+      send_rc = avcodec_send_frame(ctx, nullptr);  // flush
+    }
+    if (send_rc < 0) goto vfail;
+    while (avcodec_receive_packet(ctx, pkt) >= 0) {
+      if (n_aus >= max_aus || out_pos + pkt->size > out_max) {
+        av_packet_unref(pkt);
+        goto vfail;
+      }
+      std::memcpy(out + out_pos, pkt->data, pkt->size);
+      au_sizes[n_aus] = pkt->size;
+      if (key_flags) key_flags[n_aus] = (pkt->flags & AV_PKT_FLAG_KEY) ? 1 : 0;
+      ++n_aus;
+      out_pos += pkt->size;
+      av_packet_unref(pkt);
+    }
+    if (i >= n_frames) break;
+  }
+  avcodec_free_context(&ctx);
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  return n_aus;
+vfail:
+  avcodec_free_context(&ctx);
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  return -3;
+}
+
 // Decodes ONE video frame of an H.264/MPEG-4 track: packets
 // [start_idx, target_idx] (start at the preceding keyframe from the
 // demuxer's sync table) are fed in order; the (target_idx -

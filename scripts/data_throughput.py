@@ -27,12 +27,30 @@ from triad_tpu.data.pipeline import AVLoader
 
 
 def build_fixtures(root: str, n: int, secs: float, fps: int = 4) -> None:
-    import cv2
+    """H.264+AAC clips (real AudioSet's codecs) when libx264 is linked,
+    else cv2 mp4v + AAC/PCM remux."""
+    from triad_tpu.data import native
 
     rng = np.random.default_rng(0)
     frames = (rng.integers(0, 255, size=(int(secs * fps), 64, 64, 3))).astype(
         np.uint8
     )
+    sr = 16_000
+    t = np.arange(int(secs * sr)) / sr
+    if native.h264_supported():
+        from triad_tpu.data.mp4 import write_video_mp4
+
+        for i in range(n):
+            audio = (
+                0.3 * np.sin(2 * np.pi * (200 + 50 * i) * t)
+            ).astype(np.float32)
+            write_video_mp4(
+                os.path.join(root, f"clip_{i:04d}.mp4"), frames, fps,
+                audio=audio, sample_rate=sr,
+            )
+        return
+    import cv2
+
     base = os.path.join(root, "_video_only.mp4")
     writer = cv2.VideoWriter(
         base, cv2.VideoWriter_fourcc(*"mp4v"), fps, (64, 64)
@@ -40,8 +58,6 @@ def build_fixtures(root: str, n: int, secs: float, fps: int = 4) -> None:
     for f in frames:
         writer.write(f[:, :, ::-1])
     writer.release()
-    sr = 16_000
-    t = np.arange(int(secs * sr)) / sr
     for i in range(n):
         audio = (0.3 * np.sin(2 * np.pi * (200 + 50 * i) * t)).astype(np.float32)
         mux_mp4(

@@ -394,6 +394,64 @@ class TestAvDecode:
         assert frame.shape == (32, 32, 3)
         assert np.isfinite(frame).all()
 
+    def test_h264_author_demux_decode_roundtrip(self, tmp_path):
+        """Native avc1 authoring (libx264 -> write_video_mp4) feeds the
+        same avc1 decode path real AudioSet media exercises: avcC
+        config, stss keyframe seek, H.264 decode at non-keyframe
+        indices."""
+        from triad_tpu.data import native
+        from triad_tpu.data.mp4 import Mp4File, write_video_mp4
+
+        if not native.h264_supported():
+            pytest.skip("libavcodec built without an H.264 encoder")
+        n, H, W = 30, 64, 64
+        yy, xx = np.mgrid[0:H, 0:W]
+        frames = np.zeros((n, H, W, 3), np.uint8)
+        for i in range(n):
+            frames[i, :, :, 0] = (xx * 255 // W).astype(np.uint8)
+            frames[i, :, :, 1] = (yy * 255 // H).astype(np.uint8)
+            x0 = (i * 2) % (W - 16)
+            frames[i, 4:20, x0 : x0 + 16, 2] = 255
+        sr = 16_000
+        audio = 0.3 * np.sin(
+            2 * np.pi * 440 * np.arange(sr) / sr
+        ).astype(np.float32)
+        out = str(tmp_path / "avc1.mp4")
+        write_video_mp4(out, frames, fps=10, audio=audio, sample_rate=sr)
+        with Mp4File.from_path(out) as f:
+            v = f.tracks[f.find_track("vide")]
+            assert v.codec == "avc1" and v.n_samples == n
+            assert 1 < v.n_sync < n  # several GOPs -> stss written
+            vi = f.find_track("vide")
+            for idx in (0, 7, 17, n - 1):  # keyframes AND mid-GOP
+                rgb = f.decode_frame(vi, idx)
+                diff = np.abs(
+                    rgb.astype(np.int16) - frames[idx].astype(np.int16)
+                )
+                assert diff.mean() < 4.0, f"frame {idx}: {diff.mean()}"
+
+    def test_h264_file_readable_by_cv2(self, tmp_path):
+        """Interop: cv2 (an independent demuxer+decoder) must accept
+        the natively-authored avc1 file."""
+        from triad_tpu.data import native
+        from triad_tpu.data.mp4 import write_video_mp4
+
+        if not native.h264_supported():
+            pytest.skip("libavcodec built without an H.264 encoder")
+        frames = np.linspace(0, 255, 8 * 64 * 64 * 3).reshape(
+            8, 64, 64, 3
+        ).astype(np.uint8)
+        out = str(tmp_path / "interop.mp4")
+        write_video_mp4(out, frames, fps=4)
+        cap = cv2.VideoCapture(out)
+        ok, first = cap.read()
+        count = 1 if ok else 0
+        while cap.read()[0]:
+            count += 1
+        cap.release()
+        assert ok and first.shape == (64, 64, 3)
+        assert count == 8
+
     def test_attention_video_aac_audio(self, tmp_path):
         """Attention videos now embed AAC audio (the reference's codec,
         viz.py:134) instead of PCM when libavcodec is linked."""

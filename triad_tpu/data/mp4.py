@@ -587,6 +587,121 @@ def _mp4a_entry(channels: int, sample_rate: int, asc: bytes) -> bytes:
     return _box(b"mp4a", body)
 
 
+def _encode_audio_payload(
+    audio: np.ndarray, sample_rate: int, audio_codec: str
+) -> Tuple[bytes, List[int], bytes, np.ndarray]:
+    """-> (payload bytes, per-sample sizes [AAC only], ASC, clipped pcm)."""
+    pcm = np.clip(np.asarray(audio, np.float32), -1.0, 1.0)
+    if audio_codec == "mp4a":
+        aus, asc = native.encode_aac(pcm, sample_rate)
+        return b"".join(aus), [len(a) for a in aus], asc, pcm
+    a_i16 = np.round(pcm * 32767.0).astype("<i2")
+    return a_i16.tobytes(), [], b"", pcm
+
+
+def _audio_trak(
+    track_id: int,
+    mvhd_ts: int,
+    sample_rate: int,
+    audio_codec: str,
+    a_bytes: bytes,
+    a_sizes: List[int],
+    asc: bytes,
+    pcm_len: int,
+    a_chunk_off: int,
+) -> Tuple[bytes, int]:
+    """Audio trak box for a payload from _encode_audio_payload.
+    -> (trak bytes, presented duration in track-timescale units)."""
+    if audio_codec == "mp4a":
+        # One sample per AAC access unit, 1024 PCM frames each. The
+        # encoder front-loads ~1024 priming samples (ffmpeg native
+        # AAC initial_padding); an edit list trims them so playback
+        # aligns with the video (the reference's ffmpeg mux signals
+        # the same) and presents exactly the source length.
+        media_dur = 1024 * len(a_sizes)
+        a_stbl = _stbl_boxes(
+            len(a_sizes), 1024, a_sizes, a_chunk_off,
+            _mp4a_entry(1, sample_rate, asc),
+        )
+        return _trak(
+            track_id, mvhd_ts, sample_rate, media_dur, b"soun", a_stbl,
+            media_time=1024, present_duration=pcm_len,
+        ), pcm_len
+    n_frames = len(a_bytes) // 2
+    # One "sample" per PCM frame (uniform stsz = frame bytes).
+    a_stbl = _stbl_boxes(
+        n_frames, 1, [2], a_chunk_off, _pcm_sowt_entry(1, sample_rate)
+    )
+    return _trak(
+        track_id, mvhd_ts, sample_rate, n_frames, b"soun", a_stbl
+    ), n_frames
+
+
+def write_video_mp4(
+    out_path: str,
+    frames: np.ndarray,
+    fps: int,
+    audio: Optional[np.ndarray] = None,
+    sample_rate: int = 16_000,
+    audio_codec: str = "auto",
+    gop: int = 12,
+) -> None:
+    """Author a complete MP4 from (N,H,W,3) uint8 RGB frames with an
+    'avc1' (H.264, native libx264 through libavcodec) video track and
+    an optional audio track — no cv2/ffmpeg-binary involved. This is
+    the authoring counterpart of the avc1 decode path that real
+    AudioSet media exercises (reference: torchcodec decode,
+    dataset.py:91-95; cv2+ffmpeg attention-video writing,
+    viz.py:84-146)."""
+    frames = np.ascontiguousarray(frames, np.uint8)
+    n, h, w = frames.shape[:3]
+    aus, key_flags, avcc = native.encode_h264(frames, fps=fps, gop=gop)
+    if audio_codec == "auto":
+        audio_codec = "mp4a" if native.avdec_supported() else "sowt"
+    a_bytes, a_sizes, asc, pcm = b"", [], b"", None
+    if audio is not None:
+        a_bytes, a_sizes, asc, pcm = _encode_audio_payload(
+            audio, sample_rate, audio_codec
+        )
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat = _box(b"mdat", b"".join(aus) + a_bytes)
+    v_chunk_off = len(ftyp) + 8
+    a_chunk_off = v_chunk_off + sum(len(a) for a in aus)
+
+    mvhd_ts = 1000
+    v_ts = fps  # one tick per frame
+    sync = [i for i, k in enumerate(key_flags) if k]
+    v_stbl = _stbl_boxes(
+        len(aus), 1, [len(a) for a in aus], v_chunk_off,
+        _video_sample_entry("avc1", w, h, avcc),
+        sync=sync if len(sync) < len(aus) else None,
+    )
+    traks = _trak(1, mvhd_ts, v_ts, len(aus), b"vide", v_stbl, w, h)
+    next_id = 2
+    a_dur = 0
+    if audio is not None:
+        a_trak, a_dur = _audio_trak(
+            2, mvhd_ts, sample_rate, audio_codec, a_bytes, a_sizes, asc,
+            len(pcm), a_chunk_off,
+        )
+        traks += a_trak
+        next_id = 3
+
+    dur_v = len(aus) * mvhd_ts // max(v_ts, 1)
+    dur_a = a_dur * mvhd_ts // sample_rate if audio is not None else 0
+    mvhd = _full_box(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, mvhd_ts, max(dur_v, dur_a))
+        + struct.pack(">IH", 0x00010000, 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", next_id),
+    )
+    with open(out_path, "wb") as f:
+        f.write(ftyp + mdat + _box(b"moov", mvhd + traks))
+
+
 def mux_mp4(
     out_path: str,
     video_mp4_path: str,
@@ -623,15 +738,11 @@ def mux_mp4(
     a_bytes = b""
     a_sizes: List[int] = []
     asc = b""
+    pcm = None
     if audio is not None:
-        pcm = np.clip(np.asarray(audio, np.float32), -1.0, 1.0)
-        if audio_codec == "mp4a":
-            aus, asc = native.encode_aac(pcm, sample_rate)
-            a_bytes = b"".join(aus)
-            a_sizes = [len(a) for a in aus]
-        else:
-            a_i16 = np.round(pcm * 32767.0).astype("<i2")
-            a_bytes = a_i16.tobytes()
+        a_bytes, a_sizes, asc, pcm = _encode_audio_payload(
+            audio, sample_rate, audio_codec
+        )
 
     mdat_payload = b"".join(v_samples) + a_bytes
     mdat = _box(b"mdat", mdat_payload)
@@ -651,31 +762,11 @@ def mux_mp4(
     next_id = 2
     a_dur = 0  # in audio-track timescale (= sample_rate) units
     if audio is not None:
-        if audio_codec == "mp4a":
-            # One sample per AAC access unit, 1024 PCM frames each. The
-            # encoder front-loads ~1024 priming samples (ffmpeg native
-            # AAC initial_padding); an edit list trims them so playback
-            # aligns with the video (the reference's ffmpeg mux signals
-            # the same) and presents exactly the source length.
-            delay = 1024
-            media_dur = 1024 * len(a_sizes)
-            a_dur = len(pcm)  # presented duration
-            a_stbl = _stbl_boxes(
-                len(a_sizes), 1024, a_sizes, a_chunk_off,
-                _mp4a_entry(1, sample_rate, asc),
-            )
-            traks += _trak(
-                2, mvhd_ts, sample_rate, media_dur, b"soun", a_stbl,
-                media_time=delay, present_duration=a_dur,
-            )
-        else:
-            n_frames = len(a_bytes) // 2
-            a_dur = n_frames
-            # One "sample" per PCM frame (uniform stsz = frame bytes).
-            a_stbl = _stbl_boxes(
-                n_frames, 1, [2], a_chunk_off, _pcm_sowt_entry(1, sample_rate)
-            )
-            traks += _trak(2, mvhd_ts, sample_rate, n_frames, b"soun", a_stbl)
+        a_trak, a_dur = _audio_trak(
+            2, mvhd_ts, sample_rate, audio_codec, a_bytes, a_sizes, asc,
+            len(pcm), a_chunk_off,
+        )
+        traks += a_trak
         next_id = 3
 
     dur_v = v_delta * len(v_samples) * mvhd_ts // max(vinfo.timescale, 1)

@@ -133,6 +133,12 @@ def _load_locked() -> Optional[ctypes.CDLL]:
                 f32p, ctypes.c_int64, ctypes.c_int32, u8p, ctypes.c_int64,
                 i64p, ctypes.c_int64, u8p, ctypes.c_int64, i64p,
             ]
+            lib.avdec_encode_h264.restype = ctypes.c_int64
+            lib.avdec_encode_h264.argtypes = [
+                u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, u8p, ctypes.c_int64,
+                i64p, u8p, ctypes.c_int64, u8p, ctypes.c_int64, i64p,
+            ]
         lib.mp4_decode_pcm.restype = ctypes.c_int64
         lib.mp4_decode_pcm.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, f32p, ctypes.c_int64,
@@ -291,6 +297,67 @@ def encode_aac(pcm: np.ndarray, sample_rate: int):
         aus.append(out[pos : pos + int(sizes[i])].tobytes())
         pos += int(sizes[i])
     return aus, asc[: asc_len.value].tobytes()
+
+
+def h264_supported() -> bool:
+    """True when the linked libavcodec carries an H.264 ENCODER
+    (libx264) — decode support comes with avdec_supported()."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "avdec_encode_h264"):
+        return False
+    global _h264_probe
+    if _h264_probe is None:
+        # Cheap 2-frame probe: the entry point exists even when the
+        # system libavcodec was built without libx264.
+        try:
+            encode_h264(np.zeros((2, 16, 16, 3), np.uint8), fps=4)
+            _h264_probe = True
+        except RuntimeError:
+            _h264_probe = False
+    return _h264_probe
+
+
+_h264_probe: "bool | None" = None
+
+
+def encode_h264(frames: np.ndarray, fps: int, gop: int = 12):
+    """(N,H,W,3) uint8 RGB -> (access-unit list, keyframe-flag array,
+    avcC bytes) via the linked libx264 (native/avdecode.cc). AUs are
+    AVCC length-prefixed, ready for an 'avc1' MP4 track — the codec of
+    real AudioSet media (reference decodes it via torchcodec,
+    dataset.py:91-95)."""
+    import ctypes as ct
+
+    lib = _load()
+    if lib is None or not hasattr(lib, "avdec_encode_h264"):
+        raise RuntimeError("libavcodec-backed native library unavailable")
+    frames = np.ascontiguousarray(frames, np.uint8)
+    if frames.ndim != 4 or frames.shape[-1] != 3:
+        raise ValueError(f"expected (N,H,W,3) uint8, got {frames.shape}")
+    n_frames, h, w = frames.shape[:3]
+    if w % 2 or h % 2:
+        raise ValueError("H.264 yuv420p needs even width/height")
+    max_aus = n_frames + 8
+    out = np.empty(frames.nbytes + (1 << 20), np.uint8)
+    sizes = np.empty(max_aus, np.int64)
+    keys = np.zeros(max_aus, np.uint8)
+    avcc = np.empty(4096, np.uint8)
+    avcc_len = ct.c_int64(0)
+    u8p = ct.POINTER(ct.c_uint8)
+    n = lib.avdec_encode_h264(
+        frames.ctypes.data_as(u8p), n_frames, w, h, fps, gop,
+        out.ctypes.data_as(u8p), len(out),
+        sizes.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        keys.ctypes.data_as(u8p), max_aus,
+        avcc.ctypes.data_as(u8p), len(avcc), ct.byref(avcc_len),
+    )
+    if n < 0:
+        raise RuntimeError(f"H.264 encode failed (code {n})")
+    aus, pos = [], 0
+    for i in range(n):
+        aus.append(out[pos : pos + int(sizes[i])].tobytes())
+        pos += int(sizes[i])
+    return aus, keys[:n].copy(), avcc[: avcc_len.value].tobytes()
 
 
 def load_wav(path, target_sr: int = 16_000, channel: int = 0) -> np.ndarray:

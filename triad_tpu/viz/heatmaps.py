@@ -180,10 +180,13 @@ class AudioVisualizer:
         fps: int = 50,
     ) -> None:
         """One overlay frame per audio token -> mp4 with the audio
-        muxed in (viz.py:84-146). Mux order: ffmpeg copying the source
-        track when available (reference parity, viz.py:128-137), else
-        the framework's own MP4 muxer writing ``audio`` as a PCM track
-        (data/mp4.py — no ffmpeg needed), else silent (viz.py:140-143).
+        muxed in (viz.py:84-146). Writer order: fully-native H.264+AAC
+        authoring when libx264 is linked (data/mp4.write_video_mp4 —
+        the reference's codecs, no cv2 temp file), else cv2 mp4v + mux:
+        ffmpeg copying the source track when available (reference
+        parity, viz.py:128-137), else the framework's own MP4 muxer
+        writing ``audio`` as an AAC/PCM track (data/mp4.py), else
+        silent (viz.py:140-143).
         """
         import cv2
 
@@ -191,6 +194,21 @@ class AudioVisualizer:
         frame_rgb = denormalize_frame(frame)
         out = Path(output_path)
         out.parent.mkdir(parents=True, exist_ok=True)
+        try:
+            from triad_tpu.data import native
+            from triad_tpu.data.mp4 import write_video_mp4
+
+            if native.h264_supported():
+                overlays = np.stack(
+                    [overlay_heatmap(frame_rgb, hm) for hm in heatmaps]
+                )
+                write_video_mp4(
+                    str(out), overlays, fps=fps,
+                    audio=np.asarray(audio, np.float32), sample_rate=16_000,
+                )
+                return
+        except Exception as e:  # noqa: BLE001 — viz must never crash training
+            print("native H.264 authoring failed, cv2 fallback:", e)
         temp = str(out.with_suffix(".temp.mp4"))
         writer = cv2.VideoWriter(
             temp, cv2.VideoWriter_fourcc(*"mp4v"), fps,
