@@ -294,6 +294,12 @@ class DataConfig:
     # Synthetic dataset sizes when no real data is configured.
     synthetic_av_size: int = 256
     synthetic_tv_size: int = 256
+    # Grounded synthetic data: class-keyed square/tone/word
+    # correspondences (a LEARNABLE dense-grounding task) instead of
+    # noise pairs — lets a from-scratch run demonstrate real learning
+    # without media (see tests/test_learning.py). Classes <= 8.
+    synthetic_grounded: bool = False
+    synthetic_grounded_classes: int = 4
     # Draw AV batches with unique source-video ids (no same-video false
     # negatives in a contrastive batch — the reference's
     # VideoBatchSampler intent, dataset.py:137-164, defined there but

@@ -93,24 +93,54 @@ class Trainer:
 
         # -- data ------------------------------------------------------
         dc = config.data
+        grounded_spec = None
+        if dc.synthetic_grounded:
+            from triad_tpu.data.datasets import GroundedSyntheticSpec
+
+            grounded_spec = GroundedSyntheticSpec(
+                num_classes=dc.synthetic_grounded_classes,
+                image_size=dc.image_size,
+                patch_size=config.model.vit.patch_size,
+                sample_rate=dc.sample_rate,
+            )
+
+        def _synth_av(size: int, seed: int = 0):
+            secs = dc.audio_num_samples / dc.sample_rate
+            if grounded_spec is not None:
+                from triad_tpu.data.datasets import GroundedSyntheticAVDataset
+
+                return GroundedSyntheticAVDataset(
+                    size=size, audio_seconds=secs, spec=grounded_spec,
+                    seed=seed,
+                )
+            return SyntheticAVDataset(
+                size=size, image_size=dc.image_size, audio_seconds=secs,
+                seed=seed,
+            )
+
+        def _synth_tv(size: int, seed: int = 0):
+            if grounded_spec is not None:
+                from triad_tpu.data.datasets import GroundedSyntheticTVDataset
+
+                return GroundedSyntheticTVDataset(
+                    size=size, spec=grounded_spec, seed=seed
+                )
+            return SyntheticTVDataset(
+                size=size, image_size=dc.image_size, seed=seed
+            )
+
         if dc.audio_visual_data_root:
             self.av_dataset = _open_av_root(
                 dc.audio_visual_data_root, dc.image_size, segmented=True
             )
         else:
-            self.av_dataset = SyntheticAVDataset(
-                size=dc.synthetic_av_size,
-                image_size=dc.image_size,
-                audio_seconds=dc.audio_num_samples / dc.sample_rate,
-            )
+            self.av_dataset = _synth_av(dc.synthetic_av_size)
         if dc.text_dataset_path:
             self.tv_dataset = LocalCaptionDataset(
                 dc.text_dataset_path, image_size=dc.image_size
             )
         else:
-            self.tv_dataset = SyntheticTVDataset(
-                size=dc.synthetic_tv_size, image_size=dc.image_size
-            )
+            self.tv_dataset = _synth_tv(dc.synthetic_tv_size)
 
         self.val_av_dataset = None
         if dc.audio_visual_val_data_root:
@@ -118,11 +148,8 @@ class Trainer:
                 dc.audio_visual_val_data_root, dc.image_size, segmented=False
             )
         elif not dc.audio_visual_data_root:
-            self.val_av_dataset = SyntheticAVDataset(
-                size=max(8, dc.synthetic_av_size // 4),
-                image_size=dc.image_size,
-                audio_seconds=dc.audio_num_samples / dc.sample_rate,
-                seed=1,
+            self.val_av_dataset = _synth_av(
+                max(8, dc.synthetic_av_size // 4), seed=1
             )
         self.val_tv_dataset = None
         if dc.text_dataset_val_path:
@@ -130,9 +157,8 @@ class Trainer:
                 dc.text_dataset_val_path, image_size=dc.image_size, augment=False
             )
         elif not dc.text_dataset_path:
-            self.val_tv_dataset = SyntheticTVDataset(
-                size=max(8, dc.synthetic_tv_size // 4),
-                image_size=dc.image_size, seed=1,
+            self.val_tv_dataset = _synth_tv(
+                max(8, dc.synthetic_tv_size // 4), seed=1
             )
 
         if dc.tokenizer_vocab:
