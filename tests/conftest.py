@@ -27,7 +27,28 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compile cache: the suite is dominated by CPU compiles of
 # jitted programs; caching them makes repeat runs several times faster.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+# The dir is keyed by a host-ISA fingerprint: XLA:CPU cache entries are
+# AOT executables for the exact compile host, and this box migrates
+# between machines across sessions (cpu_aot_loader SIGILL warnings
+# observed when reusing a fixed path).
+def _host_cache_dir():
+    import hashlib
+    import platform
+
+    finger = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    finger += " " + " ".join(sorted(line.split()[2:]))
+                    break
+    except OSError:
+        finger += " " + platform.processor()
+    h = hashlib.sha256(finger.encode()).hexdigest()[:12]
+    return f"/tmp/jax_test_cache_{h}"
+
+
+jax.config.update("jax_compilation_cache_dir", _host_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np

@@ -232,3 +232,118 @@ def test_trainer_grounded_synthetic_wiring(tmp_path):
     from pathlib import Path
 
     assert (Path(cfg.train.output_dir) / "metrics.jsonl").exists()
+
+
+@pytest.mark.slow
+def test_learns_from_real_compressed_media(tmp_path):
+    """FULL-STACK learning proof over real media files: grounded clips
+    are authored as H.264+AAC MP4s (native libx264/AAC encoders) and
+    grounded captions as JPEG+txt pairs, then the Trainer consumes them
+    through its production file-backed path (AudioVisualDataset ->
+    native demux+libavcodec decode -> AVLoader; LocalCaptionDataset ->
+    tokenizer) and the model learns the cross-modal correspondence —
+    encode, container, decode, augmentation, loaders, training all in
+    one assertion (reference pipeline: dataset.py:80-135 via
+    torchcodec/torchaudio)."""
+    import dataclasses
+
+    import cv2
+
+    from tests.test_trainer import tiny_config
+    from triad_tpu.data import native
+    from triad_tpu.data.datasets import (
+        GroundedSyntheticAVDataset,
+        GroundedSyntheticSpec,
+        GroundedSyntheticTVDataset,
+    )
+    from triad_tpu.data.images import IMAGENET_MEAN, IMAGENET_STD
+    from triad_tpu.data.mp4 import write_video_mp4
+    from triad_tpu.train.trainer import Trainer
+
+    if not native.h264_supported():
+        pytest.skip("libavcodec built without an H.264 encoder")
+
+    spec = GroundedSyntheticSpec(num_classes=K)
+    src_av = GroundedSyntheticAVDataset(
+        size=32, audio_seconds=AUDIO_SECONDS, spec=spec, seed=0
+    )
+    src_tv = GroundedSyntheticTVDataset(size=32, spec=spec, seed=0)
+
+    def denorm(img):
+        x = img * IMAGENET_STD + IMAGENET_MEAN
+        return (np.clip(x, 0, 1) * 255).astype(np.uint8)
+
+    av_root = tmp_path / "av" / "segment_0"
+    av_root.mkdir(parents=True)
+    for i in range(len(src_av)):
+        it = src_av[i]
+        frames = np.stack([denorm(it["video_frames"])] * 4)  # static clip
+        write_video_mp4(
+            str(av_root / f"clip_{i:03d}.mp4"), frames, fps=8,
+            audio=it["audio"], sample_rate=16_000,
+        )
+    tv_root = tmp_path / "tv" / "pairs"
+    tv_root.mkdir(parents=True)
+    for i in range(len(src_tv)):
+        img, word = src_tv[i]
+        cv2.imwrite(str(tv_root / f"{i:03d}.jpg"), denorm(img)[:, :, ::-1])
+        (tv_root / f"{i:03d}.txt").write_text(word)
+
+    cfg = tiny_config(tmp_path)
+    cfg = dataclasses.replace(
+        cfg,
+        model=grounded_model_config(),
+        data=dataclasses.replace(
+            cfg.data,
+            image_size=56,
+            max_text_tokens=8,  # tiny text model has 8 positions
+            audio_num_samples=int(AUDIO_SECONDS * 16_000),
+            audio_visual_data_root=str(tmp_path / "av"),
+            text_dataset_path=str(tmp_path / "tv"),
+            batch_size_av=4,
+            batch_size_tv=4,
+        ),
+        train=dataclasses.replace(
+            cfg.train,
+            steps_per_epoch=100,
+            optim=dataclasses.replace(
+                cfg.train.optim,
+                learning_rate=2e-3,
+                unfreeze_audio_step=0,
+                unfreeze_text_step=0,
+                unfreeze_vit_step=0,
+            ),
+        ),
+    )
+    tr = Trainer(cfg)
+    tr.train()
+
+    import json
+    from pathlib import Path
+
+    losses = [
+        json.loads(line)["train_loss"]
+        for line in (Path(cfg.train.output_dir) / "metrics.jsonl")
+        .read_text().splitlines()
+        if "train_loss" in json.loads(line)
+    ]
+    # the Trainer logs every 10th step: 100 steps -> ~11 entries
+    assert len(losses) >= 10
+    first, last = np.mean(losses[:2]), np.mean(losses[-2:])
+    assert last < first - 0.5, f"no learning from files: {first} -> {last}"
+
+    # class retrieval on HELD-OUT grounded draws, decoded from files
+    eval_src = GroundedSyntheticAVDataset(
+        size=8, audio_seconds=AUDIO_SECONDS, spec=spec, seed=909
+    )
+    labels = np.array([eval_src.label(i) for i in range(8)])
+    eav = av_batch_at(eval_src, range(8))
+    ids = jnp.zeros((8, 2), jnp.int32)
+    mask = jnp.ones((8, 2), jnp.float32)
+    out = tr.model.apply(
+        {"params": jax.device_get(tr.state.params)},
+        eav["images"], eav["audio"], ids, mask, train=False,
+    )
+    sims = maxmean_clip_sims(np.asarray(out["audio"]), np.asarray(out["visual"]))
+    acc = float((labels[sims.argmax(1)] == labels).mean())
+    assert acc >= 0.75, f"A->V class acc after file-based training: {acc}"
