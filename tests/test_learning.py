@@ -189,6 +189,13 @@ def test_learns_grounded_correspondence():
     acc_tv = float((labels_tv[top1_tv] == labels_tv).mean())
     assert acc_tv >= 0.75, f"T->V class acc {acc_tv}"
 
+    # A->T: the TRANSITIVE tri-modal direction — audio and text are
+    # never trained against each other, only through the shared visual
+    # space (reference claim, README.md:15; measured here for real).
+    sims_at = maxmean_clip_sims(a, t[:, :1])
+    acc_at = float((labels_tv[sims_at.argmax(axis=1)] == labels_av).mean())
+    assert acc_at >= 0.75, f"transitive A->T class acc {acc_at}"
+
     # --- DENSE grounding: audio attention localizes the class square ---
     an = a / (np.linalg.norm(a, axis=-1, keepdims=True) + 1e-12)
     vn = v_of_av / (np.linalg.norm(v_of_av, axis=-1, keepdims=True) + 1e-12)

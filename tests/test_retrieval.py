@@ -65,3 +65,20 @@ class TestSubsetPersistence:
         s1 = select_subset_indices(100, f, subset_size=20)
         s2 = select_subset_indices(100, f, subset_size=20)
         assert s1 == s2 and len(s1) == 20
+
+
+class TestATRetrieval:
+    def test_transitive_direction_metrics(self, ragged_features):
+        """A<->T recall: same masked aggregator, both sides ragged
+        (the reference never measures this direction — README.md:15
+        claims it, model.py:631-636 exposes it qualitatively)."""
+        from triad_tpu.eval import at_retrieval_metrics
+
+        q, q_mask, k, k_mask, q_lens, k_lens = ragged_features
+        m = at_retrieval_metrics(q, q_mask, k, k_mask, TEMP)
+        assert set(m) == {
+            f"{d}_r{r}" for d in ("A->T", "T->A") for r in (1, 5, 10, 20)
+        }
+        # self-retrieval sanity: querying against itself is perfect
+        perfect = at_retrieval_metrics(q, q_mask, q, q_mask, TEMP)
+        assert perfect["A->T_r1"] == 1.0 and perfect["T->A_r1"] == 1.0

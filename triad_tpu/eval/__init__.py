@@ -1,4 +1,5 @@
 from triad_tpu.eval.retrieval import (
+    at_retrieval_metrics,
     av_retrieval_metrics,
     compute_recall_at_k,
     embed_av_subset,
@@ -9,6 +10,7 @@ from triad_tpu.eval.retrieval import (
 )
 
 __all__ = [
+    "at_retrieval_metrics",
     "av_retrieval_metrics",
     "compute_recall_at_k",
     "embed_av_subset",

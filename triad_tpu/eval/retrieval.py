@@ -295,3 +295,28 @@ def tv_retrieval_metrics(
     out = {f"T->V_r{k[1:]}": v for k, v in m_t2v.items()}
     out.update({f"V->T_r{k[1:]}": v for k, v in m_v2t.items()})
     return out
+
+
+def at_retrieval_metrics(
+    audio_tokens: np.ndarray,
+    audio_mask: np.ndarray,
+    text_tokens: np.ndarray,
+    text_mask: np.ndarray,
+    temperature: float,
+) -> Dict[str, float]:
+    """A->T and T->A recall — the TRANSITIVE tri-modal direction.
+
+    The reference claims text<->audio alignment emerges through the
+    shared visual space (README.md:15) and exposes the similarity only
+    qualitatively in the generic forward (model.py:631-636); it never
+    measures it. This completes the eval surface for datasets that
+    carry all three modalities per item (e.g. the grounded synthetic
+    task, or AV data with captions). Both sides masked; same max-mean
+    /temperature aggregator as the other directions."""
+    a2t = score_matrix(audio_tokens, audio_mask, text_tokens, text_mask, temperature)
+    t2a = score_matrix(text_tokens, text_mask, audio_tokens, audio_mask, temperature)
+    m_a2t = compute_recall_at_k(a2t)
+    m_t2a = compute_recall_at_k(t2a)
+    out = {f"A->T_r{k[1:]}": v for k, v in m_a2t.items()}
+    out.update({f"T->A_r{k[1:]}": v for k, v in m_t2a.items()})
+    return out
