@@ -21,6 +21,8 @@ run bench_x640      3000 env TRIAD_BENCH_WAVE=x640 python bench.py
 run bench_posconv   3000 env TRIAD_BENCH_POSCONV=pallas python bench.py
 run bench_both      3000 env TRIAD_BENCH_WAVE=x640 TRIAD_BENCH_POSCONV=pallas python bench.py
 run bench_vitpk     3000 env TRIAD_BENCH_VIT_ATTN=packed python bench.py
+# scored-separately int8 serving mode (NOT the judged bf16 number)
+run bench_int8      3000 env TRIAD_BENCH_QUANT=int8 python bench.py
 # repeat base to bound tunnel drift
 run bench_base2     1800 python bench.py
 
