@@ -175,6 +175,15 @@ def main() -> None:
         cfg = _dc.replace(
             cfg, vit=_dc.replace(cfg.vit, attention_impl=_va_ov)
         )
+    # TRIAD_BENCH_HUBERT_ATTN=packed_merged: one (C, 3C) qkv matmul per
+    # layer feeding the merged-layout eval kernel (q/k/v read at lane
+    # offsets in-kernel; the activation is read from HBM once instead
+    # of three times — ops/pallas_attention.py merged section).
+    _ha_ov = _os.environ.get("TRIAD_BENCH_HUBERT_ATTN")
+    if _ha_ov:
+        cfg = _dc.replace(
+            cfg, hubert=_dc.replace(cfg.hubert, attention_impl=_ha_ov)
+        )
     # TRIAD_BENCH_QUANT=int8: the opt-in int8 serving mode (NOT the
     # judged number — BASELINE's contract is bf16; this is the
     # scored-separately measurement). Dense matmuls run int8 on the

@@ -21,6 +21,8 @@ run bench_x640      3000 env TRIAD_BENCH_WAVE=x640 python bench.py
 run bench_posconv   3000 env TRIAD_BENCH_POSCONV=pallas python bench.py
 run bench_both      3000 env TRIAD_BENCH_WAVE=x640 TRIAD_BENCH_POSCONV=pallas python bench.py
 run bench_vitpk     3000 env TRIAD_BENCH_VIT_ATTN=packed python bench.py
+run bench_mqkv      3000 env TRIAD_BENCH_HUBERT_ATTN=packed_merged python bench.py
+run bench_vitmq     3000 env TRIAD_BENCH_VIT_ATTN=packed_merged python bench.py
 # scored-separately int8 serving mode (NOT the judged bf16 number)
 run bench_int8      3000 env TRIAD_BENCH_QUANT=int8 python bench.py
 # repeat base to bound tunnel drift
@@ -33,6 +35,8 @@ run train_posconv       3600 python scripts/tpu_train_bench.py 10 chunked float3
 run train_posconv_w640  3600 python scripts/tpu_train_bench.py 10 chunked float32 perf,posconv,wave640
 run train_lossvjp       3600 python scripts/tpu_train_bench.py 10 chunked_vjp float32 perf
 run train_all           3600 python scripts/tpu_train_bench.py 10 chunked_vjp float32 perf,posconv,wave640
+run train_mqkv          3600 python scripts/tpu_train_bench.py 10 chunked float32 perf,mqkv
+run train_vitmq         3600 python scripts/tpu_train_bench.py 10 chunked float32 perf,vitmq
 
 # --- host->device ingest with the wire-dtype packed path ---
 run ingest_packed      1800 python scripts/data_throughput.py packed 4 thread

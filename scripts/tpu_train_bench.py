@@ -66,11 +66,30 @@ def main() -> None:
                 model_cfg.hubert, attention_impl="fused_packed"
             ),
         )
+    if "mqkv" in knobs:
+        # Merged-qkv packed attention in HuBERT: one (C, 3C) projection
+        # matmul + merged d(qkv) cotangent (one dW matmul in the bwd)
+        # feeding the lane-offset kernels — supersedes pkattn when set.
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            hubert=dataclasses.replace(
+                model_cfg.hubert, attention_impl="fused_packed_merged"
+            ),
+        )
     if "vitpk" in knobs:
         model_cfg = dataclasses.replace(
             model_cfg,
             vit=dataclasses.replace(
                 model_cfg.vit, attention_impl="fused_packed"
+            ),
+        )
+    if "vitmq" in knobs:
+        # Merged-qkv in the ViT: the fused-qkv LoRA output feeds the
+        # lane-offset kernels directly (no q/k/v slices + reshapes).
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            vit=dataclasses.replace(
+                model_cfg.vit, attention_impl="fused_packed_merged"
             ),
         )
     if "monofe" in knobs:

@@ -190,3 +190,172 @@ class TestPackedTrain:
                 np.asarray(gf), np.asarray(gr), rtol=2e-4, atol=2e-4,
                 err_msg=name,
             )
+
+
+class TestMergedQkv:
+    """Merged-qkv kernels (one (B, N, 3*H*D) tensor, q/k/v read at lane
+    offsets in-kernel): eval and p=0 training forwards match the XLA
+    fp32 reference, the custom VJP's merged d(qkv) matches autodiff,
+    and the HubertSelfAttention module produces the same output and
+    param tree under attention_impl="packed_merged" as under "xla".
+    Dropout replay (merged == unmerged masks for the same seed) runs on
+    the real chip (interpret-mode PRNG unimplemented)."""
+
+    def _tensors(self, n=99):
+        b, h, d = 2, 3, 64
+        rng = np.random.default_rng(7)
+        mk = lambda: jnp.asarray(
+            rng.normal(size=(b, n, h, d)).astype(np.float32) * 0.3
+        )
+        return mk(), mk(), mk()
+
+    @staticmethod
+    def _merge(q, k, v):
+        b, n, h, d = q.shape
+        flat = lambda x: x.reshape(b, n, h * d)
+        return jnp.concatenate([flat(q), flat(k), flat(v)], axis=-1)
+
+    def test_eval_matches_xla(self):
+        from triad_tpu.models.layers import (
+            merged_packed_dot_product_attention,
+        )
+
+        q, k, v = self._tensors()
+        b, n, h, d = q.shape
+        valid = np.ones((b, n), np.float32)
+        valid[0, n - 7:] = 0.0
+        mask4 = jnp.asarray(valid)[:, None, None, :].astype(bool)
+        ref = dot_product_attention(q, k, v, mask4, jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            out = merged_packed_dot_product_attention(
+                self._merge(q, k, v), jnp.asarray(valid), jnp.float32, d
+            )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref.reshape(b, n, h * d)),
+            rtol=2e-5, atol=2e-5,
+        )
+
+    def test_train_p0_grads_match_autodiff(self):
+        from triad_tpu.ops.pallas_attention import (
+            fused_attention_packed_merged,
+        )
+
+        q, k, v = self._tensors(n=128)
+        b, n, h, d = q.shape
+        qkv = self._merge(q, k, v)
+        mask = jnp.ones((b, n), jnp.float32)
+        sm = float(1.0 / np.sqrt(d))
+
+        def loss_merged(qkv):
+            o = fused_attention_packed_merged(
+                qkv, mask, jnp.int32(0), 0.0, sm
+            )
+            return jnp.sum(o * o)
+
+        def loss_ref(qkv):
+            qr, kr, vr = [
+                qkv[..., i * h * d:(i + 1) * h * d].reshape(b, n, h, d)
+                for i in range(3)
+            ]
+            o = dot_product_attention(qr, kr, vr, None, jnp.float32)
+            return jnp.sum(o.reshape(b, n, h * d) * o.reshape(b, n, h * d))
+
+        with pltpu.force_tpu_interpret_mode():
+            out = fused_attention_packed_merged(
+                qkv, mask, jnp.int32(0), 0.0, sm
+            )
+            g_merged = jax.grad(loss_merged)(qkv)
+        ref_o = loss_ref(qkv)
+        np.testing.assert_allclose(
+            float(jnp.sum(out * out)), float(ref_o), rtol=2e-5
+        )
+        g_ref = jax.grad(loss_ref)(qkv)
+        np.testing.assert_allclose(
+            np.asarray(g_merged), np.asarray(g_ref), rtol=2e-4, atol=2e-4
+        )
+
+    def test_hubert_module_param_tree_and_output(self):
+        import dataclasses
+
+        from triad_tpu.core.config import HubertConfig
+        from triad_tpu.models.hubert import HubertSelfAttention
+
+        base = HubertConfig(hidden_size=128, num_heads=2, num_layers=1)
+        x = jnp.asarray(
+            np.random.default_rng(11).normal(size=(2, 99, 128)).astype(
+                np.float32
+            ) * 0.3
+        )
+        mod_xla = HubertSelfAttention(
+            dataclasses.replace(base, attention_impl="xla")
+        )
+        params = mod_xla.init(jax.random.PRNGKey(0), x)
+        ref = mod_xla.apply(params, x, deterministic=True)
+        mod_merged = HubertSelfAttention(
+            dataclasses.replace(base, attention_impl="packed_merged")
+        )
+        # Same param tree: the xla-path params apply unchanged.
+        with pltpu.force_tpu_interpret_mode():
+            out = mod_merged.apply(params, x, deterministic=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+        with pltpu.force_tpu_interpret_mode():
+            merged_init = jax.tree.map(
+                lambda a: a.shape,
+                mod_merged.init(jax.random.PRNGKey(0), x),
+            )
+        xla_init = jax.tree.map(lambda a: a.shape, params)
+        assert merged_init == xla_init
+
+    def test_vit_module_merged_matches_xla_and_grads(self):
+        """ViTAttention under attention_impl="packed_merged" (eval
+        kernel) and "fused_packed_merged" (p=0 train kernel + merged
+        d(qkv) VJP) matches the xla path's outputs — same params, same
+        LoRA adapters — and the train-kernel variant's gradients match
+        autodiff through the xla path (the DINOv2 LoRA trains through
+        attention even though it has no attention dropout)."""
+        import dataclasses
+
+        from triad_tpu.core.config import ViTConfig
+        from triad_tpu.models.vit import ViTAttention
+
+        base = ViTConfig(hidden_size=128, num_heads=2, num_layers=1,
+                         lora_rank=4)
+        x = jnp.asarray(
+            np.random.default_rng(3).normal(size=(2, 50, 128)).astype(
+                np.float32
+            ) * 0.3
+        )
+        mod_xla = ViTAttention(dataclasses.replace(base, attention_impl="xla"))
+        params = mod_xla.init(jax.random.PRNGKey(0), x)
+        # Non-zero LoRA B factors so the adapter path is live.
+        params = jax.tree.map(
+            lambda a: a + 0.01 if a.ndim == 2 and 4 in a.shape else a, params
+        )
+        ref = mod_xla.apply(params, x)
+        for impl in ("packed_merged", "fused_packed_merged"):
+            mod = ViTAttention(dataclasses.replace(base, attention_impl=impl))
+            with pltpu.force_tpu_interpret_mode():
+                out = mod.apply(params, x)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5,
+                err_msg=impl,
+            )
+
+        def loss(mod):
+            return lambda p: jnp.sum(mod.apply(p, x) ** 2)
+
+        g_ref = jax.grad(loss(mod_xla))(params)
+        mod_tr = ViTAttention(
+            dataclasses.replace(base, attention_impl="fused_packed_merged")
+        )
+        with pltpu.force_tpu_interpret_mode():
+            g = jax.grad(loss(mod_tr))(params)
+        flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+        flat = dict(jax.tree_util.tree_leaves_with_path(g))
+        for path, a_ref in flat_ref:
+            np.testing.assert_allclose(
+                np.asarray(flat[path]), np.asarray(a_ref),
+                rtol=2e-4, atol=2e-4, err_msg=str(path),
+            )

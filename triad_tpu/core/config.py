@@ -109,7 +109,13 @@ class HubertConfig:
     # a TPU backend — 2.3x faster than the XLA path there (the
     # (B, H, T, T) probs/mask HBM traffic disappears) — and XLA
     # everywhere else (eval, CPU, p=0, where XLA measured faster).
-    # "xla" / "fused" / "flash" force one implementation.
+    # "xla" / "fused" / "flash" force one implementation. Packed-layout
+    # kernels (no (B, H, N, D) transposes around the kernel): "packed"
+    # (eval, delayed normalization) and "fused_packed" (training).
+    # Merged-qkv variants "packed_merged" / "fused_packed_merged"
+    # additionally compute q|k|v as ONE (C, 3C) matmul whose output
+    # feeds the kernel directly (q/k/v are lane offsets in-kernel, no
+    # split slices — the relayout copies that sank the round-1 merge).
     attention_impl: str = "auto"
     # "auto" (default): fused pallas dropout+residual+LayerNorm kernel
     # (ops/pallas_ln.py) when training with hidden dropout on a TPU

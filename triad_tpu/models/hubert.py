@@ -33,6 +33,7 @@ from triad_tpu.models.layers import (
     dot_product_attention,
     fused_dot_product_attention,
     fused_packed_dot_product_attention,
+    merged_packed_dot_product_attention,
 )
 
 Dtype = Any
@@ -557,18 +558,50 @@ class HubertSelfAttention(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         c = self.cfg
         head_dim = c.hidden_size // c.num_heads
-        # q/k/v stay three separate nn.Dense matmuls: merging them into
-        # one (h, 3h) matmul measured 419 vs 448 clips/s at eval — the
-        # (B, T, 3h) tensor's split slices cost more in layout copies
-        # than the bigger matmul saves.
+        # Default paths keep q/k/v as three separate nn.Dense matmuls:
+        # merging into one (h, 3h) matmul measured 419 vs 448 clips/s
+        # at eval in round 1 — the (B, T, 3h) output's split slices for
+        # XLA attention cost more in layout copies than the bigger
+        # matmul saved. The "packed_merged"/"fused_packed_merged" impls
+        # below retry the merge WITHOUT the split: the merged tensor
+        # feeds a pallas kernel that reads q/k/v at lane offsets.
         dense = lambda name: nn.Dense(
             c.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype, name=name
         )
+        impl = c.attention_impl
+        rate = 0.0 if deterministic else c.attention_dropout
+        if impl in ("packed_merged", "fused_packed_merged"):
+            # One (C, 3C) qkv matmul feeding the merged-layout pallas
+            # kernels (the activation is read from HBM once instead of
+            # three times, ~1.2 GB/step at B=64). Param tree stays
+            # q_proj/k_proj/v_proj {kernel, bias} — checkpoint- and
+            # A/B-interchangeable with the unmerged paths. The round-1
+            # merge lost (419 vs 448 clips/s) because its output had to
+            # be SPLIT for XLA attention; here q/k/v are lane offsets
+            # inside the kernel and no split ever materializes.
+            params = [
+                DenseParams(
+                    c.hidden_size, param_dtype=self.param_dtype, name=nm
+                )(c.hidden_size)
+                for nm in ("q_proj", "k_proj", "v_proj")
+            ]
+            w = jnp.concatenate([p[0] for p in params], axis=1)
+            bvec = jnp.concatenate([p[1] for p in params])
+            qkv = x.astype(self.dtype) @ w.astype(self.dtype) + bvec.astype(
+                self.dtype
+            )
+            rng = self.make_rng("dropout") if rate > 0 else None
+            out = merged_packed_dot_product_attention(
+                qkv, None, self.dtype, head_dim,
+                dropout_rate=rate, dropout_rng=rng,
+                # Training with attention_dropout=0 still needs d(qkv);
+                # the eval kernel has no VJP.
+                differentiable=not deterministic,
+            )
+            return dense("out_proj")(out)
         q = dense("q_proj")(x).reshape(*x.shape[:2], c.num_heads, head_dim)
         k = dense("k_proj")(x).reshape(*x.shape[:2], c.num_heads, head_dim)
         v = dense("v_proj")(x).reshape(*x.shape[:2], c.num_heads, head_dim)
-        impl = c.attention_impl
-        rate = 0.0 if deterministic else c.attention_dropout
         if impl == "auto":
             # fused wins exactly where the XLA path pays for HBM
             # dropout-mask traffic: training with attention dropout on a

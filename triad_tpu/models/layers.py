@@ -228,6 +228,66 @@ def packed_dot_product_attention(
     return out[:, :n].reshape(b, n, h, d)
 
 
+def merged_packed_dot_product_attention(
+    qkv: jax.Array,
+    mask: Optional[jax.Array],
+    dtype: Dtype,
+    head_dim: int,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    differentiable: bool = False,
+) -> jax.Array:
+    """Adapter for the MERGED-qkv pallas kernels: the caller computes
+    q|k|v as ONE (C, 3C) projection matmul and this function dispatches
+    its (B, N, 3*H*Dh) output straight into a kernel that reads q, k
+    and v at lane offsets — no (B, N, C) split slices ever materialize
+    (the layout copies that made the round-1 merged-qkv attempt lose,
+    models/hubert.py round-1 note). Dropout active -> the training
+    kernel (fp32 softmax, in-kernel replayed-PRNG dropout, merged
+    d(qkv) cotangent); otherwise the delayed-normalization eval kernel,
+    UNLESS ``differentiable`` — the eval kernel has no VJP, so a
+    dropout-free caller that still needs d(qkv) (e.g. the LoRA ViT in
+    training, where DINOv2 has no attention dropout but the qkv
+    adapters train) gets the p=0 training kernel instead.
+
+    qkv: (B, N, 3*H*Dh); mask: optional (B, N) key mask (1 = attend).
+    Returns (B, N, H*Dh).
+    """
+    from triad_tpu.ops.pallas_attention import (
+        fused_attention_eval_merged,
+        fused_attention_packed_merged,
+    )
+
+    b, n, hd3 = qkv.shape
+    n_pad = _round_up(n, 128)  # shared q/k padding in the merged layout
+    sm_scale = float(1.0 / np.sqrt(head_dim))
+    qkv = qkv.astype(dtype)
+    if n_pad != n:
+        qkv = jnp.pad(qkv, ((0, 0), (0, n_pad - n), (0, 0)))
+    if mask is not None:
+        key_mask = mask.reshape(b, n).astype(jnp.float32)
+    else:
+        key_mask = jnp.ones((b, n), jnp.float32)
+    if n_pad != n:
+        key_mask = jnp.pad(key_mask, ((0, 0), (0, n_pad - n)))
+
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        seed = jax.random.randint(
+            dropout_rng, (), minval=0, maxval=jnp.iinfo(jnp.int32).max,
+            dtype=jnp.int32,
+        )
+        out = fused_attention_packed_merged(
+            qkv, key_mask, seed, float(dropout_rate), sm_scale
+        )
+    elif differentiable:
+        out = fused_attention_packed_merged(
+            qkv, key_mask, jnp.int32(0), 0.0, sm_scale
+        )
+    else:
+        out = fused_attention_eval_merged(qkv, key_mask, sm_scale)
+    return out[:, :n]
+
+
 def dot_product_attention(
     q: jax.Array,
     k: jax.Array,

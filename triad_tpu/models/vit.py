@@ -74,6 +74,28 @@ class ViTAttention(nn.Module):
             use_bias=c.qkv_bias, dtype=self.dtype, param_dtype=self.param_dtype,
             name="qkv",
         )(x)
+        if c.attention_impl in ("packed_merged", "fused_packed_merged"):
+            # The fused-qkv projection output is ALREADY the merged
+            # layout the merged pallas kernels read (q|k|v at lane
+            # offsets) — feed it straight in; the three slices +
+            # reshapes below (and their padding relayouts at N=261)
+            # never exist. "packed_merged" = eval kernel (delayed
+            # normalization, no VJP — inference/bench only);
+            # "fused_packed_merged" = p=0 training kernel with the
+            # merged d(qkv) custom VJP (DINOv2 has no attention
+            # dropout, but the LoRA qkv adapters train).
+            from triad_tpu.models.layers import (
+                merged_packed_dot_product_attention,
+            )
+
+            out = merged_packed_dot_product_attention(
+                qkv, None, self.dtype, head_dim,
+                differentiable=c.attention_impl == "fused_packed_merged",
+            )
+            return LoRADense(
+                c.hidden_size, rank=rank, alpha=c.lora_alpha,
+                dtype=self.dtype, param_dtype=self.param_dtype, name="proj",
+            )(out)
         # Split along the LAST dim (768-element, lane-aligned slices):
         # reshaping to (B, N, 3, H, Dh) and slicing axis 2 makes XLA
         # materialize two full layout copies of the qkv tensor (~7 ms at

@@ -456,3 +456,243 @@ def _pk_bwd(p_drop, sm_scale, res, do):
 
 
 fused_attention_packed.defvjp(_pk_fwd, _pk_bwd)
+
+
+# ---------------------------------------------------------------------------
+# MERGED-qkv variants: one (B, N, 3*H*D) tensor carries q|k|v.
+#
+# Why: with three separate projections, the three qkv matmuls each
+# re-read the same (B, N, C) activation from HBM (~49 MB x 2 extra
+# reads x 12 layers ~= 1.2 GB/step at B=64 HuBERT shapes) and XLA
+# schedules three separate fusions per layer. A single (C, 3C) matmul
+# reads the activation once — but round 1 measured the merge LOSING
+# (419 vs 448 clips/s) because splitting the (B, N, 3C) output into
+# the (B, H, N, D) operands XLA attention wants forced relayout copies
+# on every slice. These kernels remove the split entirely: q, k, v are
+# read from ONE ref at lane offsets (0, H*D, 2*H*D) inside the kernel,
+# so nothing between the projection matmul and the attention output
+# ever leaves the packed layout. Same math as the unmerged kernels
+# above (delayed-normalization eval / fp32-softmax + replayed-PRNG
+# dropout training); dropout bits are drawn in the same per-(batch,
+# head) order, so merged and unmerged training kernels produce
+# IDENTICAL masks for the same seed.
+#
+# The merged layout shares one N padding between queries and keys
+# (128-multiple) vs the unmerged kernels' 8/128 split — at HuBERT
+# shapes (499 -> 512 vs 504/512) that is +1.6% query rows, well under
+# the saved HBM traffic.
+# ---------------------------------------------------------------------------
+
+
+def _eval_merged_kernel(
+    qkv_ref,  # VMEM (1, N_pad, 3*H*D) packed [q | k | v]
+    bias_ref,  # VMEM (1, 1, N_pad) f32 additive key bias
+    o_ref,  # out VMEM (1, N_pad, H*D)
+    *, h: int, d: int, sm_scale: float,
+):
+    hd = h * d
+    key_bias = bias_ref[0, 0]
+    for hh in range(h):
+        q = qkv_ref[0][:, hh * d:(hh + 1) * d]
+        k = qkv_ref[0][:, hd + hh * d:hd + (hh + 1) * d]
+        v = qkv_ref[0][:, 2 * hd + hh * d:2 * hd + (hh + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale + key_bias[None, :]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            e.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, hh * d:(hh + 1) * d] = (o * (1.0 / denom)).astype(
+            o_ref.dtype
+        )
+
+
+def fused_attention_eval_merged(qkv, mask, sm_scale: float):
+    """Inference attention on a MERGED (B, N, 3*H*D) qkv tensor.
+
+    Delayed-normalization math of fused_attention_eval, but q, k and v
+    are lane slices of one projection output — the caller computes ONE
+    (C, 3C) matmul and no split ever happens at the XLA level. mask:
+    (B, N) f32 key mask (1 = attend); N % 128 == 0 (shared q/k
+    padding); padded query rows are garbage the caller slices off.
+    """
+    b, n, hd3 = qkv.shape
+    hd = hd3 // 3
+    assert hd * 3 == hd3 and hd % 64 == 0, f"bad merged width {hd3}"
+    bias = (1.0 - mask.astype(jnp.float32)) * jnp.float32(-1e30)
+    bias = bias.reshape(b, 1, n)
+    return pl.pallas_call(
+        functools.partial(
+            _eval_merged_kernel, h=hd // 64, d=64, sm_scale=sm_scale
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, hd3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, n, hd), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, hd), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(qkv, bias)
+
+
+def _pkm_fwd_kernel(
+    seed_ref,  # SMEM (1, 1) int32
+    qkv_ref,  # VMEM (1, N, 3*H*D)
+    bias_ref,  # VMEM (1, 1, N)
+    o_ref,  # out VMEM (1, N, H*D)
+    *, h: int, d: int, p_drop: float, sm_scale: float,
+):
+    if p_drop > 0.0:
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+    hd = h * d
+    key_bias = bias_ref[0, 0]
+    for hh in range(h):
+        q = qkv_ref[0][:, hh * d:(hh + 1) * d]
+        k = qkv_ref[0][:, hd + hh * d:hd + (hh + 1) * d]
+        v = qkv_ref[0][:, 2 * hd + hh * d:2 * hd + (hh + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        p = _softmax_f32(s + key_bias[None, :])
+        if p_drop > 0.0:
+            keep = _keep_mask(p.shape, p_drop)
+            p = jnp.where(keep, p * (1.0 / (1.0 - p_drop)), 0.0)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, hh * d:(hh + 1) * d] = o.astype(o_ref.dtype)
+
+
+def _pkm_bwd_kernel(
+    seed_ref,
+    qkv_ref, bias_ref, do_ref,
+    dqkv_ref,  # out VMEM (1, N, 3*H*D)
+    *, h: int, d: int, p_drop: float, sm_scale: float,
+):
+    if p_drop > 0.0:
+        # Same seed, same per-(batch, head) generation order as the
+        # forward AND as the unmerged _pk kernels => identical bits.
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+    hd = h * d
+    key_bias = bias_ref[0, 0]
+    inv_keep = 1.0 / (1.0 - p_drop) if p_drop > 0.0 else 1.0
+    for hh in range(h):
+        q = qkv_ref[0][:, hh * d:(hh + 1) * d]
+        k = qkv_ref[0][:, hd + hh * d:hd + (hh + 1) * d]
+        v = qkv_ref[0][:, 2 * hd + hh * d:2 * hd + (hh + 1) * d]
+        do = do_ref[0][:, hh * d:(hh + 1) * d].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        p = _softmax_f32(s + key_bias[None, :])
+        dmat = jax.lax.dot_general(
+            do, v.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if p_drop > 0.0:
+            keep = _keep_mask(p.shape, p_drop)
+            dropped = jnp.where(keep, p * inv_keep, 0.0)
+            dp = jnp.where(keep, dmat * inv_keep, 0.0)
+        else:
+            dropped = p
+            dp = dmat
+        dqkv_ref[0, :, 2 * hd + hh * d:2 * hd + (hh + 1) * d] = (
+            jax.lax.dot_general(
+                dropped, do, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dqkv_ref.dtype)
+        )
+        di = jnp.sum(dp * p, axis=1, keepdims=True)
+        ds = p * (dp - di)
+        dqkv_ref[0, :, hh * d:(hh + 1) * d] = (
+            jax.lax.dot_general(
+                ds, k.astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale
+        ).astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, hd + hh * d:hd + (hh + 1) * d] = (
+            jax.lax.dot_general(
+                ds, q.astype(jnp.float32),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale
+        ).astype(dqkv_ref.dtype)
+
+
+def _pkm_call(kind, qkv, bias, seed, p_drop, sm_scale, do=None):
+    b, n, hd3 = qkv.shape
+    hd = hd3 // 3
+    h = hd // 64
+    seed2d = seed.astype(jnp.int32).reshape(1, 1)
+    qkvblk = pl.BlockSpec((1, n, hd3), lambda i: (i, 0, 0))
+    oblk = pl.BlockSpec((1, n, hd), lambda i: (i, 0, 0))
+    bias_blk = pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0))
+    smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    if kind == "fwd":
+        return pl.pallas_call(
+            functools.partial(
+                _pkm_fwd_kernel, h=h, d=64, p_drop=p_drop, sm_scale=sm_scale
+            ),
+            grid=(b,),
+            in_specs=[smem, qkvblk, bias_blk],
+            out_specs=oblk,
+            out_shape=jax.ShapeDtypeStruct((b, n, hd), qkv.dtype),
+            compiler_params=params,
+        )(seed2d, qkv, bias)
+    return pl.pallas_call(
+        functools.partial(
+            _pkm_bwd_kernel, h=h, d=64, p_drop=p_drop, sm_scale=sm_scale
+        ),
+        grid=(b,),
+        in_specs=[smem, qkvblk, bias_blk, oblk],
+        out_specs=qkvblk,
+        out_shape=jax.ShapeDtypeStruct((b, n, hd3), qkv.dtype),
+        compiler_params=params,
+    )(seed2d, qkv, bias, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_attention_packed_merged(
+    qkv, mask, seed, p_drop: float, sm_scale: float
+):
+    """Training attention on a MERGED (B, N, 3*H*D) qkv tensor: fp32
+    softmax + in-kernel Bernoulli dropout + flash-style recompute
+    backward that emits ONE merged d(qkv) cotangent — the projection's
+    weight gradient then runs as a single (C, 3C) matmul in XLA. Same
+    math and same replayed dropout bits as fused_attention_packed.
+    mask: (B, N) key mask (1 = attend); N % 128 == 0."""
+    bias = (1.0 - mask.astype(jnp.float32)) * jnp.float32(-1e30)
+    bias = bias.reshape(qkv.shape[0], 1, qkv.shape[1])
+    return _pkm_call("fwd", qkv, bias, seed, p_drop, sm_scale)
+
+
+def _pkm_fwd(qkv, mask, seed, p_drop, sm_scale):
+    o = fused_attention_packed_merged(qkv, mask, seed, p_drop, sm_scale)
+    return o, (qkv, mask, seed)
+
+
+def _pkm_bwd(p_drop, sm_scale, res, do):
+    qkv, mask, seed = res
+    bias = (1.0 - mask.astype(jnp.float32)) * jnp.float32(-1e30)
+    bias = bias.reshape(qkv.shape[0], 1, qkv.shape[1])
+    dqkv = _pkm_call("bwd", qkv, bias, seed, p_drop, sm_scale, do=do)
+    return dqkv, None, None
+
+
+fused_attention_packed_merged.defvjp(_pkm_fwd, _pkm_bwd)
