@@ -184,6 +184,14 @@ def main() -> None:
         cfg = _dc.replace(
             cfg, hubert=_dc.replace(cfg.hubert, attention_impl=_ha_ov)
         )
+    # TRIAD_BENCH_PARAM_DTYPE=bfloat16: store parameters as bf16. The
+    # judged forward already CASTS every weight to bf16 before its
+    # matmul (compute_dtype), so the math is unchanged at bf16
+    # rounding — this knob only halves the ~1 GB/step of fp32 weight
+    # bytes read from HBM (expected ~0.5-0.6 ms at B=64).
+    _pd_ov = _os.environ.get("TRIAD_BENCH_PARAM_DTYPE")
+    if _pd_ov:
+        cfg = _dc.replace(cfg, param_dtype=_pd_ov)
     # TRIAD_BENCH_QUANT=int8: the opt-in int8 serving mode (NOT the
     # judged number — BASELINE's contract is bf16; this is the
     # scored-separately measurement). Dense matmuls run int8 on the
