@@ -24,6 +24,8 @@ run bench_vitpk     3000 env TRIAD_BENCH_VIT_ATTN=packed python bench.py
 run bench_mqkv      3000 env TRIAD_BENCH_HUBERT_ATTN=packed_merged python bench.py
 run bench_vitmq     3000 env TRIAD_BENCH_VIT_ATTN=packed_merged python bench.py
 run bench_bf16w     3000 env TRIAD_BENCH_PARAM_DTYPE=bfloat16 python bench.py
+# all likely eval winners composed (drop losers at codification time)
+run bench_combo     3000 env TRIAD_BENCH_WAVE=x640 TRIAD_BENCH_POSCONV=pallas TRIAD_BENCH_HUBERT_ATTN=packed_merged TRIAD_BENCH_VIT_ATTN=packed_merged TRIAD_BENCH_PARAM_DTYPE=bfloat16 python bench.py
 # scored-separately int8 serving mode (NOT the judged bf16 number)
 run bench_int8      3000 env TRIAD_BENCH_QUANT=int8 python bench.py
 # repeat base to bound tunnel drift
