@@ -40,6 +40,8 @@ run train_lossvjp       3600 python scripts/tpu_train_bench.py 10 chunked_vjp fl
 run train_all           3600 python scripts/tpu_train_bench.py 10 chunked_vjp float32 perf,posconv,wave640
 run train_mqkv          3600 python scripts/tpu_train_bench.py 10 chunked float32 perf,mqkv
 run train_vitmq         3600 python scripts/tpu_train_bench.py 10 chunked float32 perf,vitmq
+# everything composed (drop losers at codification time)
+run train_all2          3600 python scripts/tpu_train_bench.py 10 chunked_vjp float32 perf,posconv,wave640,mqkv,vitmq
 
 # --- host->device ingest with the wire-dtype packed path ---
 run ingest_packed      1800 python scripts/data_throughput.py packed 4 thread
