@@ -155,6 +155,45 @@ def main():
             fused_attention(q, k2, v2, mask2, jnp.int32(3), p, sm).astype(jnp.float32) ** 2
         ),
     )
+
+    # 5. merged-qkv training kernel (fused_attention_packed_merged):
+    #    dropout replay on the real PRNG — (a) same seed => identical
+    #    forward twice, (b) p>0 gradient consistency (directional
+    #    derivative along g matches |g|^2, which only holds when the
+    #    backward replays the forward's exact keep mask).
+    from triad_tpu.ops.pallas_attention import fused_attention_packed_merged
+
+    hd = H * D
+    qkv = jnp.concatenate(
+        [x.transpose(0, 2, 1, 3).reshape(B, T, hd) for x in (q, k, v)],
+        axis=-1,
+    )
+    seedm = jnp.int32(11)
+
+    @jax.jit
+    def merged_fwd(qkv):
+        return fused_attention_packed_merged(qkv, mask, seedm, p, sm)
+
+    o1, o2 = merged_fwd(qkv), merged_fwd(qkv)
+    assert bool(jnp.all(o1 == o2)), "merged fwd not seed-deterministic"
+
+    @jax.jit
+    def merged_loss_and_grad(qkv):
+        f = lambda x: jnp.sum(
+            fused_attention_packed_merged(x, mask, seedm, p, sm).astype(
+                jnp.float32
+            ) ** 2
+        )
+        return jax.value_and_grad(f)(qkv)
+
+    l0, g = merged_loss_and_grad(qkv)
+    eps = 1e-3
+    gn2 = float(jnp.sum(g.astype(jnp.float32) ** 2))
+    l1, _ = merged_loss_and_grad(qkv + eps * g.astype(qkv.dtype))
+    deriv = (float(l1) - float(l0)) / eps
+    rel = abs(deriv - gn2) / max(gn2, 1e-9)
+    print(f"merged dropout grad directional check: rel err {rel:.3e}")
+    assert rel < 0.05, "merged bwd does not replay the fwd dropout mask"
     print("ALL CHECKS PASSED")
 
 

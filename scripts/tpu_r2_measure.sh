@@ -43,6 +43,9 @@ run train_vitmq         3600 python scripts/tpu_train_bench.py 10 chunked float3
 # everything composed (drop losers at codification time)
 run train_all2          3600 python scripts/tpu_train_bench.py 10 chunked_vjp float32 perf,posconv,wave640,mqkv,vitmq
 
+# --- correctness on the real PRNG (interpret mode cannot cover) ---
+run attn_check         2400 python scripts/tpu_attention_check.py
+
 # --- host->device ingest with the wire-dtype packed path ---
 run ingest_packed      1800 python scripts/data_throughput.py packed 4 thread
 run ingest_packed_daug 1800 python scripts/data_throughput.py packed 4 thread device_augment

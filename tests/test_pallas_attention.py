@@ -198,8 +198,12 @@ class TestMergedQkv:
     fp32 reference, the custom VJP's merged d(qkv) matches autodiff,
     and the HubertSelfAttention module produces the same output and
     param tree under attention_impl="packed_merged" as under "xla".
-    Dropout replay (merged == unmerged masks for the same seed) runs on
-    the real chip (interpret-mode PRNG unimplemented)."""
+    Dropout replay (fwd determinism + bwd mask replay) cannot run here
+    (interpret-mode PRNG unimplemented) — it is check 5 of
+    scripts/tpu_attention_check.py on the real chip. Note merged and
+    unmerged kernels draw bits in the same order but produce identical
+    masks only at equal padded query counts (pallas_attention.py merged
+    section comment)."""
 
     def _tensors(self, n=99):
         b, h, d = 2, 3, 64
@@ -359,3 +363,44 @@ class TestMergedQkv:
                 np.asarray(flat[path]), np.asarray(a_ref),
                 rtol=2e-4, atol=2e-4, err_msg=str(path),
             )
+
+
+class TestGuards:
+    """Misconfiguration must raise, not silently fall back or
+    mis-compute: impl strings arrive from env-var A/B knobs, and a typo
+    falling through to XLA would mislabel a hardware measurement."""
+
+    def test_unknown_impl_raises(self):
+        q = jnp.zeros((1, 8, 2, 64), jnp.float32)
+        with pytest.raises(ValueError, match="unknown attention impl"):
+            dot_product_attention(
+                q, q, q, None, jnp.float32, impl="packed_mergd"
+            )
+
+    def test_merged_head_dim_guard(self):
+        from triad_tpu.models.layers import (
+            merged_packed_dot_product_attention,
+        )
+
+        qkv = jnp.zeros((1, 8, 3 * 4 * 32), jnp.float32)
+        with pytest.raises(ValueError, match="head_dim == 64"):
+            merged_packed_dot_product_attention(qkv, None, jnp.float32, 32)
+
+    def test_merged_qkv_rejects_int8_interception(self):
+        import dataclasses
+
+        from triad_tpu.core.config import HubertConfig
+        from triad_tpu.models.hubert import HubertSelfAttention
+        from triad_tpu.models.quantize import int8_interception
+
+        cfg = HubertConfig(
+            hidden_size=128, num_heads=2, num_layers=1,
+            attention_impl="packed_merged",
+        )
+        mod = HubertSelfAttention(cfg)
+        x = jnp.zeros((1, 8, 128), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            params = mod.init(jax.random.PRNGKey(0), x)
+            with int8_interception():
+                with pytest.raises(ValueError, match="int8"):
+                    mod.apply(params, x, deterministic=True)

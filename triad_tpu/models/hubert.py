@@ -571,6 +571,18 @@ class HubertSelfAttention(nn.Module):
         impl = c.attention_impl
         rate = 0.0 if deterministic else c.attention_dropout
         if impl in ("packed_merged", "fused_packed_merged"):
+            from triad_tpu.models.quantize import int8_active
+
+            if int8_active():
+                # The merged qkv matmul below is a raw DenseParams
+                # contraction — nn.intercept_methods cannot quantize it,
+                # so the int8 serving mode would silently run its
+                # largest per-layer matmuls in bf16. Raise instead.
+                raise ValueError(
+                    "hubert attention_impl=packed_merged bypasses the "
+                    "int8 Dense interception (raw qkv matmul); use the "
+                    "xla impls for int8 serving (models/quantize.py)"
+                )
             # One (C, 3C) qkv matmul feeding the merged-layout pallas
             # kernels (the activation is read from HBM once instead of
             # three times, ~1.2 GB/step at B=64). Param tree stays

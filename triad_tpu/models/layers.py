@@ -18,6 +18,17 @@ from flax import linen as nn
 Dtype = Any
 
 
+def _dropout_seed(dropout_rng: jax.Array) -> jax.Array:
+    """int32 kernel seed from a JAX PRNG key — the ONE derivation every
+    replayed-PRNG pallas kernel shares (a change here must apply to all
+    of them at once or kernels documented to share seeds would silently
+    desynchronize)."""
+    return jax.random.randint(
+        dropout_rng, (), minval=0, maxval=jnp.iinfo(jnp.int32).max,
+        dtype=jnp.int32,
+    )
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -122,10 +133,7 @@ def fused_dot_product_attention(
         key_mask = jnp.pad(key_mask, ((0, 0), (0, n_pad - n)))
 
     if dropout_rate > 0.0 and dropout_rng is not None:
-        seed = jax.random.randint(
-            dropout_rng, (), minval=0, maxval=jnp.iinfo(jnp.int32).max,
-            dtype=jnp.int32,
-        )
+        seed = _dropout_seed(dropout_rng)
     else:
         seed = jnp.zeros((), jnp.int32)
         dropout_rate = 0.0
@@ -172,10 +180,7 @@ def fused_packed_dot_product_attention(
         key_mask = jnp.pad(key_mask, ((0, 0), (0, nk_pad - n)))
 
     if dropout_rate > 0.0 and dropout_rng is not None:
-        seed = jax.random.randint(
-            dropout_rng, (), minval=0, maxval=jnp.iinfo(jnp.int32).max,
-            dtype=jnp.int32,
-        )
+        seed = _dropout_seed(dropout_rng)
     else:
         seed = jnp.zeros((), jnp.int32)
         dropout_rate = 0.0
@@ -259,6 +264,16 @@ def merged_packed_dot_product_attention(
     )
 
     b, n, hd3 = qkv.shape
+    if head_dim != 64:
+        # The merged kernels slice heads as 64-wide lane windows; a
+        # different head_dim would silently fuse/truncate heads (and
+        # apply the wrong sm_scale). Raise instead of mis-computing.
+        raise ValueError(
+            f"merged attention kernels require head_dim == 64, got "
+            f"{head_dim} (use the xla/fused impls for other head dims)"
+        )
+    if hd3 % (3 * 64) != 0:
+        raise ValueError(f"bad merged qkv width {hd3} (not 3*H*64)")
     n_pad = _round_up(n, 128)  # shared q/k padding in the merged layout
     sm_scale = float(1.0 / np.sqrt(head_dim))
     qkv = qkv.astype(dtype)
@@ -272,10 +287,7 @@ def merged_packed_dot_product_attention(
         key_mask = jnp.pad(key_mask, ((0, 0), (0, n_pad - n)))
 
     if dropout_rate > 0.0 and dropout_rng is not None:
-        seed = jax.random.randint(
-            dropout_rng, (), minval=0, maxval=jnp.iinfo(jnp.int32).max,
-            dtype=jnp.int32,
-        )
+        seed = _dropout_seed(dropout_rng)
         out = fused_attention_packed_merged(
             qkv, key_mask, seed, float(dropout_rate), sm_scale
         )
@@ -314,6 +326,16 @@ def dot_product_attention(
     no in-kernel dropout) — i.e. flash serves eval always and training
     whenever attention_dropout == 0.
     """
+    if impl not in ("xla", "flash", "packed"):
+        # Unknown names must not silently fall through to the XLA body:
+        # impl strings arrive from env-var A/B knobs (TRIAD_BENCH_*_ATTN)
+        # and a typo would mislabel a hardware measurement as a kernel
+        # number (same rationale as PositionalConvEmbedding's guard).
+        raise ValueError(
+            f"unknown attention impl {impl!r} (expected xla, flash or "
+            f"packed here; fused/packed/merged variants dispatch in the "
+            f"encoder modules)"
+        )
     if impl == "flash" and probs_dropout is None:
         return flash_dot_product_attention(q, k, v, mask, dtype)
     if impl == "packed" and probs_dropout is None:

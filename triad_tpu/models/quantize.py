@@ -69,9 +69,27 @@ def _intercept(next_fn, args, kwargs, context):
     return next_fn(*args, **kwargs)
 
 
+_active_depth = 0
+
+
+def int8_active() -> bool:
+    """True while tracing inside an int8_interception() context.
+
+    Model code whose matmuls CANNOT be intercepted (raw DenseParams
+    feeding pallas kernels, e.g. the merged-qkv attention path) checks
+    this to raise loudly instead of silently shrinking the int8
+    coverage."""
+    return _active_depth > 0
+
+
 @contextlib.contextmanager
 def int8_interception():
     """Context manager: all Dense/LoRADense matmuls traced inside run
     in int8 (dynamic per-token activations, per-channel weights)."""
-    with nn.intercept_methods(_intercept):
-        yield
+    global _active_depth
+    _active_depth += 1
+    try:
+        with nn.intercept_methods(_intercept):
+            yield
+    finally:
+        _active_depth -= 1

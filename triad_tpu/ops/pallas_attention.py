@@ -57,6 +57,102 @@ def _softmax_f32(s):
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
+# Shared per-head math. Every training kernel below (strided (B,H,T,D),
+# packed (B,N,H*D), merged (B,N,3*H*D)) runs these exact bodies per
+# head — the kernels differ ONLY in where q/k/v tiles are sliced from
+# and where outputs are written. One copy of the math means a numerics
+# fix cannot desynchronize the variants. PRNG discipline: each helper
+# draws at most ONE keep mask per call, so the per-(batch, head)
+# generation order is the loop order of the calling kernel.
+
+
+def _head_eval(q, k, v, key_bias, sm_scale: float):
+    """Delayed-normalization inference attention for one head: the
+    (Nq, Nk) probs are never divided — the row sums divide the (Nq, D)
+    output instead (Nk/D fewer divides), and the un-normalized exp goes
+    through the MXU at the input dtype. Returns (Nq, D) fp32."""
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale + key_bias[None, :]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)  # fp32 transient (packed bf16 VPU math
+    # measured slower than fp32 in the frontend kernel)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(  # un-normalized P·V, fp32 accum
+        e.astype(v.dtype), v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return o * (1.0 / denom)
+
+
+def _head_fwd(q, k, v, key_bias, p_drop: float, sm_scale: float):
+    """softmax((q·s)·kᵀ + bias) [dropout] · v for one head; fp32 accum.
+
+    Returns the (Nq, D) fp32 output (caller casts to the output dtype).
+    """
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale
+    p = _softmax_f32(s + key_bias[None, :])
+    if p_drop > 0.0:
+        keep = _keep_mask(p.shape, p_drop)
+        p = jnp.where(keep, p * (1.0 / (1.0 - p_drop)), 0.0)
+    return jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _head_bwd(q, k, v, do, key_bias, p_drop: float, sm_scale: float):
+    """Flash-style recompute backward for one head (same replayed
+    dropout bits as _head_fwd for the same PRNG state):
+
+      dD = dO·Vᵀ ; D = P∘keep/(1-p) ; dP = dD∘keep/(1-p)
+      dV = Dᵀ·dO ; dS = P∘(dP − rowsum(dP∘P)) ; dQ = dS·K·s ; dK = dSᵀ·Q·s
+
+    Returns (dq, dk, dv) as fp32 (caller casts and writes).
+    """
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale
+    p = _softmax_f32(s + key_bias[None, :])
+    dmat = jax.lax.dot_general(  # dD = dO · Vᵀ
+        do, v.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if p_drop > 0.0:
+        inv_keep = 1.0 / (1.0 - p_drop)
+        keep = _keep_mask(p.shape, p_drop)
+        dropped = jnp.where(keep, p * inv_keep, 0.0)
+        dp = jnp.where(keep, dmat * inv_keep, 0.0)
+    else:
+        dropped = p
+        dp = dmat
+    dv = jax.lax.dot_general(  # Dᵀ · dO
+        dropped, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    di = jnp.sum(dp * p, axis=1, keepdims=True)
+    ds = p * (dp - di)
+    dq = jax.lax.dot_general(
+        ds, k.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale
+    dk = jax.lax.dot_general(
+        ds, q.astype(jnp.float32),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale
+    return dq, dk, dv
+
+
 def _fwd_kernel(
     seed_ref,  # SMEM (1, 1) int32
     q_ref, k_ref, v_ref,  # VMEM (1, H, T, D)
@@ -69,20 +165,9 @@ def _fwd_kernel(
     neg = jnp.float32(-1e30)
     key_bias = (1.0 - mask_ref[0, 0]) * neg  # (T,)
     for hh in range(h):
-        q = q_ref[0, hh]  # (T, D)
-        k = k_ref[0, hh]
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * sm_scale
-        p = _softmax_f32(s + key_bias[None, :])
-        if p_drop > 0.0:
-            keep = _keep_mask(p.shape, p_drop)
-            p = jnp.where(keep, p * (1.0 / (1.0 - p_drop)), 0.0)
-        o = jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0, hh],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        o = _head_fwd(
+            q_ref[0, hh], k_ref[0, hh], v_ref[0, hh], key_bias,
+            p_drop, sm_scale,
         )
         o_ref[0, hh] = o.astype(o_ref.dtype)
 
@@ -99,49 +184,14 @@ def _bwd_kernel(
         pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
     neg = jnp.float32(-1e30)
     key_bias = (1.0 - mask_ref[0, 0]) * neg
-    inv_keep = 1.0 / (1.0 - p_drop) if p_drop > 0.0 else 1.0
     for hh in range(h):
-        q = q_ref[0, hh]
-        k = k_ref[0, hh]
-        v = v_ref[0, hh]
-        do = do_ref[0, hh].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * sm_scale
-        p = _softmax_f32(s + key_bias[None, :])
-        dmat = jax.lax.dot_general(  # dD = dO · Vᵀ
-            do, v.astype(jnp.float32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        dq, dk, dv = _head_bwd(
+            q_ref[0, hh], k_ref[0, hh], v_ref[0, hh],
+            do_ref[0, hh].astype(jnp.float32), key_bias, p_drop, sm_scale,
         )
-        if p_drop > 0.0:
-            keep = _keep_mask(p.shape, p_drop)
-            d = jnp.where(keep, p * inv_keep, 0.0)  # dropped probs
-            dp = jnp.where(keep, dmat * inv_keep, 0.0)
-        else:
-            d = p
-            dp = dmat
-        dv_ref[0, hh] = jax.lax.dot_general(  # Dᵀ · dO
-            d, do, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dv_ref.dtype)
-        di = jnp.sum(dp * p, axis=1, keepdims=True)
-        ds = p * (dp - di)  # (T, T) f32
-        dq_ref[0, hh] = (
-            jax.lax.dot_general(
-                ds, k.astype(jnp.float32),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * sm_scale
-        ).astype(dq_ref.dtype)
-        dk_ref[0, hh] = (
-            jax.lax.dot_general(
-                ds, q.astype(jnp.float32),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * sm_scale
-        ).astype(dk_ref.dtype)
+        dq_ref[0, hh] = dq.astype(dq_ref.dtype)
+        dk_ref[0, hh] = dk.astype(dk_ref.dtype)
+        dv_ref[0, hh] = dv.astype(dv_ref.dtype)
 
 
 def _specs(b, h, t, d):
@@ -239,22 +289,11 @@ def _eval_kernel(
     key_bias = bias_ref[0, 0]  # (Nk,) f32
     for hh in range(h):
         sl = slice(hh * d, (hh + 1) * d)
-        q = q_ref[0][:, sl]  # (Nq, D)
-        s = jax.lax.dot_general(
-            q, k_ref[0][:, sl],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * sm_scale + key_bias[None, :]
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)  # fp32 transient (packed bf16 VPU math
-        # measured slower than fp32 in the frontend kernel)
-        denom = jnp.sum(e, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(  # un-normalized P·V, fp32 accum
-            e.astype(v_ref.dtype), v_ref[0][:, sl],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        o = _head_eval(
+            q_ref[0][:, sl], k_ref[0][:, sl], v_ref[0][:, sl],
+            key_bias, sm_scale,
         )
-        o_ref[0, :, sl] = (o * (1.0 / denom)).astype(o_ref.dtype)
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
 
 
 def fused_attention_eval(q, k, v, mask, sm_scale: float):
@@ -318,19 +357,9 @@ def _pk_fwd_kernel(
     key_bias = bias_ref[0, 0]
     for hh in range(h):
         sl = slice(hh * d, (hh + 1) * d)
-        s = jax.lax.dot_general(
-            q_ref[0][:, sl], k_ref[0][:, sl],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * sm_scale
-        p = _softmax_f32(s + key_bias[None, :])
-        if p_drop > 0.0:
-            keep = _keep_mask(p.shape, p_drop)
-            p = jnp.where(keep, p * (1.0 / (1.0 - p_drop)), 0.0)
-        o = jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0][:, sl],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        o = _head_fwd(
+            q_ref[0][:, sl], k_ref[0][:, sl], v_ref[0][:, sl], key_bias,
+            p_drop, sm_scale,
         )
         o_ref[0, :, sl] = o.astype(o_ref.dtype)
 
@@ -345,50 +374,15 @@ def _pk_bwd_kernel(
         # Same seed, same per-head order => identical replayed bits.
         pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
     key_bias = bias_ref[0, 0]
-    inv_keep = 1.0 / (1.0 - p_drop) if p_drop > 0.0 else 1.0
     for hh in range(h):
         sl = slice(hh * d, (hh + 1) * d)
-        q = q_ref[0][:, sl]
-        k = k_ref[0][:, sl]
-        v = v_ref[0][:, sl]
-        do = do_ref[0][:, sl].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * sm_scale
-        p = _softmax_f32(s + key_bias[None, :])
-        dmat = jax.lax.dot_general(  # dD = dO · Vᵀ
-            do, v.astype(jnp.float32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        dq, dk, dv = _head_bwd(
+            q_ref[0][:, sl], k_ref[0][:, sl], v_ref[0][:, sl],
+            do_ref[0][:, sl].astype(jnp.float32), key_bias, p_drop, sm_scale,
         )
-        if p_drop > 0.0:
-            keep = _keep_mask(p.shape, p_drop)
-            dropped = jnp.where(keep, p * inv_keep, 0.0)
-            dp = jnp.where(keep, dmat * inv_keep, 0.0)
-        else:
-            dropped = p
-            dp = dmat
-        dv_ref[0, :, sl] = jax.lax.dot_general(  # Dᵀ · dO
-            dropped, do, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dv_ref.dtype)
-        di = jnp.sum(dp * p, axis=1, keepdims=True)
-        ds = p * (dp - di)
-        dq_ref[0, :, sl] = (
-            jax.lax.dot_general(
-                ds, k.astype(jnp.float32),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * sm_scale
-        ).astype(dq_ref.dtype)
-        dk_ref[0, :, sl] = (
-            jax.lax.dot_general(
-                ds, q.astype(jnp.float32),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * sm_scale
-        ).astype(dk_ref.dtype)
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
 
 
 def _pk_call(kind, q, k, v, bias, seed, p_drop, sm_scale, do=None):
@@ -472,10 +466,15 @@ fused_attention_packed.defvjp(_pk_fwd, _pk_bwd)
 # read from ONE ref at lane offsets (0, H*D, 2*H*D) inside the kernel,
 # so nothing between the projection matmul and the attention output
 # ever leaves the packed layout. Same math as the unmerged kernels
-# above (delayed-normalization eval / fp32-softmax + replayed-PRNG
-# dropout training); dropout bits are drawn in the same per-(batch,
-# head) order, so merged and unmerged training kernels produce
-# IDENTICAL masks for the same seed.
+# above — literally: all six kernels call the shared _head_fwd /
+# _head_bwd bodies. Dropout bits are drawn in the same per-(batch,
+# head) order; the BITS match the unmerged kernels only when the
+# padded query count also matches (the merged layout shares one
+# 128-multiple N between q and k, the unmerged packed adapter pads
+# queries to 8 — at HuBERT T=499 the streams diverge after head 0:
+# 512x512 vs 504x512 draws). Dropout is noise, not a checkpoint
+# contract; what matters (and holds unconditionally) is fwd==bwd
+# replay WITHIN each kernel.
 #
 # The merged layout shares one N padding between queries and keys
 # (128-multiple) vs the unmerged kernels' 8/128 split — at HuBERT
@@ -493,24 +492,13 @@ def _eval_merged_kernel(
     hd = h * d
     key_bias = bias_ref[0, 0]
     for hh in range(h):
-        q = qkv_ref[0][:, hh * d:(hh + 1) * d]
-        k = qkv_ref[0][:, hd + hh * d:hd + (hh + 1) * d]
-        v = qkv_ref[0][:, 2 * hd + hh * d:2 * hd + (hh + 1) * d]
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * sm_scale + key_bias[None, :]
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        denom = jnp.sum(e, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            e.astype(v.dtype), v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        o = _head_eval(
+            qkv_ref[0][:, hh * d:(hh + 1) * d],
+            qkv_ref[0][:, hd + hh * d:hd + (hh + 1) * d],
+            qkv_ref[0][:, 2 * hd + hh * d:2 * hd + (hh + 1) * d],
+            key_bias, sm_scale,
         )
-        o_ref[0, :, hh * d:(hh + 1) * d] = (o * (1.0 / denom)).astype(
-            o_ref.dtype
-        )
+        o_ref[0, :, hh * d:(hh + 1) * d] = o.astype(o_ref.dtype)
 
 
 def fused_attention_eval_merged(qkv, mask, sm_scale: float):
@@ -556,21 +544,11 @@ def _pkm_fwd_kernel(
     hd = h * d
     key_bias = bias_ref[0, 0]
     for hh in range(h):
-        q = qkv_ref[0][:, hh * d:(hh + 1) * d]
-        k = qkv_ref[0][:, hd + hh * d:hd + (hh + 1) * d]
-        v = qkv_ref[0][:, 2 * hd + hh * d:2 * hd + (hh + 1) * d]
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * sm_scale
-        p = _softmax_f32(s + key_bias[None, :])
-        if p_drop > 0.0:
-            keep = _keep_mask(p.shape, p_drop)
-            p = jnp.where(keep, p * (1.0 / (1.0 - p_drop)), 0.0)
-        o = jax.lax.dot_general(
-            p.astype(v.dtype), v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        o = _head_fwd(
+            qkv_ref[0][:, hh * d:(hh + 1) * d],
+            qkv_ref[0][:, hd + hh * d:hd + (hh + 1) * d],
+            qkv_ref[0][:, 2 * hd + hh * d:2 * hd + (hh + 1) * d],
+            key_bias, p_drop, sm_scale,
         )
         o_ref[0, :, hh * d:(hh + 1) * d] = o.astype(o_ref.dtype)
 
@@ -583,55 +561,27 @@ def _pkm_bwd_kernel(
 ):
     if p_drop > 0.0:
         # Same seed, same per-(batch, head) generation order as the
-        # forward AND as the unmerged _pk kernels => identical bits.
+        # merged forward => identical replayed bits. (Bits match the
+        # UNMERGED _pk kernels only when the padded query count matches
+        # — see fused_attention_packed_merged's docstring.)
         pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
     hd = h * d
     key_bias = bias_ref[0, 0]
-    inv_keep = 1.0 / (1.0 - p_drop) if p_drop > 0.0 else 1.0
     for hh in range(h):
-        q = qkv_ref[0][:, hh * d:(hh + 1) * d]
-        k = qkv_ref[0][:, hd + hh * d:hd + (hh + 1) * d]
-        v = qkv_ref[0][:, 2 * hd + hh * d:2 * hd + (hh + 1) * d]
-        do = do_ref[0][:, hh * d:(hh + 1) * d].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * sm_scale
-        p = _softmax_f32(s + key_bias[None, :])
-        dmat = jax.lax.dot_general(
-            do, v.astype(jnp.float32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        dq, dk, dv = _head_bwd(
+            qkv_ref[0][:, hh * d:(hh + 1) * d],
+            qkv_ref[0][:, hd + hh * d:hd + (hh + 1) * d],
+            qkv_ref[0][:, 2 * hd + hh * d:2 * hd + (hh + 1) * d],
+            do_ref[0][:, hh * d:(hh + 1) * d].astype(jnp.float32),
+            key_bias, p_drop, sm_scale,
         )
-        if p_drop > 0.0:
-            keep = _keep_mask(p.shape, p_drop)
-            dropped = jnp.where(keep, p * inv_keep, 0.0)
-            dp = jnp.where(keep, dmat * inv_keep, 0.0)
-        else:
-            dropped = p
-            dp = dmat
-        dqkv_ref[0, :, 2 * hd + hh * d:2 * hd + (hh + 1) * d] = (
-            jax.lax.dot_general(
-                dropped, do, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, hh * d:(hh + 1) * d] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, hd + hh * d:hd + (hh + 1) * d] = dk.astype(
+            dqkv_ref.dtype
         )
-        di = jnp.sum(dp * p, axis=1, keepdims=True)
-        ds = p * (dp - di)
-        dqkv_ref[0, :, hh * d:(hh + 1) * d] = (
-            jax.lax.dot_general(
-                ds, k.astype(jnp.float32),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * sm_scale
-        ).astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, hd + hh * d:hd + (hh + 1) * d] = (
-            jax.lax.dot_general(
-                ds, q.astype(jnp.float32),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * sm_scale
-        ).astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, 2 * hd + hh * d:2 * hd + (hh + 1) * d] = dv.astype(
+            dqkv_ref.dtype
+        )
 
 
 def _pkm_call(kind, qkv, bias, seed, p_drop, sm_scale, do=None):
@@ -675,8 +625,13 @@ def fused_attention_packed_merged(
     softmax + in-kernel Bernoulli dropout + flash-style recompute
     backward that emits ONE merged d(qkv) cotangent — the projection's
     weight gradient then runs as a single (C, 3C) matmul in XLA. Same
-    math and same replayed dropout bits as fused_attention_packed.
-    mask: (B, N) key mask (1 = attend); N % 128 == 0."""
+    math as fused_attention_packed (shared _head_fwd/_head_bwd bodies);
+    dropout bits replay exactly between this kernel's own fwd and bwd,
+    but match the unmerged kernel's only at equal padded query counts
+    (see the section comment above). mask: (B, N) key mask (1 =
+    attend); N % 128 == 0. Heads are 64-wide lane slices — callers go
+    through models/layers.merged_packed_dot_product_attention, which
+    validates head_dim == 64."""
     bias = (1.0 - mask.astype(jnp.float32)) * jnp.float32(-1e30)
     bias = bias.reshape(qkv.shape[0], 1, qkv.shape[1])
     return _pkm_call("fwd", qkv, bias, seed, p_drop, sm_scale)
