@@ -93,57 +93,15 @@ def build_train_fn():
     from triad_tpu.train.optim import OptimizerBank, ParamPartition
     from triad_tpu.train.step import StepFactory, init_train_state
 
-    model_cfg = ModelConfig()
     # TRIAD_TRAIN_KNOBS: same comma-separated knobs as
-    # scripts/tpu_train_bench.py (tanh, pkattn, vitpk, monofe) so the
-    # trace profiles the measured configuration.
-    knobs = set(
-        k for k in os.environ.get("TRIAD_TRAIN_KNOBS", "").split(",") if k
+    # scripts/tpu_train_bench.py — applied by the SHARED
+    # core.config.apply_train_knobs so the traced program is the
+    # measured program (the scripts previously carried drifting copies).
+    from triad_tpu.core.config import apply_train_knobs
+
+    model_cfg = apply_train_knobs(
+        ModelConfig(), os.environ.get("TRIAD_TRAIN_KNOBS", "")
     )
-    if "tanh" in knobs:
-        model_cfg = dataclasses.replace(
-            model_cfg,
-            hubert=dataclasses.replace(model_cfg.hubert, mlp_gelu="tanh"),
-            vit=dataclasses.replace(
-                model_cfg.vit, mlp_impl="fused", mlp_gelu="tanh"
-            ),
-        )
-    if "pkattn" in knobs:
-        model_cfg = dataclasses.replace(
-            model_cfg,
-            hubert=dataclasses.replace(
-                model_cfg.hubert, attention_impl="fused_packed"
-            ),
-        )
-    if "vitpk" in knobs:
-        model_cfg = dataclasses.replace(
-            model_cfg,
-            vit=dataclasses.replace(
-                model_cfg.vit, attention_impl="fused_packed"
-            ),
-        )
-    if "monofe" in knobs:
-        model_cfg = dataclasses.replace(
-            model_cfg,
-            hubert=dataclasses.replace(
-                model_cfg.hubert, frontend_impl="monolithic",
-                frontend_gelu="tanh",
-            ),
-        )
-    if "posconv" in knobs:
-        model_cfg = dataclasses.replace(
-            model_cfg,
-            hubert=dataclasses.replace(
-                model_cfg.hubert, posconv_impl="pallas"
-            ),
-        )
-    if "wave640" in knobs:
-        model_cfg = dataclasses.replace(
-            model_cfg,
-            hubert=dataclasses.replace(
-                model_cfg.hubert, frontend_wave_layout="x640"
-            ),
-        )
     # TRIAD_TRAIN_LOSS=chunked|pallas (default chunked, the production
     # train path) — for tracing the loss-impl A/B.
     loss_cfg = LossConfig(

@@ -46,6 +46,10 @@ run train_all2          3600 python scripts/tpu_train_bench.py 10 chunked_vjp fl
 # --- correctness on the real PRNG (interpret mode cannot cover) ---
 run attn_check         2400 python scripts/tpu_attention_check.py
 
+# --- xplane traces for win attribution (ground truth vs scan timing) ---
+run trace_eval         2400 python scripts/tpu_profile_trace.py eval "$OUT/xplane_eval"
+run trace_train        3600 env TRIAD_TRAIN_KNOBS=perf,posconv,wave640,mqkv,vitmq python scripts/tpu_profile_trace.py train "$OUT/xplane_train"
+
 # --- host->device ingest with the wire-dtype packed path ---
 run ingest_packed      1800 python scripts/data_throughput.py packed 4 thread
 run ingest_packed_daug 1800 python scripts/data_throughput.py packed 4 thread device_augment

@@ -37,97 +37,13 @@ def main() -> None:
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     loss_impl = sys.argv[2] if len(sys.argv) > 2 else "chunked"
     moments = sys.argv[3] if len(sys.argv) > 3 else "float32"
-    # 4th arg: comma-separated perf knobs ("tanh" = tanh-form GELU in
-    # the fused MLP kernels; "monofe" = monolithic pallas frontend fwd
-    # with XLA-recompute backward). Default = parity config.
+    # 4th arg: comma-separated perf knobs — the shared set documented
+    # in core.config.apply_train_knobs. Default = parity config.
     knobs = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else set()
 
-    import dataclasses
+    from triad_tpu.core.config import apply_train_knobs
 
-    model_cfg = ModelConfig()
-    if "perf" in knobs:
-        # Shorthand for the codified tuned set (== tanh,pkattn,vitpk,
-        # monofe; pinned by tests/test_config.py).
-        from triad_tpu.core.config import perf_train_model_config
-
-        model_cfg = perf_train_model_config()
-    if "tanh" in knobs:
-        model_cfg = dataclasses.replace(
-            model_cfg,
-            hubert=dataclasses.replace(model_cfg.hubert, mlp_gelu="tanh"),
-            vit=dataclasses.replace(
-                model_cfg.vit, mlp_impl="fused", mlp_gelu="tanh"
-            ),
-        )
-    if "pkattn" in knobs:
-        model_cfg = dataclasses.replace(
-            model_cfg,
-            hubert=dataclasses.replace(
-                model_cfg.hubert, attention_impl="fused_packed"
-            ),
-        )
-    if "mqkv" in knobs:
-        # Merged-qkv packed attention in HuBERT: one (C, 3C) projection
-        # matmul + merged d(qkv) cotangent (one dW matmul in the bwd)
-        # feeding the lane-offset kernels — supersedes pkattn when set.
-        model_cfg = dataclasses.replace(
-            model_cfg,
-            hubert=dataclasses.replace(
-                model_cfg.hubert, attention_impl="fused_packed_merged"
-            ),
-        )
-    if "vitpk" in knobs:
-        model_cfg = dataclasses.replace(
-            model_cfg,
-            vit=dataclasses.replace(
-                model_cfg.vit, attention_impl="fused_packed"
-            ),
-        )
-    if "vitmq" in knobs:
-        # Merged-qkv in the ViT: the fused-qkv LoRA output feeds the
-        # lane-offset kernels directly (no q/k/v slices + reshapes).
-        model_cfg = dataclasses.replace(
-            model_cfg,
-            vit=dataclasses.replace(
-                model_cfg.vit, attention_impl="fused_packed_merged"
-            ),
-        )
-    if "monofe" in knobs:
-        model_cfg = dataclasses.replace(
-            model_cfg,
-            hubert=dataclasses.replace(
-                model_cfg.hubert, frontend_impl="monolithic",
-                frontend_gelu="tanh",
-            ),
-        )
-    if "posconv" in knobs:
-        model_cfg = dataclasses.replace(
-            model_cfg,
-            hubert=dataclasses.replace(
-                model_cfg.hubert, posconv_impl="pallas"
-            ),
-        )
-    if "wave640" in knobs:
-        model_cfg = dataclasses.replace(
-            model_cfg,
-            hubert=dataclasses.replace(
-                model_cfg.hubert, frontend_wave_layout="x640"
-            ),
-        )
-    # Remat-policy A/B: "rematconv" checkpoints the whole frontend as
-    # one unit (bwd recomputes it once, unchunked); "noremat" stores
-    # all frontend activations (no recompute; ~4-8 GB extra HBM at
-    # B=64 — may OOM, that is the experiment).
-    if "rematconv" in knobs:
-        model_cfg = dataclasses.replace(
-            model_cfg,
-            hubert=dataclasses.replace(model_cfg.hubert, remat="conv"),
-        )
-    if "noremat" in knobs:
-        model_cfg = dataclasses.replace(
-            model_cfg,
-            hubert=dataclasses.replace(model_cfg.hubert, remat="none"),
-        )
+    model_cfg = apply_train_knobs(ModelConfig(), knobs)
     loss_cfg = LossConfig(
         implementation=loss_impl, chunk_size=16, matmul_precision="default"
     )

@@ -62,3 +62,23 @@ def test_v5e8_yaml_resolves_to_tuned_train_kernels():
     assert cfg.model.vit.mlp_gelu == tuned.vit.mlp_gelu
     assert cfg.mesh.num_devices == 8
     assert cfg.data.batch_size_av == 512
+
+
+def test_apply_train_knobs_shared_parser():
+    """The A/B knob parser shared by tpu_train_bench and
+    tpu_profile_trace: composition applies, unknown names raise (a typo
+    must not silently measure/trace the baseline)."""
+    import pytest
+
+    from triad_tpu.core.config import ModelConfig, apply_train_knobs
+
+    c = apply_train_knobs(ModelConfig(), "perf,posconv,wave640,mqkv,vitmq")
+    assert c.hubert.attention_impl == "fused_packed_merged"
+    assert c.vit.attention_impl == "fused_packed_merged"
+    assert c.hubert.posconv_impl == "pallas"
+    assert c.hubert.frontend_wave_layout == "x640"
+    assert c.hubert.frontend_impl == "monolithic"  # from perf
+    with pytest.raises(ValueError, match="unknown train knobs"):
+        apply_train_knobs(ModelConfig(), "mqkvv")
+    # iterables work too, and no knobs is the parity config
+    assert apply_train_knobs(ModelConfig(), []) == ModelConfig()

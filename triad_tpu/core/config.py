@@ -536,3 +536,107 @@ def perf_eval_loss_config() -> LossConfig:
     return LossConfig(
         implementation="chunked", chunk_size=16, matmul_precision="default"
     )
+
+
+def apply_train_knobs(model_cfg: ModelConfig, knobs) -> ModelConfig:
+    """Apply the comma-separated perf A/B knob set shared by
+    scripts/tpu_train_bench.py and scripts/tpu_profile_trace.py — ONE
+    parser so the traced program is guaranteed to be the measured
+    program (the two scripts previously carried drifting copies).
+
+    knobs: iterable of strings or a comma-separated string. Unknown
+    knob names raise (a typo must not silently profile the baseline and
+    mislabel a hardware measurement).
+    """
+    if isinstance(knobs, str):
+        knobs = [k for k in knobs.split(",") if k]
+    knobs = set(knobs)
+    known = {
+        "perf", "tanh", "pkattn", "mqkv", "vitpk", "vitmq", "monofe",
+        "posconv", "wave640", "rematconv", "noremat",
+    }
+    unknown = knobs - known
+    if unknown:
+        raise ValueError(f"unknown train knobs {sorted(unknown)}")
+    if "perf" in knobs:
+        # Shorthand for the codified tuned set (== tanh,pkattn,vitpk,
+        # monofe; pinned by tests/test_config.py).
+        model_cfg = perf_train_model_config()
+    if "tanh" in knobs:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            hubert=dataclasses.replace(model_cfg.hubert, mlp_gelu="tanh"),
+            vit=dataclasses.replace(
+                model_cfg.vit, mlp_impl="fused", mlp_gelu="tanh"
+            ),
+        )
+    if "pkattn" in knobs:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            hubert=dataclasses.replace(
+                model_cfg.hubert, attention_impl="fused_packed"
+            ),
+        )
+    if "mqkv" in knobs:
+        # Merged-qkv packed attention in HuBERT: one (C, 3C) projection
+        # matmul + merged d(qkv) cotangent (one dW matmul in the bwd)
+        # feeding the lane-offset kernels — supersedes pkattn when set.
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            hubert=dataclasses.replace(
+                model_cfg.hubert, attention_impl="fused_packed_merged"
+            ),
+        )
+    if "vitpk" in knobs:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            vit=dataclasses.replace(
+                model_cfg.vit, attention_impl="fused_packed"
+            ),
+        )
+    if "vitmq" in knobs:
+        # Merged-qkv in the ViT: the fused-qkv LoRA output feeds the
+        # lane-offset kernels directly (no q/k/v slices + reshapes).
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            vit=dataclasses.replace(
+                model_cfg.vit, attention_impl="fused_packed_merged"
+            ),
+        )
+    if "monofe" in knobs:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            hubert=dataclasses.replace(
+                model_cfg.hubert, frontend_impl="monolithic",
+                frontend_gelu="tanh",
+            ),
+        )
+    if "posconv" in knobs:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            hubert=dataclasses.replace(
+                model_cfg.hubert, posconv_impl="pallas"
+            ),
+        )
+    if "wave640" in knobs:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            hubert=dataclasses.replace(
+                model_cfg.hubert, frontend_wave_layout="x640"
+            ),
+        )
+    # Remat-policy A/Bs: "rematconv" checkpoints the whole frontend as
+    # one unit (bwd recomputes it once, unchunked); "noremat" stores
+    # all frontend activations (no recompute; ~4-8 GB extra HBM at
+    # B=64 — may OOM, that is the experiment).
+    if "rematconv" in knobs:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            hubert=dataclasses.replace(model_cfg.hubert, remat="conv"),
+        )
+    if "noremat" in knobs:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            hubert=dataclasses.replace(model_cfg.hubert, remat="none"),
+        )
+    return model_cfg
