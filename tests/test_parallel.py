@@ -400,3 +400,27 @@ class TestRingNegatives:
                     axis=("replica", "data"),
                 )
             )(a, v)
+
+
+@pytest.mark.slow
+def test_multiprocess_dp_matches_single_process():
+    """Multi-host enablement end to end: 2 coordinated CPU processes x 4
+    virtual devices each == the single-process 8-device mesh, final
+    params bitwise-matching (scripts/multiproc_smoke.py: the loaders'
+    process_shard row slicing + Trainer._put's
+    make_array_from_process_local_data + put_global_tree state init)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "multiproc_smoke.py")],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=1500,
+    )
+    assert proc.returncode == 0, proc.stdout[-4000:] + proc.stderr[-4000:]
+    assert "MULTIPROCESS SMOKE PASSED" in proc.stdout

@@ -83,6 +83,15 @@ def main(argv=None) -> None:
     )
     args = parser.parse_args(argv)
 
+    # Multi-host launches: bring up the JAX distributed runtime before
+    # any backend touch (TRIAD_COORDINATOR/... env vars or TPU-pod
+    # auto-detection; no-op single-process — parallel/distributed.py).
+    from triad_tpu.parallel.distributed import initialize_from_env
+
+    pid, pc = initialize_from_env()
+    if pc > 1:
+        print(f"distributed runtime up: process {pid}/{pc}")
+
     config = build_config(args)
     from triad_tpu.train.trainer import Trainer
 

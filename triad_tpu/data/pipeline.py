@@ -27,6 +27,38 @@ from triad_tpu.data.tokenizer import WordPieceTokenizer
 from triad_tpu.data.workers import WorkerPool
 
 
+def _check_shard(shard, batch_size: int):
+    """Validate a (process_index, process_count) loader shard."""
+    if shard is None:
+        return None
+    pi, pc = int(shard[0]), int(shard[1])
+    if pc <= 1:
+        return None
+    if not 0 <= pi < pc:
+        raise ValueError(f"bad process_shard {shard}")
+    if batch_size % pc:
+        raise ValueError(
+            f"global batch_size {batch_size} not divisible by "
+            f"process_count {pc}"
+        )
+    return pi, pc
+
+
+def _shard_rows(idx: np.ndarray, shard) -> np.ndarray:
+    """This process's row-slice of a global batch's sample indices.
+
+    Row-contiguous slicing matches the mesh's device order: process p's
+    rows land on its addressable devices under a batch-axis
+    NamedSharding (jax.make_array_from_process_local_data), so the
+    assembled global array is bitwise the single-process batch.
+    """
+    if shard is None:
+        return idx
+    pi, pc = shard
+    local = len(idx) // pc
+    return idx[pi * local : (pi + 1) * local]
+
+
 class _IndexSampler:
     """Deterministic shuffled epoch permutation with O(1) cursor jump."""
 
@@ -113,6 +145,7 @@ class AVLoader:
         unique_videos: bool = False,
         worker_mode: str = "thread",
         device_augment: bool = False,
+        process_shard=None,
     ):
         """``unique_video_ids``: optional per-sample source-video ids;
         when given, batches are drawn with the UniqueVideoSampler (no
@@ -122,7 +155,13 @@ class AVLoader:
         each epoch start (tracks segment switches).
 
         ``worker_mode``: "thread" (in-process) or "process" (spawned
-        decode workers — true CPU parallelism, data/workers.py)."""
+        decode workers — true CPU parallelism, data/workers.py).
+
+        ``process_shard``: (process_index, process_count) on multi-host
+        runs (parallel/distributed.py). Every process runs the SAME
+        deterministic sampler and decodes only its row-slice of each
+        global batch, so batch composition, order and augmentation
+        draws are bitwise-identical to a single-process run."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.audio_num_samples = audio_num_samples
@@ -146,6 +185,7 @@ class AVLoader:
                 "unique_videos needs a dataset with video_files (or pass "
                 "unique_video_ids)"
             )
+        self.process_shard = _check_shard(process_shard, batch_size)
         self.pool = WorkerPool(dataset, num_workers, worker_mode)
 
     def __len__(self) -> int:
@@ -169,7 +209,7 @@ class AVLoader:
             )
         batched_aug = self.augment and hasattr(self.dataset, "raw_item")
         for b in range(start_batch, sampler.num_batches):
-            idx = sampler.batch_indices(b)
+            idx = _shard_rows(sampler.batch_indices(b), self.process_shard)
             if batched_aug:
                 # Fast path (pre-decoded datasets): fetch raw pixels,
                 # then augment the whole batch with vectorized numpy
@@ -284,9 +324,11 @@ class TVLoader:
         augment: bool = True,
         drop_last: bool = True,
         worker_mode: str = "thread",
+        process_shard=None,
     ):
         self.dataset = dataset
         self.tokenizer = tokenizer
+        self.process_shard = _check_shard(process_shard, batch_size)
         self.pool = WorkerPool(dataset, num_workers, worker_mode)
         self.batch_size = batch_size
         self.max_text_tokens = max_text_tokens
@@ -308,7 +350,7 @@ class TVLoader:
             self.drop_last,
         )
         for b in range(start_batch, sampler.num_batches):
-            idx = sampler.batch_indices(b)
+            idx = _shard_rows(sampler.batch_indices(b), self.process_shard)
             seeds = [(self.seed, epoch, b, int(i)) for i in idx]
             items = self.pool.map(idx, self.augment, seeds=seeds)
             images = np.stack([img for img, _ in items])

@@ -31,11 +31,39 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from triad_tpu.parallel.distributed import fetch
+
 
 def select_subset_indices(
     dataset_size: int, subset_file: str, subset_size: int = 1000
 ) -> List[int]:
-    """Load-or-create the persisted subset (reference retrieval.py:9-30)."""
+    """Load-or-create the persisted subset (reference retrieval.py:9-30).
+
+    Multi-process: process 0 loads-or-creates and the result is
+    broadcast to everyone (every process must embed the SAME subset —
+    the per-host filesystems need not be shared, and concurrent
+    create+read of the JSON would race).
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        # Fixed-size wire format (broadcast needs equal shapes): slot 0
+        # is the true length, the rest the zero-padded subset.
+        buf = np.zeros(subset_size + 1, dtype=np.int64)
+        if jax.process_index() == 0:
+            subset = _load_or_create_subset(
+                dataset_size, subset_file, subset_size
+            )[:subset_size]
+            buf[0] = len(subset)
+            buf[1 : 1 + len(subset)] = subset
+        buf = multihost_utils.broadcast_one_to_all(buf)
+        return [int(i) for i in buf[1 : 1 + int(buf[0])]]
+    return _load_or_create_subset(dataset_size, subset_file, subset_size)
+
+
+def _load_or_create_subset(
+    dataset_size: int, subset_file: str, subset_size: int
+) -> List[int]:
     if os.path.exists(subset_file):
         with open(subset_file) as f:
             indices = json.load(f)
@@ -44,8 +72,10 @@ def select_subset_indices(
     indices = list(range(dataset_size))
     random.shuffle(indices)
     subset = indices[:subset_size]
-    with open(subset_file, "w") as f:
+    tmp = subset_file + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(subset, f)
+    os.replace(tmp, subset_file)
     print(f"Created new subset of size {len(subset)} -> {subset_file}")
     return subset
 
@@ -204,8 +234,8 @@ def embed_av_subset(
             [pad_or_trim(it["audio"], audio_num_samples) for it in items]
         )
         a_feats, v_feats = encode_fn(jnp.asarray(images), jnp.asarray(audio))
-        a_feats = np.asarray(a_feats, np.float32)
-        v_feats = np.asarray(v_feats, np.float32)
+        a_feats = fetch(a_feats).astype(np.float32)
+        v_feats = fetch(v_feats).astype(np.float32)
         na = a_feats.shape[1]
         for b, raw_len in enumerate(raw_lens):
             if num_tokens_fn is not None:
@@ -246,9 +276,9 @@ def embed_tv_subset(
         t_feats, v_feats = encode_fn(
             jnp.asarray(images), jnp.asarray(ids), jnp.asarray(mask)
         )
-        t_list.append(np.asarray(t_feats, np.float32))
+        t_list.append(fetch(t_feats).astype(np.float32))
         tm_list.append(mask.astype(np.float32))
-        v_list.append(np.asarray(v_feats, np.float32))
+        v_list.append(fetch(v_feats).astype(np.float32))
     return (
         np.concatenate(t_list),
         np.concatenate(tm_list),

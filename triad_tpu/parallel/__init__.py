@@ -1,3 +1,10 @@
+from triad_tpu.parallel.distributed import (
+    fetch,
+    global_batch_from_local,
+    initialize_from_env,
+    process_shard,
+    put_global_tree,
+)
 from triad_tpu.parallel.dp import (
     distributed_av_loss,
     distributed_tv_loss,
@@ -14,4 +21,9 @@ __all__ = [
     "make_mesh",
     "apply_zero1",
     "zero1_state_shardings",
+    "fetch",
+    "global_batch_from_local",
+    "initialize_from_env",
+    "process_shard",
+    "put_global_tree",
 ]

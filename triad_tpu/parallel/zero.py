@@ -88,5 +88,12 @@ def zero1_state_shardings(state: Any, mesh: Mesh, axis="data") -> Any:
 
 
 def apply_zero1(state: Any, mesh: Mesh, axis="data") -> Any:
-    """Place a TrainState with ZeRO-1 shardings on ``mesh``."""
-    return jax.device_put(state, zero1_state_shardings(state, mesh, axis))
+    """Place a TrainState with ZeRO-1 shardings on ``mesh``.
+
+    Multi-process safe: routes through
+    parallel.distributed.put_global_tree (every process holds the full
+    host-initialized state; plain device_put rejects global shardings).
+    """
+    from triad_tpu.parallel.distributed import put_global_tree
+
+    return put_global_tree(state, zero1_state_shardings(state, mesh, axis))

@@ -87,19 +87,30 @@ class CheckpointManager:
             "config": config_dict,
             "extra": extra or {},
         }
-        self._meta_path(step).write_text(json.dumps(meta, indent=2))
+        # Orbax saves are collective (all processes participate above);
+        # the plain-file metadata write is process 0's alone — a shared
+        # checkpoint FS is assumed for multi-host, as Orbax requires.
+        if jax.process_index() == 0:
+            self._meta_path(step).write_text(json.dumps(meta, indent=2))
         if is_best:
             self._save_best(train_state, meta)
 
     def _save_best(self, train_state: Any, meta: Dict[str, Any]) -> None:
         import shutil
 
-        if self._best_dir.exists():
+        if jax.process_index() == 0 and self._best_dir.exists():
             shutil.rmtree(self._best_dir)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("triad_best_dir_cleared")
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(self._best_dir / "state", train_state)
         ckptr.wait_until_finished()
-        (self._best_dir / "host_meta.json").write_text(json.dumps(meta, indent=2))
+        if jax.process_index() == 0:
+            (self._best_dir / "host_meta.json").write_text(
+                json.dumps(meta, indent=2)
+            )
 
     # -- restore --------------------------------------------------------
 

@@ -174,17 +174,26 @@ class Trainer:
                 "(pass data.tokenizer_vocab for the pretrained vocab)"
             )
 
+        # Multi-process (multi-host) runs: every process runs the same
+        # deterministic samplers and decodes only its row-slice of each
+        # global batch (parallel/distributed.py). batch_size_* stay
+        # GLOBAL; _put assembles the globally-sharded arrays.
+        from triad_tpu.parallel.distributed import process_shard
+
+        self._proc_shard = process_shard()
         self.av_loader = AVLoader(
             self.av_dataset, dc.batch_size_av, dc.audio_num_samples,
             seed=tc.seed, num_workers=dc.num_workers,
             worker_mode=dc.worker_mode,
             unique_videos=dc.unique_videos
             and hasattr(self.av_dataset, "video_files"),
+            process_shard=self._proc_shard,
         )
         self.tv_loader = TVLoader(
             self.tv_dataset, self.tokenizer, dc.batch_size_tv,
             max_text_tokens=dc.max_text_tokens, seed=tc.seed,
             num_workers=dc.num_workers, worker_mode=dc.worker_mode,
+            process_shard=self._proc_shard,
         )
 
         # -- mesh (DP scale-out; opt-in via mesh.num_devices) ----------
@@ -247,7 +256,9 @@ class Trainer:
                     self.state, self.mesh, self.mesh_axis
                 )
             else:
-                self.state = jax.device_put(
+                from triad_tpu.parallel.distributed import put_global_tree
+
+                self.state = put_global_tree(
                     self.state, NamedSharding(self.mesh, P())
                 )
         # donate_argnums=0: the previous TrainState's buffers (params +
@@ -466,6 +477,17 @@ class Trainer:
 
     def _put(self, arr) -> jax.Array:
         if self.mesh is not None:
+            if self._proc_shard is not None:
+                # Multi-process: ``arr`` is this host's row-slice; the
+                # returned array has the full global shape with only
+                # our shards addressable (parallel/distributed.py).
+                from triad_tpu.parallel.distributed import (
+                    global_batch_from_local,
+                )
+
+                return global_batch_from_local(
+                    self.mesh, P(self.mesh_axis), arr
+                )
             return jax.device_put(
                 jnp.asarray(arr),
                 NamedSharding(self.mesh, P(self.mesh_axis)),
@@ -538,6 +560,7 @@ class Trainer:
                 self.val_av_dataset, self.config.data.batch_size_av,
                 self.config.data.audio_num_samples, shuffle=False,
                 augment=False, num_workers=self.config.data.num_workers,
+                process_shard=self._proc_shard,
             )
             av_iter = iter(av_loader)
         if self.val_tv_dataset is not None and mode in ("tv", "joint"):
@@ -547,6 +570,7 @@ class Trainer:
                 max_text_tokens=self.config.data.max_text_tokens,
                 shuffle=False, augment=False,
                 num_workers=self.config.data.num_workers,
+                process_shard=self._proc_shard,
             )
             tv_iter = iter(tv_loader)
         if av_iter is None and tv_iter is None:

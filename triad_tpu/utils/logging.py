@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 from pathlib import Path
 from typing import Any, Dict, Optional
 
@@ -39,20 +40,35 @@ class MetricsLogger:
         run_name: Optional[str] = None,
         config: Optional[Dict[str, Any]] = None,
     ):
+        # Multi-process runs: metrics/artifacts are host-side effects —
+        # only process 0 writes (every process computes the identical
+        # device-side values; N copies of the same JSONL line are noise
+        # at best and interleaved-write corruption at worst).
+        try:
+            import jax
+
+            self._primary = jax.process_index() == 0
+        except Exception:  # noqa: BLE001 — logger must never hard-fail
+            self._primary = True
+
         self.output_dir = Path(output_dir)
         self.output_dir.mkdir(parents=True, exist_ok=True)
         self.jsonl_path = self.output_dir / "metrics.jsonl"
-        self._jsonl = open(self.jsonl_path, "a", buffering=1)
-
-        logging.basicConfig(
-            filename=str(self.output_dir / "training.log"),
-            level=logging.INFO,
-            format="%(asctime)s - %(message)s",
+        self._jsonl = (
+            open(self.jsonl_path, "a", buffering=1) if self._primary
+            else open(os.devnull, "w")
         )
+
+        if self._primary:
+            logging.basicConfig(
+                filename=str(self.output_dir / "training.log"),
+                level=logging.INFO,
+                format="%(asctime)s - %(message)s",
+            )
         self.logger = logging.getLogger("triad_tpu")
 
         self._wandb = None
-        if use_wandb:
+        if use_wandb and self._primary:
             try:
                 import wandb
 
@@ -94,7 +110,8 @@ class MetricsLogger:
 
     def info(self, msg: str) -> None:
         self.logger.info(msg)
-        print(msg)
+        if self._primary:
+            print(msg)
 
     def close(self) -> None:
         self._jsonl.close()
