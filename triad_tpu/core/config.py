@@ -397,6 +397,16 @@ class MeshConfig:
     # globally (parallel/dp.py multi-axis collectives).
     num_slices: int = 1
     replica_axis: str = "replica"
+    # Tensor (model) parallelism: with tp > 1 the mesh is 2-D
+    # (num_devices/tp, tp) and parameters shard Megatron-style over
+    # ``model_axis`` (parallel/tp.py); the batch shards over
+    # ``data_axis`` only and the distributed loss is unchanged.
+    # Requires the XLA impl knobs (pallas kernels are opaque to the
+    # GSPMD partitioner) — "auto" knobs are resolved to "xla", explicit
+    # pallas knobs are rejected. Composes with neither num_slices > 1
+    # nor zero1 yet (moments replicate under tp).
+    tp: int = 1
+    model_axis: str = "model"
     # ZeRO-1: shard Adam moments (+ grad accumulator) over the data axis
     # instead of replicating them (parallel/zero.py). Bitwise-identical
     # math; frees ~(1 - 1/N) of the moment HBM per chip.

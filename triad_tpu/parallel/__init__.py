@@ -10,6 +10,12 @@ from triad_tpu.parallel.dp import (
     distributed_tv_loss,
     make_mesh,
 )
+from triad_tpu.parallel.tp import (
+    make_dp_tp_mesh,
+    resolve_xla_impls,
+    tp_param_specs,
+    tp_state_shardings,
+)
 from triad_tpu.parallel.zero import (
     apply_zero1,
     zero1_state_shardings,
@@ -26,4 +32,8 @@ __all__ = [
     "initialize_from_env",
     "process_shard",
     "put_global_tree",
+    "make_dp_tp_mesh",
+    "resolve_xla_impls",
+    "tp_param_specs",
+    "tp_state_shardings",
 ]

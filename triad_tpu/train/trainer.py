@@ -17,6 +17,7 @@ best-model tracking (train.py:1129-1144).
 
 from __future__ import annotations
 
+import dataclasses
 from pathlib import Path
 from typing import Dict, Iterator, Optional, Tuple
 
@@ -198,12 +199,31 @@ class Trainer:
 
         # -- mesh (DP scale-out; opt-in via mesh.num_devices) ----------
         n_dev = config.mesh.num_devices or 1
+        tp = config.mesh.tp
         self.mesh_axis = config.mesh.data_axis
+        self._tp_specs = None
         if n_dev > 1:
             from triad_tpu.parallel import make_mesh
             from triad_tpu.parallel.dp import make_multislice_mesh
 
-            if config.mesh.num_slices > 1:
+            if tp > 1:
+                if config.mesh.num_slices > 1:
+                    raise ValueError("mesh.tp does not compose with "
+                                     "mesh.num_slices yet")
+                from triad_tpu.parallel.tp import (
+                    make_dp_tp_mesh,
+                    resolve_xla_impls,
+                )
+
+                config = dataclasses.replace(
+                    config, model=resolve_xla_impls(config.model)
+                )
+                self.config = config
+                self.mesh = make_dp_tp_mesh(
+                    n_dev, tp, data_axis=config.mesh.data_axis,
+                    model_axis=config.mesh.model_axis,
+                )
+            elif config.mesh.num_slices > 1:
                 self.mesh = make_multislice_mesh(
                     config.mesh.num_slices,
                     n_dev // config.mesh.num_slices,
@@ -214,17 +234,24 @@ class Trainer:
                 )
             else:
                 self.mesh = make_mesh(n_dev, axis=config.mesh.data_axis)
+            dp_size = n_dev // tp
             for name, bs in (
                 ("batch_size_av", dc.batch_size_av),
                 ("batch_size_tv", dc.batch_size_tv),
             ):
-                if bs % n_dev:
+                if bs % dp_size:
                     raise ValueError(
-                        f"{name}={bs} not divisible by {n_dev} devices"
+                        f"{name}={bs} not divisible by the data-parallel "
+                        f"size {dp_size}"
                     )
+            extras = ["all-gathered negatives"]
+            if tp > 1:
+                extras.append(f"tensor-parallel x{tp}")
+            if config.mesh.num_slices > 1:
+                extras.append(f"{config.mesh.num_slices} slices")
             self.metrics.info(
-                f"Data-parallel over {n_dev} devices (all-gathered negatives"
-                + (f", {config.mesh.num_slices} slices)" if config.mesh.num_slices > 1 else ")")
+                f"Data-parallel over {dp_size} replicas "
+                f"({', '.join(extras)})"
             )
         else:
             self.mesh = None
@@ -249,7 +276,24 @@ class Trainer:
             params, self.bank, jax.random.key(tc.seed + 1)
         )
         if self.mesh is not None:
-            if config.mesh.zero1:
+            if tp > 1:
+                # Tensor parallelism: params (+ grad accumulator) carry
+                # the Megatron column/row specs; optimizer moments
+                # replicate (ZeRO-1 x TP is future work — parallel/tp.py).
+                from triad_tpu.parallel.distributed import put_global_tree
+                from triad_tpu.parallel.tp import (
+                    tp_param_specs,
+                    tp_state_shardings,
+                )
+
+                self._tp_specs = tp_param_specs(
+                    params, tp, model_axis=config.mesh.model_axis
+                )
+                self.state = put_global_tree(
+                    self.state,
+                    tp_state_shardings(self.state, self.mesh, self._tp_specs),
+                )
+            elif config.mesh.zero1:
                 from triad_tpu.parallel.zero import apply_zero1
 
                 self.state = apply_zero1(
