@@ -204,3 +204,104 @@ def test_trainer_tp_matches_dp(tmp_path):
             np.asarray(leaf), np.asarray(ref[path]),
             rtol=1e-4, atol=1e-5, err_msg=jax.tree_util.keystr(path),
         )
+
+
+class TestZero1TpComposition:
+    """ZeRO-1 x TP (parallel/zero.py param_specs path): moments inherit
+    their param's Megatron spec AND shard over 'data' on a free dim;
+    the step's numbers must not move."""
+
+    def test_moment_shardings_combine_axes(self, params):
+        from triad_tpu.core.config import OptimConfig
+        from triad_tpu.parallel.tp import make_dp_tp_mesh, tp_param_specs
+        from triad_tpu.parallel.zero import zero1_state_shardings
+        from triad_tpu.train import (
+            OptimizerBank,
+            ParamPartition,
+            init_train_state,
+        )
+
+        optim_cfg = OptimConfig(gradient_accumulation_steps=2)
+        partition = ParamPartition(params)
+        bank = OptimizerBank(optim_cfg, partition, total_updates=100)
+        state = init_train_state(params, bank, jax.random.key(1))
+        mesh = make_dp_tp_mesh(8, 2)
+        specs = tp_param_specs(params, 2)
+        sh = zero1_state_shardings(
+            state, mesh, "data", param_specs=specs, partition=partition
+        )
+        # params keep the pure TP spec (replicated over 'data')
+        assert sh.params["audio_backbone"]["layer_0"]["attention"][
+            "q_proj"]["kernel"].spec == P(None, "model")
+        # find the q_proj.kernel moment in the 'audio' group's mu list:
+        # its spec must use BOTH axes (kernel (32, 32): tp=2 on dim 1,
+        # data=4 on dim 0)
+        flat, _ = jax.tree_util.tree_flatten_with_path(sh.opt)
+        combined = [
+            s for p, s in flat
+            if hasattr(s, "spec")
+            and set(jax.tree.leaves(tuple(s.spec))) >= {"data", "model"}
+        ]
+        assert combined, "no moment sharded over both axes"
+        # grad accumulator follows the same rule
+        acc = sh.grad_accum["audio_backbone"]["layer_0"]["attention"][
+            "q_proj"]["kernel"]
+        assert acc.spec == P("data", "model")
+
+    def test_step_matches_single_device(self, params):
+        from triad_tpu.core.config import LossConfig, OptimConfig
+        from triad_tpu.parallel.tp import make_dp_tp_mesh, tp_param_specs
+        from triad_tpu.parallel.zero import apply_zero1
+        from triad_tpu.train import (
+            OptimizerBank,
+            ParamPartition,
+            StepFactory,
+            init_train_state,
+        )
+
+        model_cfg = _small_cfg()
+        loss_cfg = LossConfig(implementation="chunked", chunk_size=2)
+        optim_cfg = OptimConfig(
+            gradient_accumulation_steps=1, unfreeze_audio_step=0,
+            unfreeze_text_step=0, unfreeze_vit_step=0,
+        )
+        partition = ParamPartition(params)
+        bank = OptimizerBank(optim_cfg, partition, total_updates=100)
+
+        B = 8
+        rng = np.random.default_rng(3)
+        av = {
+            "images": rng.normal(size=(B, 28, 28, 3)).astype(np.float32),
+            "audio": (rng.normal(size=(B, 800)) * 0.1).astype(np.float32),
+        }
+        one = jnp.float32(1.0)
+
+        f0 = StepFactory(model_cfg, loss_cfg, optim_cfg, bank, mesh=None)
+        s0 = init_train_state(params, bank, jax.random.key(1))
+        ns0, m0 = jax.jit(f0.make_step("av"))(
+            s0, {k: jnp.asarray(v) for k, v in av.items()}, None, one, one
+        )
+
+        mesh = make_dp_tp_mesh(8, 2)
+        f1 = StepFactory(
+            model_cfg, loss_cfg, optim_cfg, bank, mesh=mesh, mesh_axis="data"
+        )
+        s1 = init_train_state(params, bank, jax.random.key(1))
+        s1 = apply_zero1(
+            s1, mesh, "data",
+            param_specs=tp_param_specs(params, 2), partition=partition,
+        )
+        sh = NamedSharding(mesh, P("data"))
+        ns1, m1 = jax.jit(f1.make_step("av"))(
+            s1, {k: jax.device_put(jnp.asarray(v), sh) for k, v in av.items()},
+            None, one, one,
+        )
+        np.testing.assert_allclose(
+            float(m0["train_loss"]), float(m1["train_loss"]), rtol=2e-5
+        )
+        ref = dict(jax.tree_util.tree_leaves_with_path(ns0.params))
+        for path, leaf in jax.tree_util.tree_leaves_with_path(ns1.params):
+            np.testing.assert_allclose(
+                np.asarray(leaf), np.asarray(ref[path]),
+                rtol=5e-5, atol=1e-5, err_msg=jax.tree_util.keystr(path),
+            )

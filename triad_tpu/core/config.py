@@ -403,8 +403,9 @@ class MeshConfig:
     # ``data_axis`` only and the distributed loss is unchanged.
     # Requires the XLA impl knobs (pallas kernels are opaque to the
     # GSPMD partitioner) — "auto" knobs are resolved to "xla", explicit
-    # pallas knobs are rejected. Composes with neither num_slices > 1
-    # nor zero1 yet (moments replicate under tp).
+    # pallas knobs are rejected. Composes with zero1 (moments shard
+    # over 'data' on top of their param's TP spec) but not with
+    # num_slices > 1 yet.
     tp: int = 1
     model_axis: str = "model"
     # ZeRO-1: shard Adam moments (+ grad accumulator) over the data axis

@@ -162,8 +162,9 @@ def tp_param_specs(params: Any, tp: int, model_axis: str = "model") -> Any:
 def tp_state_shardings(state: Any, mesh: Mesh, param_specs: Any) -> Any:
     """NamedSharding tree for a TrainState under tensor parallelism:
     params (and the grad accumulator, params-shaped) carry the TP
-    specs; optimizer moments and scalars replicate (Megatron default —
-    ZeRO-1 x TP composition is future work, parallel/zero.py)."""
+    specs; optimizer moments and scalars replicate (Megatron default).
+    For moments ALSO sharded over 'data' (ZeRO-1 x TP), use
+    parallel.zero.apply_zero1(..., param_specs=..., partition=...)."""
     replicated = NamedSharding(mesh, P())
 
     def shard(tree_of_specs):

@@ -53,29 +53,106 @@ def shard_largest_dim(x, mesh: Mesh, axis) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
-def zero1_state_shardings(state: Any, mesh: Mesh, axis="data") -> Any:
+def zero1_state_shardings(
+    state: Any,
+    mesh: Mesh,
+    axis="data",
+    param_specs: Any = None,
+    partition: Any = None,
+) -> Any:
     """Sharding pytree for a TrainState: params replicated, optimizer
-    moments + grad accumulator sharded (ZeRO-1), scalars replicated."""
+    moments + grad accumulator sharded (ZeRO-1), scalars replicated.
+
+    Tensor-parallel composition (``param_specs`` + ``partition`` given,
+    parallel/tp.py): params keep their Megatron specs; every Adam
+    moment inherits its param's TP spec and additionally shards its
+    largest spec-free dim over ``axis`` — ZeRO-1 on top of TP, so the
+    moment storage divides by dp*tp, not just dp. The mapping from a
+    moment leaf back to its param rides the tree path: the moments live
+    in per-group ``mu``/``nu`` leaf lists aligned with
+    ``partition.split`` (train/optim.py OptimizerBank)."""
     replicated = NamedSharding(mesh, P())
 
-    def moments(tree):
-        return jax.tree.map(lambda x: shard_largest_dim(x, mesh, axis), tree)
+    if param_specs is None:
 
-    def spec_for_opt(opt_state):
-        # BankState(adam={group: optax state}, sched_counts={group: scalar}).
-        # Adam states hold count scalars + mu/nu trees; shard every
-        # non-scalar leaf, replicate scalars (counts).
-        return jax.tree.map(
-            lambda x: (
-                shard_largest_dim(x, mesh, axis)
-                if getattr(x, "ndim", 0) >= 1
-                else replicated
-            ),
-            opt_state,
+        def moments(tree):
+            return jax.tree.map(
+                lambda x: shard_largest_dim(x, mesh, axis), tree
+            )
+
+        def spec_for_opt(opt_state):
+            # BankState(adam={group: optax state}, sched_counts={group:
+            # scalar}). Adam states hold count scalars + mu/nu trees;
+            # shard every non-scalar leaf, replicate scalars (counts).
+            return jax.tree.map(
+                lambda x: (
+                    shard_largest_dim(x, mesh, axis)
+                    if getattr(x, "ndim", 0) >= 1
+                    else replicated
+                ),
+                opt_state,
+            )
+
+        param_shardings = jax.tree.map(lambda _: replicated, state.params)
+    else:
+        spec_parts = partition.split(param_specs)
+        axis_names = (axis,) if isinstance(axis, str) else tuple(axis)
+        n_data = int(np.prod([mesh.shape[a] for a in axis_names]))
+
+        def extend_with_data(base: P, x) -> NamedSharding:
+            """base TP spec + ``axis`` on the largest free divisible dim."""
+            shape = getattr(x, "shape", ())
+            entries = list(base) + [None] * (len(shape) - len(base))
+            best = None
+            for d, s in enumerate(shape):
+                if entries[d] is None and s % n_data == 0 and s >= n_data:
+                    if best is None or s > shape[best]:
+                        best = d
+            if best is not None:
+                entries[best] = axis
+            return NamedSharding(mesh, P(*entries))
+
+        def spec_for_opt(opt_state):
+            from jax.tree_util import DictKey, GetAttrKey, SequenceKey
+
+            def leaf_spec(path, x):
+                group = None
+                field = None
+                idx = None
+                for k in path:
+                    if isinstance(k, DictKey) and k.key in spec_parts:
+                        group = k.key
+                    elif isinstance(k, GetAttrKey) and k.name in ("mu", "nu"):
+                        field = k.name
+                    elif field is not None and isinstance(k, SequenceKey):
+                        idx = k.idx
+                        break
+                if group is not None and field is not None and idx is not None:
+                    return extend_with_data(spec_parts[group][idx], x)
+                if getattr(x, "ndim", 0) >= 1:
+                    return shard_largest_dim(x, mesh, axis)
+                return replicated
+
+            return jax.tree_util.tree_map_with_path(leaf_spec, opt_state)
+
+        def moments(tree):
+            # grad accumulator: params-shaped — TP spec + data extension
+            spec_leaves = partition.leaves(param_specs)
+            acc_leaves = partition.leaves(tree)
+            out = [
+                extend_with_data(s, x)
+                for s, x in zip(spec_leaves, acc_leaves)
+            ]
+            return jax.tree_util.tree_unflatten(partition.treedef, out)
+
+        param_shardings = jax.tree.map(
+            lambda s: NamedSharding(mesh, s),
+            param_specs,
+            is_leaf=lambda s: isinstance(s, P),
         )
 
     return state.replace(
-        params=jax.tree.map(lambda _: replicated, state.params),
+        params=param_shardings,
         opt=spec_for_opt(state.opt),
         grad_accum=(
             moments(state.grad_accum)
@@ -87,8 +164,16 @@ def zero1_state_shardings(state: Any, mesh: Mesh, axis="data") -> Any:
     )
 
 
-def apply_zero1(state: Any, mesh: Mesh, axis="data") -> Any:
-    """Place a TrainState with ZeRO-1 shardings on ``mesh``.
+def apply_zero1(
+    state: Any,
+    mesh: Mesh,
+    axis="data",
+    param_specs: Any = None,
+    partition: Any = None,
+) -> Any:
+    """Place a TrainState with ZeRO-1 shardings on ``mesh`` (optionally
+    composed with tensor-parallel ``param_specs`` — see
+    zero1_state_shardings).
 
     Multi-process safe: routes through
     parallel.distributed.put_global_tree (every process holds the full
@@ -96,4 +181,7 @@ def apply_zero1(state: Any, mesh: Mesh, axis="data") -> Any:
     """
     from triad_tpu.parallel.distributed import put_global_tree
 
-    return put_global_tree(state, zero1_state_shardings(state, mesh, axis))
+    return put_global_tree(
+        state,
+        zero1_state_shardings(state, mesh, axis, param_specs, partition),
+    )

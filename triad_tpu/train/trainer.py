@@ -278,8 +278,10 @@ class Trainer:
         if self.mesh is not None:
             if tp > 1:
                 # Tensor parallelism: params (+ grad accumulator) carry
-                # the Megatron column/row specs; optimizer moments
-                # replicate (ZeRO-1 x TP is future work — parallel/tp.py).
+                # the Megatron column/row specs. With zero1, moments
+                # additionally shard over 'data' on top of their
+                # param's TP spec (parallel/zero.py); without it they
+                # replicate (Megatron default).
                 from triad_tpu.parallel.distributed import put_global_tree
                 from triad_tpu.parallel.tp import (
                     tp_param_specs,
@@ -289,10 +291,21 @@ class Trainer:
                 self._tp_specs = tp_param_specs(
                     params, tp, model_axis=config.mesh.model_axis
                 )
-                self.state = put_global_tree(
-                    self.state,
-                    tp_state_shardings(self.state, self.mesh, self._tp_specs),
-                )
+                if config.mesh.zero1:
+                    from triad_tpu.parallel.zero import apply_zero1
+
+                    self.state = apply_zero1(
+                        self.state, self.mesh, self.mesh_axis,
+                        param_specs=self._tp_specs,
+                        partition=self.partition,
+                    )
+                else:
+                    self.state = put_global_tree(
+                        self.state,
+                        tp_state_shardings(
+                            self.state, self.mesh, self._tp_specs
+                        ),
+                    )
             elif config.mesh.zero1:
                 from triad_tpu.parallel.zero import apply_zero1
 
