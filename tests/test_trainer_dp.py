@@ -66,3 +66,40 @@ def test_multislice_dp_trainer(tmp_path):
     assert trainer.mesh is not None and trainer.mesh.shape["replica"] == 2
     trainer.train()
     assert np.isfinite(float(trainer.state.params["temperature"]))
+
+
+def test_dp_sharded_retrieval_matches_single_device(tmp_path):
+    """The retrieval embedding shards its batches over the mesh
+    (Trainer._shard_eval_input); metrics must equal the single-device
+    trainer's on the same params + subset."""
+    import json
+
+    from triad_tpu.train.trainer import Trainer
+
+    def build(mesh_cfg, out):
+        cfg = tiny_config(out)
+        cfg = dataclasses.replace(
+            cfg,
+            mesh=mesh_cfg,
+            data=dataclasses.replace(
+                cfg.data, batch_size_av=8, batch_size_tv=8,
+                synthetic_av_size=16, synthetic_tv_size=16,
+            ),
+            train=dataclasses.replace(
+                cfg.train, retrieval_subset_size=16,
+                output_dir=str(out / "run"),
+            ),
+        )
+        t = Trainer(cfg, force_new_training=True)
+        # identical persisted subsets (selection is random otherwise)
+        for name in ("retrieval_subset_av.json", "retrieval_subset_tv.json"):
+            (t.output_dir / name).write_text(json.dumps(list(range(16))))
+        return t
+
+    ref = build(MeshConfig(), tmp_path / "single")
+    m_ref = ref.eval_1000_way_retrieval()
+    dp = build(MeshConfig(num_devices=8), tmp_path / "dp")
+    m_dp = dp.eval_1000_way_retrieval()
+    assert m_ref.keys() == m_dp.keys() and len(m_ref) > 0
+    for k in m_ref:
+        np.testing.assert_allclose(m_dp[k], m_ref[k], atol=1e-6, err_msg=k)

@@ -656,6 +656,28 @@ class Trainer:
     # Retrieval eval (train.py:835-874 -> eval/retrieval.py)
     # ------------------------------------------------------------------
 
+    def _shard_eval_input(self, arr) -> jax.Array:
+        """Batch-shard a retrieval/eval input over the mesh when it
+        divides evenly — the N-way embedding then runs data-parallel
+        instead of every chip redundantly computing the same (replicated)
+        batch. Multi-process runs keep the replicated path (every host
+        embeds the full subset; sharding there would need per-host
+        row-slices of the eval set)."""
+        arr = jnp.asarray(arr)
+        if self.mesh is None or self._proc_shard is not None:
+            return arr
+        n = int(np.prod(
+            [self.mesh.shape[a] for a in (
+                self.mesh_axis if isinstance(self.mesh_axis, tuple)
+                else (self.mesh_axis,)
+            )]
+        ))
+        if arr.shape[0] % n:
+            return arr
+        return jax.device_put(
+            arr, NamedSharding(self.mesh, P(self.mesh_axis))
+        )
+
     def eval_1000_way_retrieval(self) -> Dict[str, float]:
         out: Dict[str, float] = {}
         temp = float(self.state.params["temperature"])
@@ -672,7 +694,11 @@ class Trainer:
             )
 
             def enc_av(images, audio):
-                return self._enc_av(self.state.params, images, audio)
+                return self._enc_av(
+                    self.state.params,
+                    self._shard_eval_input(images),
+                    self._shard_eval_input(audio),
+                )
 
             a, am, v = embed_av_subset(
                 enc_av, self.val_av_dataset, indices,
@@ -688,7 +714,12 @@ class Trainer:
             )
 
             def enc_tv(images, ids, mask):
-                return self._enc_tv(self.state.params, images, ids, mask)
+                return self._enc_tv(
+                    self.state.params,
+                    self._shard_eval_input(images),
+                    self._shard_eval_input(ids),
+                    self._shard_eval_input(mask),
+                )
 
             t, tm, v = embed_tv_subset(
                 enc_tv, self.val_tv_dataset, indices, self.tokenizer,
