@@ -408,6 +408,13 @@ class MeshConfig:
     # num_slices > 1 yet.
     tp: int = 1
     model_axis: str = "model"
+    # FSDP / ZeRO-3: store every large parameter sharded over the data
+    # axis; GSPMD all-gathers each layer's weights at use and
+    # reduce-scatters their grads (parallel/fsdp.py). Same per-step
+    # wire bytes as DP's grad all-reduce. Composes with tp (extends the
+    # Megatron specs) and zero1 (moments inherit the sharded specs).
+    # Like tp, forces the XLA impl knobs.
+    fsdp: bool = False
     # ZeRO-1: shard Adam moments (+ grad accumulator) over the data axis
     # instead of replicating them (parallel/zero.py). Bitwise-identical
     # math; frees ~(1 - 1/N) of the moment HBM per chip.

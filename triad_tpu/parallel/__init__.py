@@ -10,6 +10,7 @@ from triad_tpu.parallel.dp import (
     distributed_tv_loss,
     make_mesh,
 )
+from triad_tpu.parallel.fsdp import fsdp_param_specs
 from triad_tpu.parallel.tp import (
     make_dp_tp_mesh,
     resolve_xla_impls,
@@ -32,6 +33,7 @@ __all__ = [
     "initialize_from_env",
     "process_shard",
     "put_global_tree",
+    "fsdp_param_specs",
     "make_dp_tp_mesh",
     "resolve_xla_impls",
     "tp_param_specs",

@@ -100,9 +100,17 @@ def zero1_state_shardings(
         n_data = int(np.prod([mesh.shape[a] for a in axis_names]))
 
         def extend_with_data(base: P, x) -> NamedSharding:
-            """base TP spec + ``axis`` on the largest free divisible dim."""
+            """base spec + ``axis`` on the largest free divisible dim.
+            A base already using ``axis`` (FSDP param specs) is kept —
+            the moments simply inherit the param's sharding."""
             shape = getattr(x, "shape", ())
             entries = list(base) + [None] * (len(shape) - len(base))
+            used = {
+                n for e in entries if e is not None
+                for n in (e if isinstance(e, tuple) else (e,))
+            }
+            if used & set(axis_names):
+                return NamedSharding(mesh, base)
             best = None
             for d, s in enumerate(shape):
                 if entries[d] is None and s % n_data == 0 and s >= n_data:

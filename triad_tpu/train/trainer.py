@@ -200,25 +200,28 @@ class Trainer:
         # -- mesh (DP scale-out; opt-in via mesh.num_devices) ----------
         n_dev = config.mesh.num_devices or 1
         tp = config.mesh.tp
+        fsdp = config.mesh.fsdp
         self.mesh_axis = config.mesh.data_axis
         self._tp_specs = None
         if n_dev > 1:
             from triad_tpu.parallel import make_mesh
             from triad_tpu.parallel.dp import make_multislice_mesh
 
-            if tp > 1:
-                if config.mesh.num_slices > 1:
-                    raise ValueError("mesh.tp does not compose with "
-                                     "mesh.num_slices yet")
-                from triad_tpu.parallel.tp import (
-                    make_dp_tp_mesh,
-                    resolve_xla_impls,
-                )
+            if (tp > 1 or fsdp) and config.mesh.num_slices > 1:
+                raise ValueError("mesh.tp/mesh.fsdp do not compose with "
+                                 "mesh.num_slices yet")
+            if tp > 1 or fsdp:
+                # pallas kernels are opaque to the GSPMD partitioner —
+                # sharded params need the XLA impls (parallel/tp.py)
+                from triad_tpu.parallel.tp import resolve_xla_impls
 
                 config = dataclasses.replace(
                     config, model=resolve_xla_impls(config.model)
                 )
                 self.config = config
+            if tp > 1:
+                from triad_tpu.parallel.tp import make_dp_tp_mesh
+
                 self.mesh = make_dp_tp_mesh(
                     n_dev, tp, data_axis=config.mesh.data_axis,
                     model_axis=config.mesh.model_axis,
@@ -247,6 +250,8 @@ class Trainer:
             extras = ["all-gathered negatives"]
             if tp > 1:
                 extras.append(f"tensor-parallel x{tp}")
+            if fsdp:
+                extras.append("FSDP params")
             if config.mesh.num_slices > 1:
                 extras.append(f"{config.mesh.num_slices} slices")
             self.metrics.info(
@@ -254,6 +259,13 @@ class Trainer:
                 f"({', '.join(extras)})"
             )
         else:
+            if self._proc_shard is not None:
+                raise ValueError(
+                    "multi-process run (jax.process_count() > 1) needs a "
+                    "device mesh: set mesh.num_devices to the GLOBAL chip "
+                    "count (every process would otherwise train its own "
+                    "redundant copy)"
+                )
             self.mesh = None
 
         # -- model / optimizer ----------------------------------------
@@ -276,21 +288,33 @@ class Trainer:
             params, self.bank, jax.random.key(tc.seed + 1)
         )
         if self.mesh is not None:
-            if tp > 1:
-                # Tensor parallelism: params (+ grad accumulator) carry
-                # the Megatron column/row specs. With zero1, moments
-                # additionally shard over 'data' on top of their
-                # param's TP spec (parallel/zero.py); without it they
-                # replicate (Megatron default).
+            if tp > 1 or fsdp:
+                # Sharded parameters: Megatron column/row specs (tp),
+                # largest-dim 'data' sharding (fsdp), or both. With
+                # zero1, moments shard over 'data' on top of their
+                # param's spec (parallel/zero.py); without it they
+                # replicate.
                 from triad_tpu.parallel.distributed import put_global_tree
                 from triad_tpu.parallel.tp import (
                     tp_param_specs,
                     tp_state_shardings,
                 )
 
-                self._tp_specs = tp_param_specs(
-                    params, tp, model_axis=config.mesh.model_axis
+                self._tp_specs = (
+                    tp_param_specs(
+                        params, tp, model_axis=config.mesh.model_axis
+                    )
+                    if tp > 1
+                    else jax.tree.map(lambda _: P(), params)
                 )
+                if fsdp:
+                    from triad_tpu.parallel.fsdp import fsdp_param_specs
+
+                    self._tp_specs = fsdp_param_specs(
+                        params, self.mesh,
+                        data_axis=config.mesh.data_axis,
+                        base_specs=self._tp_specs,
+                    )
                 if config.mesh.zero1:
                     from triad_tpu.parallel.zero import apply_zero1
 
@@ -519,6 +543,17 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _cycling_iter(self, loader, epoch: int, start_batch: int) -> Iterator:
+        # ``start_batch`` counts TRAINER batches; with steps_per_epoch >
+        # len(loader) the uninterrupted run cycles into later loader
+        # epochs mid-trainer-epoch, so a resume cursor can lie at or
+        # past len(loader) — normalize it into (loader epoch, batch) or
+        # the first loader.epoch() comes back empty and a resumed run
+        # would diverge from (or crash out of) the uninterrupted one.
+        n = len(loader)
+        if n > 0:
+            epoch += start_batch // n
+            start_batch %= n
+
         def gen():
             e, b = epoch, start_batch
             while True:
@@ -526,9 +561,9 @@ class Trainer:
                 for item in loader.epoch(e, b):
                     yielded = True
                     yield item
-                e, b = e + 1, 0
-                if not yielded:
+                if not yielded and b == 0:
                     raise RuntimeError("empty loader")
+                e, b = e + 1, 0
 
         return gen()
 
