@@ -173,3 +173,70 @@ def test_trainer_fsdp_matches_dp(tmp_path):
             np.asarray(leaf), np.asarray(ref[path]),
             rtol=1e-4, atol=1e-5, err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_fsdp_accumulation_step_matches_single_device(params):
+    """Gradient accumulation (accum=2, grad_accum buffer sharded like
+    the params) under FSDP: two micro steps == the single-device pair."""
+    from triad_tpu.core.config import LossConfig, OptimConfig
+    from triad_tpu.parallel.dp import make_mesh
+    from triad_tpu.parallel.fsdp import fsdp_param_specs
+    from triad_tpu.parallel.zero import apply_zero1
+    from triad_tpu.train import (
+        OptimizerBank,
+        ParamPartition,
+        StepFactory,
+        init_train_state,
+    )
+
+    model_cfg = _small_cfg()
+    loss_cfg = LossConfig(implementation="chunked", chunk_size=2)
+    optim_cfg = OptimConfig(
+        gradient_accumulation_steps=2, unfreeze_audio_step=0,
+        unfreeze_text_step=0, unfreeze_vit_step=0,
+    )
+    partition = ParamPartition(params)
+    bank = OptimizerBank(optim_cfg, partition, total_updates=100)
+    B = 8
+    rng = np.random.default_rng(11)
+    batches = [
+        {
+            "images": rng.normal(size=(B, 28, 28, 3)).astype(np.float32),
+            "audio": (rng.normal(size=(B, 800)) * 0.1).astype(np.float32),
+        }
+        for _ in range(2)
+    ]
+    one = jnp.float32(1.0)
+
+    f0 = StepFactory(model_cfg, loss_cfg, optim_cfg, bank, mesh=None)
+    s0 = init_train_state(params, bank, jax.random.key(1))
+    step0 = jax.jit(f0.make_step("av"))
+    for av in batches:
+        s0, m0 = step0(
+            s0, {k: jnp.asarray(v) for k, v in av.items()}, None, one, one
+        )
+
+    mesh = make_mesh(8)
+    specs = fsdp_param_specs(params, mesh)
+    f1 = StepFactory(
+        model_cfg, loss_cfg, optim_cfg, bank, mesh=mesh, mesh_axis="data"
+    )
+    s1 = init_train_state(params, bank, jax.random.key(1))
+    s1 = apply_zero1(s1, mesh, "data", param_specs=specs, partition=partition)
+    sh = NamedSharding(mesh, P("data"))
+    step1 = jax.jit(f1.make_step("av"))
+    for av in batches:
+        s1, m1 = step1(
+            s1, {k: jax.device_put(jnp.asarray(v), sh) for k, v in av.items()},
+            None, one, one,
+        )
+
+    np.testing.assert_allclose(
+        float(m0["train_loss"]), float(m1["train_loss"]), rtol=2e-5
+    )
+    ref = dict(jax.tree_util.tree_leaves_with_path(s0.params))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(s1.params):
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(ref[path]),
+            rtol=5e-5, atol=1e-5, err_msg=jax.tree_util.keystr(path),
+        )
