@@ -174,3 +174,35 @@ def test_export_cli_random_init(tmp_path):
     b = ServingBundle(str(out))
     tokens = b.embed_audio(np.zeros((2, 1600), np.float32))
     assert tokens.shape[0] == 2 and np.isfinite(tokens).all()
+
+
+def test_int8_bundle_exports_and_ranks_match(tmp_path):
+    """--int8 export: Dense matmuls quantized inside the bundle; token
+    features stay close enough that self-retrieval ranks match fp."""
+    from triad_tpu.models import init_triad_model
+    from triad_tpu.serve.export import ServingBundle, export_bundle
+
+    cfg = small_model_config()
+    params = init_triad_model(cfg, jax.random.key(0))
+    fp = export_bundle(
+        params, cfg, str(tmp_path / "fp"),
+        audio_num_samples=1600, max_text_tokens=12, platforms=("cpu",),
+    )
+    q8 = export_bundle(
+        params, cfg, str(tmp_path / "q8"),
+        audio_num_samples=1600, max_text_tokens=12, int8=True,
+        platforms=("cpu",),
+    )
+    bf, bq = ServingBundle(str(fp)), ServingBundle(str(q8))
+    rng = np.random.default_rng(0)
+    audio = (rng.normal(size=(4, 1600)) * 0.1).astype(np.float32)
+    images = rng.normal(size=(4, 28, 28, 3)).astype(np.float32)
+
+    def ranks(b):
+        a, v = b.embed_audio(audio), b.embed_visual(images)
+        a = a / np.maximum(np.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
+        v = v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+        s = b.pair_scores(a, np.ones(a.shape[:2]), v, np.ones(v.shape[:2]))
+        return np.argsort(-s, axis=1)
+
+    assert (ranks(bf)[:, 0] == ranks(bq)[:, 0]).all()

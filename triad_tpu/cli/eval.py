@@ -20,7 +20,11 @@ def main(argv=None) -> None:
         "--best", action="store_true", help="evaluate the best checkpoint"
     )
     parser.add_argument("--out", help="write metrics JSON here")
+    from triad_tpu.cli.common import add_platform_arg, apply_platform
+    add_platform_arg(parser)
+
     args = parser.parse_args(argv)
+    apply_platform(args)
 
     from triad_tpu.core.config import Config
     from triad_tpu.train.trainer import Trainer

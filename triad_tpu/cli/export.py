@@ -38,7 +38,11 @@ def main(argv=None) -> None:
         "--platforms", default="cpu,tpu",
         help="comma-separated lowering platforms (default cpu,tpu)",
     )
+    from triad_tpu.cli.common import add_platform_arg, apply_platform
+    add_platform_arg(p)
+
     args = p.parse_args(argv)
+    apply_platform(args)
     if not args.run_dir and not args.random_init:
         p.error("--run-dir or --random-init is required")
 

@@ -40,7 +40,11 @@ def main(argv=None) -> None:
                         help="int8 serving mode for Dense matmuls")
     parser.add_argument("--out", help="write the JSON summary here")
     parser.add_argument("--features-npz", help="write feature arrays here")
+    from triad_tpu.cli.common import add_platform_arg, apply_platform
+    add_platform_arg(parser)
+
     args = parser.parse_args(argv)
+    apply_platform(args)
     if not (args.image or args.media or args.text):
         parser.error("at least one of --image/--media/--text is required")
     if not args.run_dir and not args.random_init:

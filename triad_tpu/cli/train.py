@@ -81,7 +81,11 @@ def main(argv=None) -> None:
     parser.add_argument(
         "--force-new", action="store_true", help="ignore existing checkpoints"
     )
+    from triad_tpu.cli.common import add_platform_arg, apply_platform
+    add_platform_arg(parser)
+
     args = parser.parse_args(argv)
+    apply_platform(args)
 
     # Multi-host launches: bring up the JAX distributed runtime before
     # any backend touch (TRIAD_COORDINATOR/... env vars or TPU-pod

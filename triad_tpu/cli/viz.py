@@ -31,7 +31,11 @@ def main(argv=None) -> None:
         "--smoke", action="store_true",
         help="random-weight smoke test (no checkpoint needed)",
     )
+    from triad_tpu.cli.common import add_platform_arg, apply_platform
+    add_platform_arg(parser)
+
     args = parser.parse_args(argv)
+    apply_platform(args)
 
     import jax
     import jax.numpy as jnp

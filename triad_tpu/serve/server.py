@@ -160,7 +160,11 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--bundle", required=True, help="export_bundle dir")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
+    from triad_tpu.cli.common import add_platform_arg, apply_platform
+
+    add_platform_arg(p)
     args = p.parse_args(argv)
+    apply_platform(args)
     srv = make_server(args.bundle, args.host, args.port)
     print(f"serving {args.bundle} on {args.host}:{srv.server_address[1]}")
     srv.serve_forever()
