@@ -65,3 +65,31 @@ def test_config_mismatch_warning():
                             logger=msgs.append)
     joined = " ".join(msgs)
     assert "'b'" in joined and "'c'" in joined and "'a'" not in joined
+
+
+def test_async_save_then_restore(tmp_path, state):
+    """async_save: save returns early; restore drains the in-flight
+    write and gets the same state + meta (one atomic Composite save)."""
+    mgr = CheckpointManager(str(tmp_path / "async"), async_save=True)
+    prog = HostProgress(epoch=1, global_step=7, current_batch_idx=3)
+    mgr.save(7, state, prog, {"train": {"seed": 1}}, extra={"k": "v"})
+    restored, p2, cfg, extra = mgr.restore(state)
+    assert p2.global_step == 7 and p2.current_batch_idx == 3
+    assert cfg == {"train": {"seed": 1}} and extra == {"k": "v"}
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(restored)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+
+def test_read_run_meta(tmp_path, state):
+    from triad_tpu.train.checkpoint import read_run_meta
+
+    run = tmp_path / "run"
+    mgr = CheckpointManager(str(run / "checkpoints"))
+    mgr.save(3, state, HostProgress(global_step=3), {"train": {"seed": 9}})
+    mgr.close()
+    meta = read_run_meta(str(run))
+    assert meta["config"]["train"]["seed"] == 9
+    assert meta["progress"]["global_step"] == 3

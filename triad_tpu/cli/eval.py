@@ -31,11 +31,9 @@ def main(argv=None) -> None:
 
     run_dir = Path(args.run_dir)
     # Config travels inside the checkpoint metadata.
-    ckpt_root = run_dir / "checkpoints" / "ckpts"
-    steps = sorted(int(p.name) for p in ckpt_root.iterdir() if p.name.isdigit())
-    if not steps:
-        raise SystemExit(f"no checkpoints under {ckpt_root}")
-    meta = json.loads((ckpt_root / str(steps[-1]) / "host_meta.json").read_text())
+    from triad_tpu.train.checkpoint import read_run_meta
+
+    meta = read_run_meta(args.run_dir)
     config = Config.from_dict(meta["config"])
 
     trainer = Trainer(config, force_new_training=False)

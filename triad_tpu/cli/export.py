@@ -53,15 +53,9 @@ def main(argv=None) -> None:
     from triad_tpu.serve.export import export_bundle
 
     if args.run_dir:
-        ckpt_root = Path(args.run_dir) / "checkpoints" / "ckpts"
-        steps = sorted(
-            int(q.name) for q in ckpt_root.iterdir() if q.name.isdigit()
-        )
-        if not steps:
-            raise SystemExit(f"no checkpoints under {ckpt_root}")
-        meta = json.loads(
-            (ckpt_root / str(steps[-1]) / "host_meta.json").read_text()
-        )
+        from triad_tpu.train.checkpoint import read_run_meta
+
+        meta = read_run_meta(args.run_dir)
         config = Config.from_dict(meta["config"])
         from triad_tpu.train.trainer import Trainer
 

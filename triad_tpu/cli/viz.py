@@ -81,11 +81,9 @@ def main(argv=None) -> None:
             raise SystemExit("--run-dir required (or use --smoke)")
         from triad_tpu.train.trainer import Trainer
 
-        ckpt_root = Path(args.run_dir) / "checkpoints" / "ckpts"
-        steps = sorted(int(p.name) for p in ckpt_root.iterdir() if p.name.isdigit())
-        meta = json.loads(
-            (ckpt_root / str(steps[-1]) / "host_meta.json").read_text()
-        )
+        from triad_tpu.train.checkpoint import read_run_meta
+
+        meta = read_run_meta(args.run_dir)
         config = Config.from_dict(meta["config"])
         trainer = Trainer(config, force_new_training=False)
         params = trainer.state.params

@@ -369,6 +369,10 @@ class TrainConfig:
     # Periodic hooks (train.py:1162-1175).
     vis_every: int = 20000
     save_every_steps: int = 10000
+    # Async checkpointing: save() returns once arrays are snapshotted
+    # to host; the filesystem write overlaps the next train steps
+    # (train/checkpoint.py — read paths drain in-flight saves first).
+    async_checkpointing: bool = False
     validation_frequency: int = 20000
     retrieval_subset_size: int = 1000
     num_vis_samples_av: int = 24

@@ -52,20 +52,37 @@ class HostProgress:
 
 
 class CheckpointManager:
-    """Latest/best checkpoint management for TrainState + host progress."""
+    """Latest/best checkpoint management for TrainState + host progress.
 
-    def __init__(self, directory: str, max_to_keep: int = 3):
+    State and host metadata ride ONE atomic Orbax save
+    (``args.Composite(state=..., meta=JsonSave(...))``): there is no
+    window where a crash leaves array data without its metadata (the
+    previous layout wrote a separate host_meta.json after the save).
+    Reading the old split layout is still supported.
+
+    ``async_save=True`` returns from ``save`` as soon as the arrays are
+    snapshotted to host (Orbax async checkpointing) — the train loop
+    overlaps the filesystem write with the next steps; every read path
+    (restore / latest_step callers) and ``close`` drain in-flight saves
+    first.
+    """
+
+    def __init__(
+        self, directory: str, max_to_keep: int = 3, async_save: bool = False
+    ):
         self.directory = Path(directory).resolve()
         self.directory.mkdir(parents=True, exist_ok=True)
+        self.async_save = async_save
         self._mgr = ocp.CheckpointManager(
             self.directory / "ckpts",
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep, create=True,
                 best_fn=None,
+                enable_async_checkpointing=async_save,
             ),
         )
         self._best_dir = self.directory / "best"
-        self._meta_path = lambda step: (
+        self._legacy_meta_path = lambda step: (
             self.directory / "ckpts" / str(step) / "host_meta.json"
         )
 
@@ -80,18 +97,20 @@ class CheckpointManager:
         extra: Optional[Dict[str, Any]] = None,
         is_best: bool = False,
     ) -> None:
-        self._mgr.save(step, args=ocp.args.StandardSave(train_state))
-        self._mgr.wait_until_finished()
         meta = {
             "progress": progress.to_dict(),
             "config": config_dict,
             "extra": extra or {},
         }
-        # Orbax saves are collective (all processes participate above);
-        # the plain-file metadata write is process 0's alone — a shared
-        # checkpoint FS is assumed for multi-host, as Orbax requires.
-        if jax.process_index() == 0:
-            self._meta_path(step).write_text(json.dumps(meta, indent=2))
+        self._mgr.save(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(train_state),
+                meta=ocp.args.JsonSave(meta),
+            ),
+        )
+        if not self.async_save:
+            self._mgr.wait_until_finished()
         if is_best:
             self._save_best(train_state, meta)
 
@@ -115,7 +134,17 @@ class CheckpointManager:
     # -- restore --------------------------------------------------------
 
     def latest_step(self) -> Optional[int]:
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
+
+    def _read_meta(self, step: int) -> Dict[str, Any]:
+        legacy = self._legacy_meta_path(step)
+        if legacy.exists():
+            return json.loads(legacy.read_text())
+        restored = self._mgr.restore(
+            step, args=ocp.args.Composite(meta=ocp.args.JsonRestore())
+        )
+        return restored["meta"]
 
     def restore(
         self, abstract_state: Any, step: Optional[int] = None
@@ -125,13 +154,25 @@ class CheckpointManager:
         ``abstract_state`` is a shape/dtype/sharding skeleton of the
         TrainState (e.g. jax.eval_shape of the init fn, or a live state).
         """
+        self._mgr.wait_until_finished()
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.directory}")
-        state = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(abstract_state)
-        )
-        meta = json.loads(self._meta_path(step).read_text())
+        if self._legacy_meta_path(step).exists():
+            # old split layout: bare StandardSave + host_meta.json
+            state = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(abstract_state)
+            )
+            meta = json.loads(self._legacy_meta_path(step).read_text())
+        else:
+            restored = self._mgr.restore(
+                step,
+                args=ocp.args.Composite(
+                    state=ocp.args.StandardRestore(abstract_state),
+                    meta=ocp.args.JsonRestore(),
+                ),
+            )
+            state, meta = restored["state"], restored["meta"]
         # Config travels inside the checkpoint (train.py:427, 475-498):
         # the caller compares against its live config and warns.
         return (
@@ -148,7 +189,22 @@ class CheckpointManager:
         return state, HostProgress.from_dict(meta["progress"]), meta["config"]
 
     def close(self) -> None:
+        self._mgr.wait_until_finished()
         self._mgr.close()
+
+
+def read_run_meta(run_dir: str) -> Dict[str, Any]:
+    """Latest checkpoint's metadata (progress/config/extra) of a run
+    directory, without constructing a TrainState — the CLI entry points'
+    config-discovery path (infer/eval/export)."""
+    mgr = CheckpointManager(str(Path(run_dir) / "checkpoints"))
+    step = mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints under {run_dir}")
+    try:
+        return mgr._read_meta(step)
+    finally:
+        mgr.close()
 
 
 def warn_on_config_mismatch(

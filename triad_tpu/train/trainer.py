@@ -385,7 +385,10 @@ class Trainer:
 
         # -- progress / resume ----------------------------------------
         self.progress = HostProgress()
-        self.ckpt = CheckpointManager(str(self.output_dir / "checkpoints"))
+        self.ckpt = CheckpointManager(
+            str(self.output_dir / "checkpoints"),
+            async_save=tc.async_checkpointing,
+        )
         if not force_new_training and self.ckpt.latest_step() is not None:
             self._resume()
 
