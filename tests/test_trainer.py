@@ -156,3 +156,48 @@ def test_retrieval_encoders_compile_once(run_dir):
     trainer.eval_1000_way_retrieval()
     assert trainer._enc_av._cache_size() == av_compiles
     assert trainer._enc_tv._cache_size() == tv_compiles
+
+
+@pytest.mark.slow
+def test_validation_exhausts_unequal_loaders(tmp_path):
+    """Round-2 weak #5: lockstep AV/TV validation ended at the SHORTER
+    loader, silently dropping the longer val set's tail. The reference
+    iterates each val loader fully and independently
+    (train.py:710-832); with val AV = 6 batches and val TV = 4, every
+    batch of both must be evaluated."""
+    import dataclasses
+
+    from triad_tpu.train.trainer import Trainer
+
+    cfg = tiny_config(tmp_path)
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data, synthetic_av_size=48, synthetic_tv_size=8
+        ),
+    )
+    trainer = Trainer(cfg, force_new_training=True)
+    # val sets are synthetic: max(8, size // 4) -> av 12, tv 8 items.
+    assert len(trainer.val_av_dataset) == 12
+    assert len(trainer.val_tv_dataset) == 8
+
+    calls = {"av": 0, "tv": 0}
+    real = dict(trainer._eval_steps)
+
+    def counted(mode):
+        def fn(*a, **kw):
+            calls[mode] += 1
+            return real[mode](*a, **kw)
+
+        return fn
+
+    trainer._eval_steps = {m: counted(m) for m in real}
+    val = trainer.validate("full_joint")
+    assert calls["av"] == 6, calls  # 12 items / batch_size_av 2
+    assert calls["tv"] == 4, calls  # 8 items / batch_size_tv 2
+    assert val is not None and np.isfinite(val)
+
+    # max_batches caps each leg independently.
+    calls["av"] = calls["tv"] = 0
+    trainer.validate("full_joint", max_batches=2)
+    assert calls == {"av": 2, "tv": 2}

@@ -498,7 +498,7 @@ class Trainer:
                         self._prof.__exit__(None, None, None)
                 gs = int(self.progress.global_step)
                 if batch_idx % 10 == 0 or batch_idx == self.steps_per_epoch - 1:
-                    host = {k: v for k, v in metrics.items()}
+                    host = self._fetch_metrics(metrics)
                     host.update(
                         epoch=epoch, training_phase=phase,
                         av_weight=w_av, tv_weight=w_tv,
@@ -510,7 +510,12 @@ class Trainer:
                         )
                     )
                     self.metrics.log(host, step=gs)
-                epoch_losses.append(float(metrics["train_loss"]))
+                # Keep the loss as a device scalar: a per-step float()
+                # here blocks on step completion every step (~30 ms RTT
+                # on the tunneled backend) — the reference's .item()
+                # sync reintroduced outside the step. One stacked fetch
+                # happens at epoch end instead.
+                epoch_losses.append(metrics["train_loss"])
 
                 self.progress.global_step += 1
                 if gs > 0 and gs % tc.vis_every == 0:
@@ -526,7 +531,11 @@ class Trainer:
             for it in (av_iter, tv_iter):
                 if it is not None:
                     it.close()
-            mean_loss = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
+            mean_loss = (
+                float(jnp.mean(jnp.stack(epoch_losses)))
+                if epoch_losses
+                else float("nan")
+            )
             self.metrics.info(f"Epoch {epoch} done, mean loss {mean_loss:.4f}")
 
             val = self.validate(phase)
@@ -540,6 +549,20 @@ class Trainer:
             self.progress.current_batch_idx = 0
             self.save_checkpoint(is_best=is_best)
         self.metrics.info("Training complete!")
+
+    @staticmethod
+    def _fetch_metrics(metrics: Dict[str, jax.Array]) -> Dict[str, float]:
+        """Fetch a dict of device scalars with ONE transfer. A float()
+        per entry costs a blocking round-trip each (~15 metrics x the
+        tunnel RTT); stacking first makes the log cadence pay a single
+        readback."""
+        keys = [k for k, v in metrics.items() if jnp.ndim(v) == 0]
+        vals = np.asarray(jnp.stack([metrics[k] for k in keys]))
+        host: Dict[str, float] = dict(zip(keys, map(float, vals)))
+        for k, v in metrics.items():
+            if k not in host:
+                host[k] = v
+        return host
 
     # ------------------------------------------------------------------
     # Data plumbing
@@ -641,15 +664,37 @@ class Trainer:
     def validate(
         self, phase: str, max_batches: Optional[int] = None
     ) -> Optional[float]:
-        """Phase-aware validation over the val loaders (reference
-        train.py:710-832 iterates them fully; cap with max_batches)."""
+        """Phase-aware validation. The reference iterates each val
+        loader fully and INDEPENDENTLY (train.py:710-832: all AV val
+        batches, then all TV val batches, then the phase-weighted sum
+        of the two means) — pairing them in lockstep would silently
+        drop the longer set's tail. ``max_batches`` caps each loader
+        separately."""
         _, w_av, w_tv = self.phase_for_epoch(max(self.progress.epoch, 0))
         mode = self._mode(phase)
-        eval_fn = self._eval_steps[mode]
-        totals: Dict[str, list] = {}
-        count = 0
+        limit = max_batches if max_batches is not None else 10**9
+        w_av_d, w_tv_d = jnp.float32(w_av), jnp.float32(w_tv)
 
-        av_iter = tv_iter = None
+        def _run_leg(leg_mode: str, batches, device_fn) -> Dict[str, list]:
+            eval_fn = self._eval_steps[leg_mode]
+            totals: Dict[str, list] = {}
+            for count, batch in enumerate(batches):
+                if count >= limit:
+                    break
+                b = device_fn(batch)
+                m = eval_fn(
+                    self.state.params,
+                    b if leg_mode == "av" else None,
+                    b if leg_mode == "tv" else None,
+                    w_av_d, w_tv_d,
+                )
+                m = self._fetch_metrics(m)
+                for k, v in m.items():
+                    totals.setdefault(k, []).append(v)
+            return totals
+
+        av_totals: Dict[str, list] = {}
+        tv_totals: Dict[str, list] = {}
         if self.val_av_dataset is not None and mode in ("av", "joint"):
             av_loader = AVLoader(
                 self.val_av_dataset, self.config.data.batch_size_av,
@@ -657,7 +702,7 @@ class Trainer:
                 augment=False, num_workers=self.config.data.num_workers,
                 process_shard=self._proc_shard,
             )
-            av_iter = iter(av_loader)
+            av_totals = _run_leg("av", iter(av_loader), self._device_av)
         if self.val_tv_dataset is not None and mode in ("tv", "joint"):
             tv_loader = TVLoader(
                 self.val_tv_dataset, self.tokenizer,
@@ -667,26 +712,31 @@ class Trainer:
                 num_workers=self.config.data.num_workers,
                 process_shard=self._proc_shard,
             )
-            tv_iter = iter(tv_loader)
-        if av_iter is None and tv_iter is None:
+            tv_totals = _run_leg("tv", iter(tv_loader), self._device_tv)
+        if not av_totals and not tv_totals:
             return None
 
-        limit = max_batches if max_batches is not None else 10**9
-        while count < limit:
-            try:
-                av_b = self._device_av(next(av_iter)) if av_iter else None
-                tv_b = self._device_tv(next(tv_iter)) if tv_iter else None
-            except StopIteration:
-                break
-            m = eval_fn(
-                self.state.params, av_b, tv_b, jnp.float32(w_av), jnp.float32(w_tv)
-            )
-            for k, v in m.items():
-                totals.setdefault(k, []).append(float(v))
-            count += 1
-        if not totals:
-            return None
-        avg = {f"val_{k}": float(np.mean(v)) for k, v in totals.items()}
+        avg: Dict[str, float] = {}
+        for totals in (av_totals, tv_totals):
+            for k, v in totals.items():
+                if k in ("train_loss", "temperature"):
+                    continue
+                avg[f"val_{k}"] = float(np.mean(v))
+        # Phase-weighted total over the per-leg means (each leg's
+        # train_loss already carries its phase weight: the eval step
+        # computes w_av*av.total / w_tv*tv.total for a single-pair
+        # batch).
+        leg_means = [
+            float(np.mean(t["train_loss"]))
+            for t in (av_totals, tv_totals)
+            if "train_loss" in t
+        ]
+        avg["val_train_loss"] = float(np.sum(leg_means))
+        temps = (
+            av_totals.get("temperature") or tv_totals.get("temperature")
+        )
+        if temps:
+            avg["val_temperature"] = float(np.mean(temps))
         self.metrics.log(avg, step=self.progress.global_step)
         return avg.get("val_train_loss")
 
