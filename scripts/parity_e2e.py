@@ -111,7 +111,8 @@ def make_media(cfg, B: int, audio_samples: int, text_len: int, seed: int = 0):
 
 
 class Harness:
-    def __init__(self, size: str, seed: int = 0):
+    def __init__(self, size: str, seed: int = 0, via_file: bool = False,
+                 ref_ckpt: str | None = None):
         import jax
 
         jax.config.update("jax_default_matmul_precision", "highest")
@@ -128,7 +129,29 @@ class Harness:
         )
         t0 = time.time()
         self.torch_model = build_reference_model(self.cfg, seed=seed)
-        self.params = port_to_triad(self.torch_model, self.cfg)
+        if ref_ckpt:
+            # A REAL reference checkpoint file: load it into BOTH sides —
+            # the torch clone (so the comparison is against the actual
+            # trained weights) and triad_tpu via the production import.
+            from triad_tpu.models.reference_import import (
+                load_reference_checkpoint,
+                strip_compile_prefix,
+            )
+
+            payload = torch.load(
+                ref_ckpt, map_location="cpu", weights_only=False
+            )
+            sd = strip_compile_prefix(
+                payload.get("model_state_dict", payload)
+            )
+            self.torch_model.load_state_dict(sd)
+            self.params = load_reference_checkpoint(ref_ckpt, self.cfg)
+            print(f"# loaded reference checkpoint {ref_ckpt}",
+                  file=sys.stderr)
+        elif via_file:
+            self.params = self._port_via_file(seed)
+        else:
+            self.params = port_to_triad(self.torch_model, self.cfg)
         self.model = TriadModel(self.cfg)
         print(f"# built + ported weights in {time.time() - t0:.1f}s",
               file=sys.stderr)
@@ -136,6 +159,52 @@ class Harness:
             self.B, self.audio_samples, self.text_len = 4, 800, 8
         else:
             self.B, self.audio_samples, self.text_len = 8, 160_000, 32
+
+    def _port_via_file(self, seed: int):
+        """Round-trip the torch state through an on-disk reference-format
+        checkpoint file (VERDICT round 2, missing #1 mitigation): write
+        the exact payload the reference's save_checkpoint produces
+        (train.py:398-437 — a monolithic dict with ``model_state_dict``,
+        optimizer/scheduler states, counters, RNG blobs), with keys
+        ``_orig_mod.``-prefixed as a torch.compile'd run would leave
+        them, then import through the PRODUCTION file loader
+        ``load_reference_checkpoint``. Proves the entire
+        checkpoint-file path; only the download itself stays untested
+        in this zero-egress image."""
+        import tempfile
+
+        import torch
+
+        from triad_tpu.models.reference_import import (
+            load_reference_checkpoint,
+        )
+
+        sd = {
+            f"_orig_mod.{k}": v
+            for k, v in self.torch_model.state_dict().items()
+        }
+        payload = {
+            "model_state_dict": sd,
+            "optimizer_others_state_dict": {},
+            "optimizer_audio_state_dict": {},
+            "optimizer_text_state_dict": {},
+            "optimizer_vit_lora_state_dict": {},
+            "epoch": 0,
+            "global_step": 0,
+            "current_batch_idx": 0,
+            "best_loss": float("inf"),
+            "rng_state": torch.get_rng_state(),
+            "numpy_rng_state": np.random.get_state(),
+            "config": {"seed": seed},
+        }
+        with tempfile.TemporaryDirectory() as d:
+            path = str(Path(d) / "checkpoint_epoch0_step0.pt")
+            torch.save(payload, path)
+            size_mb = Path(path).stat().st_size / 1e6
+            print(f"# wrote reference-format checkpoint ({size_mb:.0f} MB),"
+                  " reloading via load_reference_checkpoint",
+                  file=sys.stderr)
+            return load_reference_checkpoint(path, self.cfg)
 
     # -- jax encoders ---------------------------------------------------
 
@@ -524,13 +593,28 @@ def main():
     ap.add_argument("--retr-n", type=int, default=None)
     ap.add_argument("--train-steps", type=int, default=3)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--via-file", action="store_true",
+        help="round-trip the weights through an on-disk reference-format "
+             "checkpoint (torch.save -> load_reference_checkpoint)",
+    )
+    ap.add_argument(
+        "--ref-ckpt", default=None,
+        help="path to a REAL reference checkpoint_epoch{E}_step{S}.pt; "
+             "loads it into both frameworks (runbook: on a machine with "
+             "the trained checkpoint, run --size full --ref-ckpt PATH "
+             "--legs 1,2,3,4)",
+    )
     args = ap.parse_args()
 
     import jax
 
     jax.config.update("jax_platforms", "cpu")
 
-    h = Harness(args.size, seed=args.seed)
+    h = Harness(
+        args.size, seed=args.seed, via_file=args.via_file,
+        ref_ckpt=args.ref_ckpt,
+    )
     legs = {int(x) for x in args.legs.split(",")}
     retr_n = args.retr_n or (16 if args.size == "small" else 32)
     results = []
