@@ -62,8 +62,18 @@ def _pc_kernel(
         xg = x_t[gi * cpg : (gi + 1) * cpg]  # (CPG, Tbuf)
         acc = jnp.zeros((cpg, tpad), jnp.float32)
         for kc in range(kk // _KC):
+            # Mosaic rejects concatenating lane slices whose lane
+            # offsets differ ("result/input offset mismatch on
+            # non-concat dimension" — hit on the real chip, round 3);
+            # pltpu.roll re-canonicalizes each shifted window to
+            # offset 0 first. The wrap-around rows land past tpad
+            # (shift <= kk) and are sliced off.
             parts = [
-                xg[:, kc * _KC + j : kc * _KC + j + tpad]
+                pltpu.roll(
+                    xg,
+                    (xg.shape[1] - (kc * _KC + j)) % xg.shape[1],
+                    axis=1,
+                )[:, :tpad]
                 for j in range(_KC)
             ]
             xstack = jnp.concatenate(parts, axis=0)  # (KC*CPG, Tpad)
@@ -97,8 +107,14 @@ def _dw_kernel(
         dg = dz_t[gi * cpg : (gi + 1) * cpg]  # (CPG co, Tpad)
         xg = x[:, gi * cpg : (gi + 1) * cpg]  # (Tbuf, CPG ci)
         for kc in range(kk // _KC):
+            # Same Mosaic constraint as the forward: sublane-shifted
+            # windows must share an offset before the lane concat.
             parts = [
-                xg[kc * _KC + j : kc * _KC + j + tpad, :]
+                pltpu.roll(
+                    xg,
+                    (xg.shape[0] - (kc * _KC + j)) % xg.shape[0],
+                    axis=0,
+                )[:tpad, :]
                 for j in range(_KC)
             ]
             xstack_t = jnp.concatenate(parts, axis=1)  # (Tpad, KC*CPG)
