@@ -1,0 +1,163 @@
+"""End-to-end ingest-at-consumption-rate proof (VERDICT r2 item 7).
+
+scripts/data_throughput.py measures decode in isolation and
+scripts/tpu_train_bench.py the device step in isolation; this script
+wires them together: a real TriadPack AV loader (decode + augmentation +
+device_put via the trainer's Prefetcher) plus a TV loader (WordPiece
+tokenize + image aug) feed the PRODUCTION joint train step (StepFactory,
+perf train knobs, donated state) for >= N real dispatched steps — no
+lax.scan chaining, i.e. exactly the Trainer.train() hot-loop structure.
+
+Reports sustained clips/s INCLUDING data against the step-only rate; if
+the two match (within tunnel jitter), host ingest on this box's cores
+covers the chip's consumption. Prints one JSON line.
+
+Run: python scripts/ingest_train_e2e.py [steps] [workers] [knobs]
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+B = 64
+AUDIO_SECS = 10.0
+AUDIO_SAMPLES = int(AUDIO_SECS * 16_000)
+TEXT_LEN = 32
+IMAGE = 224
+
+
+def main() -> None:
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    workers = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    knobs = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else {
+        "perf", "posconv", "mqkv", "vitmq",
+    }
+
+    import os
+    import shutil
+    import tempfile
+
+    from triad_tpu.core.config import (
+        LossConfig,
+        ModelConfig,
+        OptimConfig,
+        apply_train_knobs,
+    )
+    from triad_tpu.data.datasets import (
+        SyntheticAVDataset,
+        SyntheticTVDataset,
+    )
+    from triad_tpu.data.packed import PackedAVDataset, pack_dataset
+    from triad_tpu.data.pipeline import AVLoader, Prefetcher, TVLoader, cycling
+    from triad_tpu.data.tokenizer import WordPieceTokenizer
+    from triad_tpu.models import init_triad_model
+    from triad_tpu.train.optim import OptimizerBank, ParamPartition
+    from triad_tpu.train.step import StepFactory, init_train_state
+
+    model_cfg = apply_train_knobs(ModelConfig(), knobs)
+    loss_cfg = LossConfig(
+        implementation="chunked", chunk_size=16, matmul_precision="default"
+    )
+    optim_cfg = OptimConfig(gradient_accumulation_steps=1)
+    params = init_triad_model(model_cfg, jax.random.key(0))
+    partition = ParamPartition(params)
+    bank = OptimizerBank(optim_cfg, partition, total_updates=10_000)
+    factory = StepFactory(model_cfg, loss_cfg, optim_cfg, bank)
+    state = init_train_state(params, bank, jax.random.key(1))
+    step = jax.jit(factory.make_step("joint"), donate_argnums=0)
+    one = jnp.float32(1.0)
+
+    # -- data: packed AV shard + synthetic-caption TV, trainer loaders --
+    tmp = tempfile.mkdtemp(prefix="triad_ingest_e2e_")
+    try:
+        n_clips = 256
+        src = SyntheticAVDataset(
+            size=n_clips, image_size=IMAGE, audio_seconds=AUDIO_SECS
+        )
+        path = os.path.join(tmp, "e2e.tpack")
+        t0 = time.perf_counter()
+        pack_dataset(src, path, image_size=IMAGE, audio_samples=AUDIO_SAMPLES)
+        print(
+            f"# packed {n_clips} clips in {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+        av_ds = PackedAVDataset(path)
+        av_loader = AVLoader(
+            av_ds, batch_size=B, audio_num_samples=AUDIO_SAMPLES,
+            num_workers=workers, worker_mode="thread", seed=0,
+        )
+        tv_ds = SyntheticTVDataset(size=256, image_size=IMAGE)
+        tok = WordPieceTokenizer.build_from_corpus(
+            [tv_ds.__getitem__(i, apply_augmentation=False)[1]
+             for i in range(64)]
+        )
+        tv_loader = TVLoader(
+            tv_ds, tok, B, max_text_tokens=TEXT_LEN, seed=0,
+            num_workers=max(1, workers // 4),
+        )
+
+        def put_av(b):
+            return {
+                "images": jnp.asarray(b["images"]),
+                "audio": jnp.asarray(b["audio"]),
+            }
+
+        def put_tv(b):
+            return {
+                "images": jnp.asarray(b["images"]),
+                "token_ids": jnp.asarray(b["token_ids"]),
+                "text_mask": jnp.asarray(b["text_mask"]),
+            }
+
+        av_it = Prefetcher(
+            cycling(lambda e, b: av_loader.epoch(e, b)), prefetch=4,
+            device_put=put_av,
+        )
+        tv_it = Prefetcher(
+            cycling(lambda e, b: tv_loader.epoch(e, b)), prefetch=4,
+            device_put=put_tv,
+        )
+
+        # Warm: compile + fill prefetch queues.
+        state, metrics = step(state, next(av_it), next(tv_it), one, one)
+        t_compile = time.perf_counter()
+        print(f"# compiled+first step at +{t_compile - t0:.0f}s",
+              file=sys.stderr)
+        for _ in range(3):
+            state, metrics = step(state, next(av_it), next(tv_it), one, one)
+        float(metrics["train_loss"])  # sync before the clock
+
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, metrics = step(state, next(av_it), next(tv_it), one, one)
+        loss = float(metrics["train_loss"])  # one readback ends the clock
+        dt = (time.perf_counter() - t0) / steps
+        av_it.close()
+        tv_it.close()
+
+        print(json.dumps({
+            "metric": "train clips/s/chip incl. packed ingest "
+                      f"(joint step, B={B}, {workers} workers)",
+            "value": round(B / dt, 1),
+            "unit": "clips/s/chip",
+            "step_ms": round(dt * 1e3, 1),
+            "steps": steps,
+            "final_loss": round(loss, 4),
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    print(f"# devices: {jax.devices()}", file=sys.stderr)
+    main()
