@@ -404,3 +404,95 @@ class TestGuards:
             with int8_interception():
                 with pytest.raises(ValueError, match="int8"):
                     mod.apply(params, x, deterministic=True)
+
+
+class TestPairEval:
+    """Head-PAIR block-diagonal eval kernels (fused_attention_eval_pair
+    / fused_attention_eval_merged_pair): two 64-wide heads per 128-lane
+    window, one full-depth (128) S matmul + one contraction-2Nk PV
+    matmul per pair, softmax denominators computed on the MXU against a
+    block mask. Must match the fp32 XLA softmax within the same
+    tolerance as the single-head eval kernels, including ragged N, key
+    masks, and an ODD head count (last head takes the single-head
+    path)."""
+
+    def _check_packed(self, n, h, with_mask):
+        b, d = 2, 64
+        rng = np.random.default_rng(11)
+        mk = lambda: jnp.asarray(
+            rng.normal(size=(b, n, h, d)).astype(np.float32) * 0.3
+        )
+        q, k, v = mk(), mk(), mk()
+        mask = None
+        if with_mask:
+            valid = np.ones((b, n), np.float32)
+            valid[0, n - 5:] = 0.0
+            mask = jnp.asarray(valid)[:, None, None, :].astype(bool)
+        ref = dot_product_attention(q, k, v, mask, jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            out = packed_dot_product_attention(
+                q, k, v, mask, jnp.float32, pair=True
+            )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    def test_aligned_even_heads(self):
+        self._check_packed(128, 4, with_mask=False)
+
+    def test_ragged_odd_heads(self):
+        self._check_packed(99, 3, with_mask=False)
+
+    def test_key_mask(self):
+        self._check_packed(40, 2, with_mask=True)
+
+    def test_impl_string_dispatch(self):
+        # "packed_pair" through the generic dot_product_attention entry
+        # (the TRIAD_BENCH_*_ATTN A/B route).
+        b, n, h, d = 2, 72, 2, 64
+        rng = np.random.default_rng(12)
+        mk = lambda: jnp.asarray(
+            rng.normal(size=(b, n, h, d)).astype(np.float32) * 0.3
+        )
+        q, k, v = mk(), mk(), mk()
+        ref = dot_product_attention(q, k, v, None, jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            out = dot_product_attention(
+                q, k, v, None, jnp.float32, impl="packed_pair"
+            )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    def test_head_dim_guard(self):
+        q = jnp.zeros((1, 8, 2, 32), jnp.float32)
+        with pytest.raises(ValueError, match="head_dim 64"):
+            packed_dot_product_attention(
+                q, q, q, None, jnp.float32, pair=True
+            )
+
+    def test_merged_pair_matches_xla(self):
+        from triad_tpu.models.layers import (
+            merged_packed_dot_product_attention,
+        )
+
+        b, n, h, d = 2, 99, 3, 64
+        rng = np.random.default_rng(13)
+        mk = lambda: jnp.asarray(
+            rng.normal(size=(b, n, h, d)).astype(np.float32) * 0.3
+        )
+        q, k, v = mk(), mk(), mk()
+        valid = np.ones((b, n), np.float32)
+        valid[0, n - 7:] = 0.0
+        mask4 = jnp.asarray(valid)[:, None, None, :].astype(bool)
+        ref = dot_product_attention(q, k, v, mask4, jnp.float32)
+        flat = lambda x: x.reshape(b, n, h * d)
+        qkv = jnp.concatenate([flat(q), flat(k), flat(v)], axis=-1)
+        with pltpu.force_tpu_interpret_mode():
+            out = merged_packed_dot_product_attention(
+                qkv, jnp.asarray(valid), jnp.float32, d, pair=True
+            )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref.reshape(b, n, h * d)),
+            rtol=2e-5, atol=2e-5,
+        )

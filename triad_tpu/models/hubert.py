@@ -570,7 +570,9 @@ class HubertSelfAttention(nn.Module):
         )
         impl = c.attention_impl
         rate = 0.0 if deterministic else c.attention_dropout
-        if impl in ("packed_merged", "fused_packed_merged"):
+        if impl in (
+            "packed_merged", "fused_packed_merged", "packed_merged_pair"
+        ):
             from triad_tpu.models.quantize import int8_active
 
             if int8_active():
@@ -609,6 +611,9 @@ class HubertSelfAttention(nn.Module):
                 # Training with attention_dropout=0 still needs d(qkv);
                 # the eval kernel has no VJP.
                 differentiable=not deterministic,
+                # "packed_merged_pair": head-pair block-diagonal eval
+                # inner loop (128-deep matmuls, MXU softmax denoms).
+                pair=impl == "packed_merged_pair",
             )
             return dense("out_proj")(out)
         q = dense("q_proj")(x).reshape(*x.shape[:2], c.num_heads, head_dim)
@@ -621,7 +626,7 @@ class HubertSelfAttention(nn.Module):
             # B=64; at p=0 XLA is faster). CPU (tests) stays on XLA.
             on_tpu = jax.default_backend() in ("tpu", "axon")
             impl = "fused" if (rate > 0.0 and on_tpu) else "xla"
-        elif impl == "packed" and rate > 0.0:
+        elif impl in ("packed", "packed_pair") and rate > 0.0:
             # "packed" is the dropout-free eval kernel; with live
             # attention dropout fall back to the auto rule (fused
             # dropout kernel on TPU, XLA elsewhere).

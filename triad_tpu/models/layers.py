@@ -198,6 +198,7 @@ def packed_dot_product_attention(
     v: jax.Array,
     mask: Optional[jax.Array],
     dtype: Dtype,
+    pair: bool = False,
 ) -> jax.Array:
     """Adapter for ops.pallas_attention.fused_attention_eval: keeps the
     projections' packed (B, N, H*Dh) layout (free reshapes, no
@@ -205,10 +206,22 @@ def packed_dot_product_attention(
     (padded keys masked, padded query rows sliced off). Inference only —
     numerics match the scores_dtype=bfloat16 XLA path (bf16 probs, fp32
     max/sum, delayed normalization) without the (B, H, N, N) probs HBM
-    round-trip."""
-    from triad_tpu.ops.pallas_attention import fused_attention_eval
+    round-trip.
+
+    ``pair=True`` selects the head-PAIR block-diagonal inner loop
+    (fused_attention_eval_pair): full-depth 128-contraction matmuls, no
+    64-lane head slices, MXU-computed softmax denominators. Same
+    semantics; an eval-throughput A/B candidate."""
+    from triad_tpu.ops.pallas_attention import (
+        fused_attention_eval,
+        fused_attention_eval_pair,
+    )
 
     b, n, h, d = q.shape
+    if pair and d != 64:
+        # The pair kernel packs TWO 64-wide heads into each 128-lane
+        # window; other head dims would silently mis-slice.
+        raise ValueError(f"pair eval kernel requires head_dim 64, got {d}")
     nq_pad = _round_up(n, 8)
     nk_pad = _round_up(n, 128)
     sm_scale = float(1.0 / np.sqrt(d))
@@ -226,7 +239,8 @@ def packed_dot_product_attention(
     if nk_pad != n:
         key_mask = jnp.pad(key_mask, ((0, 0), (0, nk_pad - n)))
 
-    out = fused_attention_eval(
+    fn = fused_attention_eval_pair if pair else fused_attention_eval
+    out = fn(
         packed(q, nq_pad), packed(k, nk_pad), packed(v, nk_pad),
         key_mask, sm_scale,
     )
@@ -241,6 +255,7 @@ def merged_packed_dot_product_attention(
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     differentiable: bool = False,
+    pair: bool = False,
 ) -> jax.Array:
     """Adapter for the MERGED-qkv pallas kernels: the caller computes
     q|k|v as ONE (C, 3C) projection matmul and this function dispatches
@@ -260,6 +275,7 @@ def merged_packed_dot_product_attention(
     """
     from triad_tpu.ops.pallas_attention import (
         fused_attention_eval_merged,
+        fused_attention_eval_merged_pair,
         fused_attention_packed_merged,
     )
 
@@ -295,6 +311,8 @@ def merged_packed_dot_product_attention(
         out = fused_attention_packed_merged(
             qkv, key_mask, jnp.int32(0), 0.0, sm_scale
         )
+    elif pair:
+        out = fused_attention_eval_merged_pair(qkv, key_mask, sm_scale)
     else:
         out = fused_attention_eval_merged(qkv, key_mask, sm_scale)
     return out[:, :n]
@@ -326,20 +344,22 @@ def dot_product_attention(
     no in-kernel dropout) — i.e. flash serves eval always and training
     whenever attention_dropout == 0.
     """
-    if impl not in ("xla", "flash", "packed"):
+    if impl not in ("xla", "flash", "packed", "packed_pair"):
         # Unknown names must not silently fall through to the XLA body:
         # impl strings arrive from env-var A/B knobs (TRIAD_BENCH_*_ATTN)
         # and a typo would mislabel a hardware measurement as a kernel
         # number (same rationale as PositionalConvEmbedding's guard).
         raise ValueError(
-            f"unknown attention impl {impl!r} (expected xla, flash or "
-            f"packed here; fused/packed/merged variants dispatch in the "
-            f"encoder modules)"
+            f"unknown attention impl {impl!r} (expected xla, flash, "
+            f"packed or packed_pair here; fused/packed/merged variants "
+            f"dispatch in the encoder modules)"
         )
     if impl == "flash" and probs_dropout is None:
         return flash_dot_product_attention(q, k, v, mask, dtype)
-    if impl == "packed" and probs_dropout is None:
-        return packed_dot_product_attention(q, k, v, mask, dtype)
+    if impl in ("packed", "packed_pair") and probs_dropout is None:
+        return packed_dot_product_attention(
+            q, k, v, mask, dtype, pair=impl == "packed_pair"
+        )
     depth = q.shape[-1]
     scale = jnp.asarray(1.0 / jnp.sqrt(depth), dtype)
     if jnp.dtype(scores_dtype) == jnp.float32:

@@ -74,7 +74,9 @@ class ViTAttention(nn.Module):
             use_bias=c.qkv_bias, dtype=self.dtype, param_dtype=self.param_dtype,
             name="qkv",
         )(x)
-        if c.attention_impl in ("packed_merged", "fused_packed_merged"):
+        if c.attention_impl in (
+            "packed_merged", "fused_packed_merged", "packed_merged_pair"
+        ):
             # The fused-qkv projection output is ALREADY the merged
             # layout the merged pallas kernels read (q|k|v at lane
             # offsets) — feed it straight in; the three slices +
@@ -91,6 +93,7 @@ class ViTAttention(nn.Module):
             out = merged_packed_dot_product_attention(
                 qkv, None, self.dtype, head_dim,
                 differentiable=c.attention_impl == "fused_packed_merged",
+                pair=c.attention_impl == "packed_merged_pair",
             )
             return LoRADense(
                 c.hidden_size, rank=rank, alpha=c.lora_alpha,

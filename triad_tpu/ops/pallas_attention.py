@@ -87,6 +87,69 @@ def _head_eval(q, k, v, key_bias, sm_scale: float):
     return o * (1.0 / denom)
 
 
+def _head_pair_eval(qp, kp, vp, key_bias, sm_scale: float):
+    """Delayed-normalization inference attention for TWO heads at once,
+    on 128-lane-aligned pair slices (d == 64).
+
+    The per-head 64-lane slices of ``_head_eval`` are Mosaic-hostile
+    (every odd head loads/stores at a 64-lane offset) and its per-head
+    matmuls run at half MXU depth (contraction 64). This variant keeps
+    everything 128-aligned via a block-diagonal layout built with
+    elementwise lane masks (no narrow slices anywhere):
+
+      kblk (2Nk, 128) = [kp∘m0 ; kp∘m1]  =>  S = qp·kblkᵀ (Nq, 2Nk)
+      is [S_h0 | S_h1] in one FULL-depth (128) matmul (2x zero-FLOPs,
+      still ~MXU-free at these sizes);
+      vblk likewise => P·V for both heads in one contraction-2Nk matmul;
+      the softmax DENOMINATORS come from a third matmul against a
+      block mask (the MXU does the row sums, pre-broadcast across each
+      head's 64 output lanes, replacing the VPU lane-reductions).
+
+    Max subtraction stays per (row, head) — exactly the original
+    robustness (denominators >= 1; a global max could underflow a
+    quiet head's whole row). qp/kp/vp: (N, 128); key_bias: (Nk,) f32.
+    Returns (Nq, 128) fp32 = [O_h0 | O_h1].
+    """
+    nk, w = kp.shape
+    d = w // 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    m0 = (lane < d).astype(kp.dtype)
+    m1 = (lane >= d).astype(kp.dtype)
+    kblk = jnp.concatenate([kp * m0, kp * m1], axis=0)  # (2Nk, 128)
+    s = jax.lax.dot_general(
+        qp, kblk, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale  # (Nq, 2Nk) = [S0 | S1]
+    bias2 = jnp.concatenate([key_bias, key_bias], axis=0)
+    s = s + bias2[None, :]
+    s0 = s[:, :nk]  # 128-aligned lane slices (nk % 128 == 0)
+    s1 = s[:, nk:]
+    e = jnp.concatenate(
+        [
+            jnp.exp(s0 - jnp.max(s0, axis=-1, keepdims=True)),
+            jnp.exp(s1 - jnp.max(s1, axis=-1, keepdims=True)),
+        ],
+        axis=1,
+    ).astype(vp.dtype)  # (Nq, 2Nk) un-normalized probs
+    vblk = jnp.concatenate([vp * m0, vp * m1], axis=0)  # (2Nk, 128)
+    o = jax.lax.dot_general(
+        e, vblk, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Nq, 128) = [O0 | O1] un-normalized
+    oneblk = jnp.concatenate(
+        [
+            jnp.broadcast_to(m0, (nk, w)),
+            jnp.broadcast_to(m1, (nk, w)),
+        ],
+        axis=0,
+    )  # (2Nk, 128) block mask
+    denom = jax.lax.dot_general(
+        e, oneblk, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Nq, 128): row sums, pre-broadcast per head half
+    return o / denom
+
+
 def _head_fwd(q, k, v, key_bias, p_drop: float, sm_scale: float):
     """softmax((q·s)·kᵀ + bias) [dropout] · v for one head; fp32 accum.
 
@@ -333,6 +396,106 @@ def fused_attention_eval(q, k, v, mask, sm_scale: float):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(q, k, v, bias)
+
+
+def _eval_pair_kernel(
+    q_ref, k_ref, v_ref,  # VMEM (1, N_pad, H*D)
+    bias_ref,  # VMEM (1, 1, Nk_pad) f32
+    o_ref,  # out VMEM (1, Nq_pad, H*D)
+    *, h: int, d: int, sm_scale: float,
+):
+    key_bias = bias_ref[0, 0]
+    for hp in range(h // 2):
+        sl = slice(hp * 2 * d, (hp + 1) * 2 * d)  # 128-aligned
+        o = _head_pair_eval(
+            q_ref[0][:, sl], k_ref[0][:, sl], v_ref[0][:, sl],
+            key_bias, sm_scale,
+        )
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+    if h % 2:
+        sl = slice((h - 1) * d, h * d)
+        o = _head_eval(
+            q_ref[0][:, sl], k_ref[0][:, sl], v_ref[0][:, sl],
+            key_bias, sm_scale,
+        )
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+
+
+def fused_attention_eval_pair(q, k, v, mask, sm_scale: float):
+    """fused_attention_eval with the head-PAIR block-diagonal inner
+    loop (_head_pair_eval): full-depth matmuls, no 64-lane slices,
+    MXU-computed softmax denominators. Same signature/semantics."""
+    b, nq, hd = q.shape
+    nk = k.shape[1]
+    assert hd % 64 == 0, f"packed width {hd} not a multiple of 64"
+    bias = (1.0 - mask.astype(jnp.float32)) * jnp.float32(-1e30)
+    bias = bias.reshape(b, 1, nk)
+    qblk = pl.BlockSpec((1, nq, hd), lambda i: (i, 0, 0))
+    kblk = pl.BlockSpec((1, nk, hd), lambda i: (i, 0, 0))
+    bias_blk = pl.BlockSpec((1, 1, nk), lambda i: (i, 0, 0))
+    return pl.pallas_call(
+        functools.partial(
+            _eval_pair_kernel, h=hd // 64, d=64, sm_scale=sm_scale
+        ),
+        grid=(b,),
+        in_specs=[qblk, kblk, kblk, bias_blk],
+        out_specs=qblk,
+        out_shape=jax.ShapeDtypeStruct((b, nq, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(q, k, v, bias)
+
+
+def _eval_merged_pair_kernel(
+    qkv_ref,  # VMEM (1, N_pad, 3*H*D) packed [q | k | v]
+    bias_ref,  # VMEM (1, 1, N_pad) f32
+    o_ref,  # out VMEM (1, N_pad, H*D)
+    *, h: int, d: int, sm_scale: float,
+):
+    hd = h * d
+    key_bias = bias_ref[0, 0]
+    for hp in range(h // 2):
+        sl = slice(hp * 2 * d, (hp + 1) * 2 * d)
+        o = _head_pair_eval(
+            qkv_ref[0][:, sl],
+            qkv_ref[0][:, hd + hp * 2 * d : hd + (hp + 1) * 2 * d],
+            qkv_ref[0][:, 2 * hd + hp * 2 * d : 2 * hd + (hp + 1) * 2 * d],
+            key_bias, sm_scale,
+        )
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+    if h % 2:
+        o = _head_eval(
+            qkv_ref[0][:, (h - 1) * d : h * d],
+            qkv_ref[0][:, hd + (h - 1) * d : hd + h * d],
+            qkv_ref[0][:, 2 * hd + (h - 1) * d : 2 * hd + h * d],
+            key_bias, sm_scale,
+        )
+        o_ref[0, :, (h - 1) * d : h * d] = o.astype(o_ref.dtype)
+
+
+def fused_attention_eval_merged_pair(qkv, mask, sm_scale: float):
+    """fused_attention_eval_merged with the head-pair inner loop."""
+    b, n, hd3 = qkv.shape
+    hd = hd3 // 3
+    assert hd * 3 == hd3 and hd % 64 == 0, f"bad merged width {hd3}"
+    bias = (1.0 - mask.astype(jnp.float32)) * jnp.float32(-1e30)
+    bias = bias.reshape(b, 1, n)
+    return pl.pallas_call(
+        functools.partial(
+            _eval_merged_pair_kernel, h=hd // 64, d=64, sm_scale=sm_scale
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, hd3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, n, hd), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, hd), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(qkv, bias)
 
 
 # ---------------------------------------------------------------------------
