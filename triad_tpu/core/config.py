@@ -486,14 +486,23 @@ def perf_eval_model_config() -> ModelConfig:
     - bf16 softmax scores in all three encoders (halves score HBM traffic);
     - fused pallas MLP kernels with tanh-form GELU (abs err <= 4.7e-4);
     - monolithic pallas conv frontend with tanh GELU (44.7 -> 28.5 ms,
-      docs/TRAINING_PERF.md round 2).
+      docs/TRAINING_PERF.md round 2);
+    - merged-qkv packed eval attention in the ViT (round 3): the LoRA
+      projection already emits one (B, N, 3C) qkv tensor — the merged
+      kernel consumes it directly, deleting the three lane slices +
+      (B, H, N, D) transposes + pad-to-384 relayouts. Measured
+      573.7-576.9 -> 589.1-592.1 clips/s/chip (two independent runs
+      each, /tmp/r2_measure bench_base*/bench_vitmq* Aug 19). HuBERT
+      merged-qkv measured a LOSS at eval (563.9) — its q/k/v are three
+      separate Dense params and the one-big-matmul saving does not
+      cover the merged kernel's padding at T=499; it stays packed.
     """
     base = ModelConfig()
     return dataclasses.replace(
         base,
         vit=dataclasses.replace(
             base.vit, attention_scores_dtype="bfloat16", mlp_impl="fused",
-            mlp_gelu="tanh",
+            mlp_gelu="tanh", attention_impl="packed_merged",
         ),
         hubert=dataclasses.replace(
             base.hubert, attention_scores_dtype="bfloat16", mlp_impl="auto",
