@@ -158,42 +158,78 @@ def main():
 
     # 5. merged-qkv training kernel (fused_attention_packed_merged):
     #    dropout replay on the real PRNG — (a) same seed => identical
-    #    forward twice, (b) p>0 gradient consistency (directional
-    #    derivative along g matches |g|^2, which only holds when the
-    #    backward replays the forward's exact keep mask).
+    #    forward twice, (b) p>0 gradient exactness by MASK EXTRACTION
+    #    (the check-3 method: feed identity blocks as v so the output
+    #    columns ARE the dropped-probs matrix, then compare the custom
+    #    VJP against jax.grad of an explicit-mask reference).
+    #
+    #    History: the original (b) used the directional-derivative test
+    #    (f(x + eps*g) - f(x)) / eps == |g|^2 on bf16 inputs — it
+    #    "failed" on hardware with rel err 0.95 because eps*g rounds
+    #    away entirely against the bf16 inputs (deriv ~ 0), exactly the
+    #    resolution failure check 3's comment warns about. fp32 inputs
+    #    + extraction resolves the mask bit-exactly instead.
     from triad_tpu.ops.pallas_attention import fused_attention_packed_merged
 
+    Bm = 2
     hd = H * D
-    qkv = jnp.concatenate(
-        [x.transpose(0, 2, 1, 3).reshape(B, T, hd) for x in (q, k, v)],
-        axis=-1,
-    )
+    qm = q[:Bm].astype(jnp.float32)
+    km = k[:Bm].astype(jnp.float32)
+    vm = v[:Bm].astype(jnp.float32)
+    maskm = mask[:Bm]
+    flat = lambda x: x.transpose(0, 2, 1, 3).reshape(Bm, T, hd)
+    qkv = jnp.concatenate([flat(qm), flat(km), flat(vm)], axis=-1)
     seedm = jnp.int32(11)
 
     @jax.jit
     def merged_fwd(qkv):
-        return fused_attention_packed_merged(qkv, mask, seedm, p, sm)
+        return fused_attention_packed_merged(qkv, maskm, seedm, p, sm)
 
     o1, o2 = merged_fwd(qkv), merged_fwd(qkv)
     assert bool(jnp.all(o1 == o2)), "merged fwd not seed-deterministic"
 
-    @jax.jit
-    def merged_loss_and_grad(qkv):
-        f = lambda x: jnp.sum(
-            fused_attention_packed_merged(x, mask, seedm, p, sm).astype(
-                jnp.float32
-            ) ** 2
+    # Extract the replayed dropped-probs D per head: v := identity
+    # blocks (all heads at once), so out[:, :, hh*D:(hh+1)*D] is
+    # D_hh[:, j*D:(j+1)*D] for each identity block j.
+    eye_m = np.eye(T, dtype=np.float32)
+    d_cols_m = []
+    for j in range(T // D):
+        vb = jnp.broadcast_to(
+            jnp.asarray(eye_m[:, j * D : (j + 1) * D]), (Bm, H, T, D)
         )
-        return jax.value_and_grad(f)(qkv)
+        qkv_j = jnp.concatenate(
+            [flat(qm), flat(km), flat(vb)], axis=-1
+        )
+        out_j = np.asarray(merged_fwd(qkv_j), np.float32)
+        # (Bm, T, hd) -> (Bm, H, T, D) head-major
+        d_cols_m.append(
+            out_j.reshape(Bm, T, H, D).transpose(0, 2, 1, 3)
+        )
+    d_full_m = np.concatenate(d_cols_m, axis=-1)  # (Bm, H, T, T)
+    keep_m = jnp.asarray((d_full_m > 0).astype(np.float32))
 
-    l0, g = merged_loss_and_grad(qkv)
-    eps = 1e-3
-    gn2 = float(jnp.sum(g.astype(jnp.float32) ** 2))
-    l1, _ = merged_loss_and_grad(qkv + eps * g.astype(qkv.dtype))
-    deriv = (float(l1) - float(l0)) / eps
-    rel = abs(deriv - gn2) / max(gn2, 1e-9)
-    print(f"merged dropout grad directional check: rel err {rel:.3e}")
-    assert rel < 0.05, "merged bwd does not replay the fwd dropout mask"
+    def ref_loss_m(qkv):
+        qr = qkv[..., :hd].reshape(Bm, T, H, D).transpose(0, 2, 1, 3)
+        kr = qkv[..., hd : 2 * hd].reshape(Bm, T, H, D).transpose(0, 2, 1, 3)
+        vr = qkv[..., 2 * hd :].reshape(Bm, T, H, D).transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", qr, kr) * sm
+        scores = scores + (1.0 - maskm[:, None, None, :]) * -1e30
+        probs = jax.nn.softmax(scores, axis=-1)
+        dropped = probs * keep_m / (1.0 - p)
+        o = jnp.einsum("bhqk,bhkd->bhqd", dropped, vr)
+        return jnp.sum(o ** 2)
+
+    def fused_loss_m(qkv):
+        o = fused_attention_packed_merged(qkv, maskm, seedm, p, sm)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    g_ref_m = jax.jit(jax.grad(ref_loss_m))(qkv)
+    g_fused_m = jax.jit(jax.grad(fused_loss_m))(qkv)
+    diff = float(jnp.max(jnp.abs(g_ref_m - g_fused_m)))
+    rel = diff / (float(jnp.max(jnp.abs(g_ref_m))) + 1e-9)
+    print(f"merged dropout replay (mask extraction): d(qkv) max abs "
+          f"diff {diff:.3e} (rel {rel:.3e})")
+    assert rel < 2e-2, "merged bwd does not replay the fwd dropout mask"
     print("ALL CHECKS PASSED")
 
 
