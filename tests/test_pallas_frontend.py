@@ -45,6 +45,9 @@ class TestKernel:
             (2, 8000, 16, "x640"),
             (1, 12345, 16, "x640"),
             (1, 40000, 16, "x640"),  # multi-block stats + main grids
+            (2, 8000, 16, "xt"),
+            (1, 12345, 8, "xt"),
+            (1, 40000, 16, "xt"),  # multi-block stats + main grids
         ],
     )
     def test_matches_xla_reference(self, B, T, tb, layout):

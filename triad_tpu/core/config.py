@@ -141,9 +141,11 @@ class HubertConfig:
     # Waveform shipping layout for the "monolithic" frontend: "x10"
     # ((B, T/10, 10) — lane dim tiles 10->128, ~12.8x padded HBM
     # footprint plus a measured 1.35 ms/step XLA pad+relayout at
-    # B=64/10 s) or "x640" ((B, T/640, 640) — exact lane tiling; the
-    # (rows, 640)->(rows*64, 10) re-view runs on an ~84 KB VMEM block
-    # inside the kernel).
+    # B=64/10 s), "x640" ((B, T/640, 640) — exact lane tiling; the
+    # (rows, 640)->(rows*64, 10) re-view is a Mosaic-unsupported shape
+    # cast on real hardware — kept for interpret A/Bs only), or "xt"
+    # ((B, 16, T/10) tap planes — 16/10 footprint, conv_0 as one
+    # sublane-contracting matmul, one lane roll for the odd phase).
     frontend_wave_layout: str = "x10"
     # Positional grouped conv (kernel 128, 16 groups): "conv" = XLA's
     # feature-grouped convolution (pays ~6.9 ms/step of {0,3,2,1}
@@ -654,6 +656,13 @@ def apply_train_knobs(model_cfg: ModelConfig, knobs) -> ModelConfig:
             model_cfg,
             hubert=dataclasses.replace(
                 model_cfg.hubert, frontend_wave_layout="x640"
+            ),
+        )
+    if "wavext" in knobs:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            hubert=dataclasses.replace(
+                model_cfg.hubert, frontend_wave_layout="xt"
             ),
         )
     # Remat-policy A/Bs: "rematconv" checkpoints the whole frontend as

@@ -120,8 +120,12 @@ def _head_pair_eval(qp, kp, vp, key_bias, sm_scale: float):
         qp, kblk, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * sm_scale  # (Nq, 2Nk) = [S0 | S1]
-    bias2 = jnp.concatenate([key_bias, key_bias], axis=0)
-    s = s + bias2[None, :]
+    # 2-D lane concat: the 1-D (Nk,)->(2Nk,) form hit Mosaic's "Input
+    # offsets outside of the first tile" on the real chip (round 3).
+    bias2 = jnp.concatenate(
+        [key_bias[None, :], key_bias[None, :]], axis=1
+    )  # (1, 2Nk)
+    s = s + bias2
     s0 = s[:, :nk]  # 128-aligned lane slices (nk % 128 == 0)
     s1 = s[:, nk:]
     e = jnp.concatenate(

@@ -114,6 +114,58 @@ def make_g2_weight(w0: jax.Array) -> jax.Array:
     return wg
 
 
+def make_g2_weight_xt(w0: jax.Array) -> jax.Array:
+    """conv_0 weight (10, C) -> (32, 2C) for the "xt" tap-plane layout:
+    xc_t row r is tap plane r of pair u (r < 16) or of pair u+1
+    (r >= 16). y[2u] reads planes 0..9 of pair u; y[2u+1] reads samples
+    10u+5..10u+14 = planes 5..9 of pair u + planes 0..4 of pair u+1."""
+    c = w0.shape[1]
+    wg = jnp.zeros((32, 2 * c), jnp.float32)
+    wg = wg.at[0:10, 0:c].set(w0.astype(jnp.float32))
+    wg = wg.at[5:10, c : 2 * c].set(w0[0:5].astype(jnp.float32))
+    wg = wg.at[16:21, c : 2 * c].set(w0[5:10].astype(jnp.float32))
+    return wg
+
+
+def _xt_load_len(n_pairs: int) -> int:
+    """Lane length for one "xt" block load: >= n_pairs + 1 (the odd
+    phase peeks one pair ahead) and 128-aligned (tpu.dynamic_rotate
+    rejects unaligned shapes — same constraint as pallas_posconv)."""
+    return _round_up_fe(n_pairs + 1, 128)
+
+
+def _round_up_fe(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _conv0_block(x_ref, wg_ref, zero, p0, n_pairs, wave_layout):
+    """conv_0 for pairs [p0, p0+n_pairs) -> (n_pairs, 2C) f32
+    phase-split output, from whichever wire layout x_ref carries.
+
+    "xt" (x_ref (1, 16, U): tap-plane sublanes, pair-index lanes) skips
+    the (n, 10) row view entirely: the block loads once as (16, LL),
+    the pair-(u+1) planes come from ONE lane roll (dynamic shift
+    ``zero + LL - 1`` — a constant shift would stay a lazy layout
+    offset and poison the concat, the pallas_posconv lesson), and
+    conv_0 is a single sublane-contracting dot_general against the
+    (32, 2C) banded weight. No 12.8x-padded HBM tensor, no VMEM
+    relayout: the wire footprint is 16/10 of the waveform."""
+    if wave_layout == "xt":
+        ll = _xt_load_len(n_pairs)
+        xa = x_ref[0, :, pl.ds(p0, ll)]  # (16, LL) f32
+        xb = pltpu.roll(xa, zero + ll - 1, axis=1)  # lane u <- u+1
+        xc_t = jnp.concatenate(
+            [xa[:, :n_pairs], xb[:, :n_pairs]], axis=0
+        )  # (32, n_pairs)
+        return jax.lax.dot_general(
+            xc_t.astype(jnp.bfloat16), wg_ref[...].astype(jnp.bfloat16),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    x10v = _load_x10(x_ref, p0, n_pairs, wave_layout)
+    return _conv0_pairs(x10v, wg_ref, n_pairs)
+
+
 def _conv0_pairs(x10v, wg_ref, n_pairs):
     """Phase-split conv_0 on a VALUE x10v ((>= n_pairs+1, 10) f32) for
     local pairs [0, n_pairs): (n_pairs, 2C) f32.
@@ -191,12 +243,12 @@ def _fold(y):
 # ---------------------------------------------------------------------------
 
 
-def _stats_kernel(x_ref, wg_ref, sum_ref, sq_ref, *, m0_total: int,
+def _stats_kernel(x_ref, wg_ref, z_ref, sum_ref, sq_ref, *, m0_total: int,
                   tb_pairs: int, wave_layout: str):
     j = pl.program_id(1)
     u0 = pl.multiple_of(j * tb_pairs, 8)
-    x10v = _load_x10(x_ref, u0, tb_pairs, wave_layout)
-    y = _conv0_pairs(x10v, wg_ref, tb_pairs)  # (tb_pairs, 2C)
+    y = _conv0_block(x_ref, wg_ref, z_ref[0, 0], u0, tb_pairs,
+                     wave_layout)  # (tb_pairs, 2C)
     c = y.shape[1] // 2
     pair = u0 + jax.lax.broadcasted_iota(jnp.int32, (tb_pairs, 1), 0)
     ye = jnp.where(2 * pair < m0_total, y[:, :c], 0.0)
@@ -216,8 +268,9 @@ def _stats_kernel(x_ref, wg_ref, sum_ref, sq_ref, *, m0_total: int,
 def stats_block(n_pairs: int, tb_pairs: int = 2048,
                 wave_layout: str = "x10") -> int:
     """Stats-pass block size: clamped to the pair count, 8-aligned
-    ("x10") or 64-aligned ("x640": blocks start on 640-sample rows)."""
-    align = 64 if wave_layout == "x640" else 8
+    ("x10"), 64-aligned ("x640": blocks start on 640-sample rows) or
+    128-aligned ("xt": lane-slice starts must be 128-aligned)."""
+    align = {"x640": 64, "xt": 128}.get(wave_layout, 8)
     return min(tb_pairs, ((n_pairs + align - 1) // align) * align)
 
 
@@ -238,6 +291,10 @@ def conv0_stats(
                 f"x640 stats blocks must start on 8-row boundaries: "
                 f"tb_pairs {tb_pairs} (use a multiple of 512 or one block)"
             )
+    elif wave_layout == "xt":
+        # x10 is (B, 16, U): need lanes for the last block's load.
+        need_rows = (nb - 1) * tb_pairs + _xt_load_len(tb_pairs)
+        r10 = x10.shape[2]
     else:
         need_rows = nb * tb_pairs + 8
     if need_rows > r10:
@@ -251,8 +308,12 @@ def conv0_stats(
         ),
         grid=(b, nb),
         in_specs=[
-            pl.BlockSpec((1, r10, x10.shape[2]), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((20, 2 * C), lambda i, j: (0, 0)),
+            pl.BlockSpec(
+                (1,) + x10.shape[1:], lambda i, j: (i, 0, 0)
+            ),
+            pl.BlockSpec(wg.shape, lambda i, j: (0, 0)),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 8, C), lambda i, j: (i, 0, 0)),
@@ -266,7 +327,7 @@ def conv0_stats(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x10, wg)
+    )(x10, wg, jnp.zeros((1, 1), jnp.int32))
     s = s[:, 0, :]
     sq = sq[:, 0, :]
     mean = s / m0_total
@@ -280,19 +341,21 @@ def conv0_stats(
 
 
 def _main_kernel(
-    x_ref,  # (1, R10p, 10) fp32 ("x10") or (1, R640p, 640) ("x640")
-    wg_ref,  # (20, 2C)
+    x_ref,  # (1, R10p, 10) fp32 ("x10") / (1, R640p, 640) ("x640")
+    #         / (1, 16, U) tap-plane ("xt")
+    wg_ref,  # (20, 2C), or (32, 2C) for "xt"
     wcat_ref,  # (6, 2C, C) [W0;W1] for conv_1..conv_6
     w2_ref,  # (4, C, C) third taps, conv_1..conv_4
     affine_ref,  # (1, 2, 2C) folded GroupNorm scale' | bias'
+    z_ref,  # SMEM (1, 1) int32, always 0 ("xt" dynamic roll shift)
     y_ref,  # out (1, tb, C)
     *, tb: int, p1: int, gelu: str = "erf", wave_layout: str = "x10",
 ):
     gelu_fn = _GELUS[gelu]
     j = pl.program_id(1)
     p0 = pl.multiple_of(j * (tb * 32), 8)
-    x10v = _load_x10(x_ref, p0, p1, wave_layout)
-    y0 = _conv0_pairs(x10v, wg_ref, p1)  # (P1, 2C) phase-split
+    y0 = _conv0_block(x_ref, wg_ref, z_ref[0, 0], p0, p1,
+                      wave_layout)  # (P1, 2C) phase-split
     z = (
         y0 * affine_ref[0, 0][None, :] + affine_ref[0, 1][None, :]
     ).astype(jnp.bfloat16)
@@ -332,16 +395,21 @@ def monolithic_frontend(
     """
     if tb % 8:
         raise ValueError(f"tb must be a multiple of 8, got {tb}")
-    if wave_layout not in ("x10", "x640"):
+    if wave_layout not in ("x10", "x640", "xt"):
         raise ValueError(f"unknown wave_layout {wave_layout!r}")
     if wave_layout == "x640" and tb % 16:
         raise ValueError(f"x640 layout needs tb % 16 == 0, got {tb}")
+    if wave_layout == "xt" and (tb * 32) % 128:
+        raise ValueError(f"xt layout needs tb % 4 == 0, got {tb}")
     b, t = wave.shape
     t -= t % 10
     wave = wave[:, :t]
     n_out = num_tokens(t)
     m0_total = (t - 10) // 5 + 1
-    wg = make_g2_weight(w0.reshape(10, -1))
+    if wave_layout == "xt":
+        wg = make_g2_weight_xt(w0.reshape(10, -1))
+    else:
+        wg = make_g2_weight(w0.reshape(10, -1))
     p1 = 32 * tb + 32  # conv_0 pairs per block (margin 32, see header)
     nb = -(-n_out // tb)
 
@@ -358,6 +426,20 @@ def monolithic_frontend(
         x10 = jnp.pad(
             wave.astype(jnp.float32), ((0, 0), (0, r_pad * 640 - t))
         ).reshape(b, r_pad, 640)
+    elif wave_layout == "xt":
+        # Tap-plane layout (B, 16, U): sublane r < 10 holds sample
+        # 10u + r of pair u at lane u. True footprint 16/10 of the
+        # waveform (vs the 12.8x lane-padded x10 tensor) and the XLA
+        # prep is one fused pad+reshape+transpose copy.
+        main_lanes = (nb - 1) * (tb * 32) + _xt_load_len(p1)
+        stats_lanes = (nbs - 1) * stb + _xt_load_len(stb)
+        u_pad = _round_up_fe(max(main_lanes, stats_lanes, t // 10), 128)
+        x10 = jnp.pad(
+            wave.astype(jnp.float32), ((0, 0), (0, u_pad * 10 - t))
+        ).reshape(b, u_pad, 10)
+        x10 = jnp.pad(
+            jnp.transpose(x10, (0, 2, 1)), ((0, 0), (0, 6), (0, 0))
+        )  # (B, 16, U)
     else:
         r10 = t // 10
         stats_rows = nbs * stb + 8
@@ -389,11 +471,13 @@ def monolithic_frontend(
                           wave_layout=wave_layout),
         grid=(b, nb),
         in_specs=[
-            pl.BlockSpec((1, r_pad, x10.shape[2]), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((20, 2 * C), lambda i, j: (0, 0)),
+            pl.BlockSpec((1,) + x10.shape[1:], lambda i, j: (i, 0, 0)),
+            pl.BlockSpec(wg.shape, lambda i, j: (0, 0)),
             pl.BlockSpec((6, 2 * C, C), lambda i, j: (0, 0, 0)),
             pl.BlockSpec((4, C, C), lambda i, j: (0, 0, 0)),
             pl.BlockSpec((1, 2, 2 * C), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, tb, C), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b, nb * tb, C), out_dtype),
@@ -401,7 +485,7 @@ def monolithic_frontend(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x10, wg, wcat, w2, affine)
+    )(x10, wg, wcat, w2, affine, jnp.zeros((1, 1), jnp.int32))
     return y[:, :n_out]
 
 

@@ -49,14 +49,49 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _npad_for(n: int, k: int) -> int:
+    """Padded output length such that the kernel's lane buffer
+    Tbuf = npad + K is a multiple of 128: Mosaic's tpu.dynamic_rotate
+    (which _lane_roll lowers to) rejects unaligned lane counts
+    ("unsupported unaligned shape" on vector<48x632xf32>, real chip,
+    round 3). The extra zero columns ride along and are sliced off."""
+    return _round_up(n + k, 128) - k
+
+
+def _lane_roll(x, shift: int, zero):
+    """Materialized pltpu.roll along lanes (axis 1 of a 2-D value) for
+    f32 AND 16-bit dtypes.
+
+    Two real-hardware Mosaic constraints shape this (both hit on the
+    chip, round 3; interpret mode accepts everything):
+      * a CONSTANT-shift rotate is folded into a lazy layout offset,
+        and tpu.concatenate then rejects operands whose offsets differ
+        ("expected same layout/offset mismatch") — so the shift is made
+        runtime-dynamic (``zero`` is a traced int32 scalar that is
+        always 0) to force an actual data rotate to offset 0;
+      * rotates are 32-bit-only ("not implemented: Rotate with
+        non-32-bit data") — 16-bit inputs ride an int32 bitcast view:
+        each int32 lane element packs two SUBLANE-adjacent 16-bit
+        elements at the same lane position, so a lane roll of the
+        packed view IS a lane roll of the original (verified against
+        jnp.roll in interpret mode)."""
+    if x.dtype.itemsize == 4:
+        return pltpu.roll(x, zero + shift, axis=1)
+    assert x.dtype.itemsize == 2 and x.shape[0] % 2 == 0, (x.dtype, x.shape)
+    x32 = pltpu.bitcast(x, jnp.int32)  # (S/2, L)
+    return pltpu.bitcast(pltpu.roll(x32, zero + shift, axis=1), x.dtype)
+
+
 def _pc_kernel(
     x_ref,  # VMEM (1, Tbuf, C) input (zero-padded windows)
     w_ref,  # VMEM (G, CPG, K*CPG): w_t[g, co, k*CPG+ci]
     b_ref,  # VMEM (C, 1) f32 bias column
+    z_ref,  # SMEM (1, 1) int32, always 0 (_lane_roll dynamic shift)
     o_ref,  # out VMEM (1, Tpad, C)
     *, g: int, cpg: int, kk: int, tpad: int, act: str,
 ):
     act_fn = _GELUS[act]
+    zero = z_ref[0, 0]
     x_t = jnp.transpose(x_ref[0])  # (C, Tbuf)
     for gi in range(g):
         xg = x_t[gi * cpg : (gi + 1) * cpg]  # (CPG, Tbuf)
@@ -65,14 +100,12 @@ def _pc_kernel(
             # Mosaic rejects concatenating lane slices whose lane
             # offsets differ ("result/input offset mismatch on
             # non-concat dimension" — hit on the real chip, round 3);
-            # pltpu.roll re-canonicalizes each shifted window to
+            # _lane_roll re-canonicalizes each shifted window to
             # offset 0 first. The wrap-around rows land past tpad
             # (shift <= kk) and are sliced off.
             parts = [
-                pltpu.roll(
-                    xg,
-                    (xg.shape[1] - (kc * _KC + j)) % xg.shape[1],
-                    axis=1,
+                _lane_roll(
+                    xg, (xg.shape[1] - (kc * _KC + j)) % xg.shape[1], zero
                 )[:, :tpad]
                 for j in range(_KC)
             ]
@@ -92,36 +125,38 @@ def _pc_kernel(
 def _dw_kernel(
     x_ref,  # VMEM (1, Tbuf, C)
     dz_ref,  # VMEM (1, Tpad, C)
+    z_ref,  # SMEM (1, 1) int32, always 0 (_lane_roll dynamic shift)
     dw_ref,  # out VMEM (G, CPG, K*CPG) f32, accumulated over the grid
     *, g: int, cpg: int, kk: int, tpad: int,
 ):
     bi = pl.program_id(0)
+    zero = z_ref[0, 0]
 
     @pl.when(bi == 0)
     def _():
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
-    x = x_ref[0]  # (Tbuf, C)
+    x_t = jnp.transpose(x_ref[0])  # (C, Tbuf)
     dz_t = jnp.transpose(dz_ref[0])  # (C, Tpad)
     for gi in range(g):
         dg = dz_t[gi * cpg : (gi + 1) * cpg]  # (CPG co, Tpad)
-        xg = x[:, gi * cpg : (gi + 1) * cpg]  # (Tbuf, CPG ci)
+        xg = x_t[gi * cpg : (gi + 1) * cpg]  # (CPG ci, Tbuf)
         for kc in range(kk // _KC):
-            # Same Mosaic constraint as the forward: sublane-shifted
-            # windows must share an offset before the lane concat.
+            # Shifted windows as LANE rolls (like the forward): Mosaic's
+            # rotate is lane-roll-friendly and the 16-bit case rides the
+            # int32 bitcast in _lane_roll (sublane rolls of 16-bit data
+            # have no such packing trick).
             parts = [
-                pltpu.roll(
-                    xg,
-                    (xg.shape[0] - (kc * _KC + j)) % xg.shape[0],
-                    axis=0,
-                )[:tpad, :]
+                _lane_roll(
+                    xg, (xg.shape[1] - (kc * _KC + j)) % xg.shape[1], zero
+                )[:, :tpad]
                 for j in range(_KC)
             ]
-            xstack_t = jnp.concatenate(parts, axis=1)  # (Tpad, KC*CPG)
+            xstack = jnp.concatenate(parts, axis=0)  # (KC*CPG, Tpad)
             dw_ref[gi, :, kc * _KC * cpg : (kc + 1) * _KC * cpg] += (
                 jax.lax.dot_general(
-                    dg, xstack_t.astype(dg.dtype),
-                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    dg, xstack.astype(dg.dtype),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
             )
@@ -141,6 +176,7 @@ def _run_conv(xbuf, w_t, bias_col, act, out_dtype, interpret):
             pl.BlockSpec((1, tbuf, c), lambda i: (i, 0, 0)),
             pl.BlockSpec((g, cpg, kcpg), lambda i: (0, 0, 0)),
             pl.BlockSpec((c, 1), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, tpad, c), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, tpad, c), out_dtype),
@@ -148,7 +184,7 @@ def _run_conv(xbuf, w_t, bias_col, act, out_dtype, interpret):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xbuf, w_t, bias_col)
+    )(xbuf, w_t, bias_col, jnp.zeros((1, 1), jnp.int32))
 
 
 def _prep_w(w, g):
@@ -202,7 +238,7 @@ def _pos_conv_impl(x, w, b, groups, interpret, act):
         )
     if k % _KC or cpg % 8:
         raise ValueError(f"need K % {_KC} == 0 and CPG % 8 == 0")
-    npad = _round_up(n, 8)
+    npad = _npad_for(n, k)
     xbuf = _pad_fwd(x, k, npad)
     w_t = _prep_w(w, groups).astype(x.dtype)
     bias = b.astype(jnp.float32).reshape(c, 1)
@@ -235,7 +271,7 @@ def _pc_bwd(groups, gelu, interpret, res, dy):
     x, w, b, z = res
     bsz, n, c = x.shape
     k = w.shape[0]
-    npad = _round_up(n, 8)
+    npad = _npad_for(n, k)
 
     # dz = dy * gelu'(z), db: plain XLA (fuses into neighbours).
     _, gvjp = jax.vjp(lambda t: _GELUS[gelu](t).astype(dy.dtype), z)
@@ -254,6 +290,7 @@ def _pc_bwd(groups, gelu, interpret, res, dy):
         in_specs=[
             pl.BlockSpec((1, npad + k, c), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, npad, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((g, cpg, k * cpg), lambda i: (0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((g, cpg, k * cpg), jnp.float32),
@@ -261,7 +298,7 @@ def _pc_bwd(groups, gelu, interpret, res, dy):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xbuf, dzp)
+    )(xbuf, dzp, jnp.zeros((1, 1), jnp.int32))
     dw = _unprep_dw(dw_t, k)
 
     # dX: forward kernel with flipped/swapped weights, id activation.
