@@ -586,7 +586,7 @@ def apply_train_knobs(model_cfg: ModelConfig, knobs) -> ModelConfig:
     knobs = set(knobs)
     known = {
         "perf", "tanh", "pkattn", "mqkv", "vitpk", "vitmq", "monofe",
-        "posconv", "wave640", "rematconv", "noremat",
+        "posconv", "wave640", "wavext", "rematconv", "noremat",
     }
     unknown = knobs - known
     if unknown:
