@@ -265,6 +265,53 @@ def _stats_kernel(x_ref, wg_ref, z_ref, sum_ref, sq_ref, *, m0_total: int,
     sq_ref[0, 0, :] += jnp.sum(ye * ye + yo * yo, axis=0)
 
 
+def _stats_gram_kernel(x_ref, z_ref, ge_ref, go_ref, s_ref,
+                       *, m0_total: int, tb_pairs: int):
+    """GroupNorm stats for the "xt" layout WITHOUT recomputing conv_0.
+
+    sumsq_c = Σ_m y[m,c]² is a quadratic form in the tap planes:
+    Σ (w_cᵀ x_m)² = w_cᵀ (Σ x_m x_mᵀ) w_c — so the kernel only
+    accumulates the 32x32 tap Gram matrix per phase (plus the tap sum
+    vectors for the mean) and the host contracts them with the banded
+    weight. ~25x fewer MACs than the conv_0 recompute (n·32·32 vs
+    n·20·1024) and f32 throughout (more accurate than the bf16-y
+    squaring of the generic path; tested within frontend tolerance).
+
+    Even outputs y[2u] are valid for u < n_e = ceil(m0/2), odd for
+    u < n_o = floor(m0/2) — two masked Grams (they differ by at most
+    the final pair).
+    """
+    j = pl.program_id(1)
+    zero = z_ref[0, 0]
+    u0 = pl.multiple_of(j * tb_pairs, 128)
+    ll = _xt_load_len(tb_pairs)
+    xa = x_ref[0, :, pl.ds(u0, ll)]  # (16, LL) f32
+    xb = pltpu.roll(xa, zero + ll - 1, axis=1)
+    xc_t = jnp.concatenate(
+        [xa[:, :tb_pairs], xb[:, :tb_pairs]], axis=0
+    )  # (32, n)
+    u = u0 + jax.lax.broadcasted_iota(jnp.int32, (1, tb_pairs), 1)
+    n_o = m0_total // 2
+    n_e = m0_total - n_o
+    xe = jnp.where(u < n_e, xc_t, 0.0)
+    xo = jnp.where(u < n_o, xc_t, 0.0)
+
+    @pl.when(j == 0)
+    def _():
+        ge_ref[...] = jnp.zeros_like(ge_ref)
+        go_ref[...] = jnp.zeros_like(go_ref)
+        s_ref[...] = jnp.zeros_like(s_ref)
+
+    gram = lambda x: jax.lax.dot_general(
+        x, x, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ge_ref[0] += gram(xe)
+    go_ref[0] += gram(xo)
+    s_ref[0, 0, :] += jnp.sum(xe, axis=1)
+    s_ref[0, 1, :] += jnp.sum(xo, axis=1)
+
+
 def stats_block(n_pairs: int, tb_pairs: int = 2048,
                 wave_layout: str = "x10") -> int:
     """Stats-pass block size: clamped to the pair count, 8-aligned
@@ -301,6 +348,41 @@ def conv0_stats(
         raise ValueError(
             f"waveform rows {r10} < stats requirement {need_rows}"
         )
+    if wave_layout == "xt":
+        ge, go, sv = pl.pallas_call(
+            functools.partial(
+                _stats_gram_kernel, m0_total=m0_total, tb_pairs=tb_pairs
+            ),
+            grid=(b, nb),
+            in_specs=[
+                pl.BlockSpec((1,) + x10.shape[1:], lambda i, j: (i, 0, 0)),
+                pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 32, 32), lambda i, j: (i, 0, 0)),
+                pl.BlockSpec((1, 32, 32), lambda i, j: (i, 0, 0)),
+                pl.BlockSpec((1, 8, 32), lambda i, j: (i, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, 32, 32), jnp.float32),
+                jax.ShapeDtypeStruct((b, 32, 32), jnp.float32),
+                jax.ShapeDtypeStruct((b, 8, 32), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(x10, jnp.zeros((1, 1), jnp.int32))
+        w_e = wg[:, :C]  # (32, C) f32
+        w_o = wg[:, C:]
+        sum_c = sv[:, 0, :] @ w_e + sv[:, 1, :] @ w_o  # (B, C)
+        sq_c = jnp.einsum("bij,jc,ic->bc", ge, w_e, w_e) + jnp.einsum(
+            "bij,jc,ic->bc", go, w_o, w_o
+        )
+        mean = sum_c / m0_total
+        var = sq_c / m0_total - mean * mean
+        return mean, var
     s, sq = pl.pallas_call(
         functools.partial(
             _stats_kernel, m0_total=m0_total, tb_pairs=tb_pairs,
