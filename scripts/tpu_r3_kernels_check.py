@@ -93,6 +93,32 @@ def check_posconv():
         )
         print(f"posconv d{name}   max rel err        : {rel:.3e}", flush=True)
 
+    # bf16 numerics: the _lane_roll int32-bitcast path only runs for
+    # 16-bit dtypes — prove the packed roll is a real lane roll on the
+    # chip, not just in interpret mode.
+    xb2 = x[:2].astype(jnp.bfloat16)
+    wb2 = w.astype(jnp.bfloat16)
+    yb_ref = np.asarray(jax.jit(xla_ref)(xb2, wb2, b)).astype(np.float32)
+    yb_pal = np.asarray(jax.jit(pallas_fn)(xb2, wb2, b)).astype(np.float32)
+    scale = np.abs(yb_ref).max()
+    print(f"posconv bf16 fwd max|pallas - xla| : "
+          f"{np.abs(yb_pal - yb_ref).max():.5f} (scale {scale:.2f})",
+          flush=True)
+
+    def loss_pal_b(x, w, b):
+        return jnp.sum(pallas_fn(x, w, b).astype(jnp.float32) ** 2)
+
+    def loss_ref_b(x, w, b):
+        return jnp.sum(xla_ref(x, w, b).astype(jnp.float32) ** 2)
+
+    gb_ref = jax.jit(jax.grad(loss_ref_b, argnums=(1,)))(xb2, wb2, b)[0]
+    gb_pal = jax.jit(jax.grad(loss_pal_b, argnums=(1,)))(xb2, wb2, b)[0]
+    relw = np.abs(np.asarray(gb_pal, np.float32)
+                  - np.asarray(gb_ref, np.float32)).max() / (
+        np.abs(np.asarray(gb_ref, np.float32)).max() + 1e-9
+    )
+    print(f"posconv bf16 dW  max rel err       : {relw:.3e}", flush=True)
+
     # timing at the production eval dtype
     xb = x.astype(jnp.bfloat16)
     wb_ = w.astype(jnp.bfloat16)

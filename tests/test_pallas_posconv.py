@@ -59,6 +59,40 @@ class TestForward:
         got = np.asarray(pos_conv_gelu(x, w, b, 16, "erf", True))
         np.testing.assert_allclose(got, ref, atol=3e-4, rtol=1e-4)
 
+    def test_bf16_bitcast_roll_path(self):
+        # 16-bit inputs take the _lane_roll int32-bitcast route (two
+        # sublane-adjacent bf16 elements per packed int32 lane element)
+        # — pin it against the f32 route at the production group shape.
+        x, w, b = _inputs(B=1, N=24, C=768, G=16, K=128, seed=4)
+        xb, wb = x.astype(jnp.bfloat16), w.astype(jnp.bfloat16)
+        ref = np.asarray(
+            pos_conv_gelu(x, w, b, 16, "erf", True), np.float32
+        )
+        got = np.asarray(
+            pos_conv_gelu(xb, wb, b, 16, "erf", True), np.float32
+        )
+        scale = float(np.abs(ref).max())
+        assert float(np.abs(got - ref).max()) < 0.03 * scale
+
+        # and the bwd bf16 path (dW kernel rolls bf16 x)
+        def loss(fx, fw):
+            return jnp.sum(
+                pos_conv_gelu(fx, fw, b, 16, "erf", True).astype(
+                    jnp.float32
+                ) ** 2
+            )
+
+        gw_ref = np.asarray(
+            jax.grad(loss, argnums=1)(x, w), np.float32
+        )
+        gw_got = np.asarray(
+            jax.grad(loss, argnums=1)(xb, wb), np.float32
+        )
+        rel = np.abs(gw_got - gw_ref).max() / (
+            np.abs(gw_ref).max() + 1e-9
+        )
+        assert rel < 0.05, rel
+
 
 @pytest.mark.slow
 class TestGradients:
