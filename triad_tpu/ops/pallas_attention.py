@@ -428,7 +428,16 @@ def _eval_pair_kernel(
 def fused_attention_eval_pair(q, k, v, mask, sm_scale: float):
     """fused_attention_eval with the head-PAIR block-diagonal inner
     loop (_head_pair_eval): full-depth matmuls, no 64-lane slices,
-    MXU-computed softmax denominators. Same signature/semantics."""
+    MXU-computed softmax denominators. Same signature/semantics.
+
+    STATUS (round 3, real chip, scripts/tpu_r3_kernels_check.py attn):
+    RETIRED as a default candidate — numerically correct on hardware
+    (max 5e-4 vs XLA) but NEUTRAL-TO-SLOWER at both production shapes:
+    hubert (64,499) 6.78 vs 6.76 ms single-head, vit merged (64,261)
+    7.70 vs 6.39 ms. The block-diagonal layout doubles the P·V FLOPs
+    and adds the denominator matmul; at d=64/N<=499 that exceeds what
+    the 128-lane alignment saves. Kept for re-evaluation at longer
+    sequences where the zero-FLOP fraction amortizes."""
     b, nq, hd = q.shape
     nk = k.shape[1]
     assert hd % 64 == 0, f"packed width {hd} not a multiple of 64"
