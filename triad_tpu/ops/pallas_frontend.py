@@ -435,7 +435,10 @@ def _main_kernel(
 ):
     gelu_fn = _GELUS[gelu]
     j = pl.program_id(1)
-    p0 = pl.multiple_of(j * (tb * 32), 8)
+    # "xt" lane slices must be provably 128-aligned on real TPU (Mosaic
+    # rejects the vector.load otherwise); tb*32 % 128 == 0 is enforced
+    # at trace time, so the stronger hint is always sound there.
+    p0 = pl.multiple_of(j * (tb * 32), 128 if wave_layout == "xt" else 8)
     y0 = _conv0_block(x_ref, wg_ref, z_ref[0, 0], p0, p1,
                       wave_layout)  # (P1, 2C) phase-split
     z = (
