@@ -184,6 +184,17 @@ def main() -> None:
         cfg = _dc.replace(
             cfg, hubert=_dc.replace(cfg.hubert, attention_impl=_ha_ov)
         )
+    # TRIAD_BENCH_MLP_ROWS=2|4: batch rows merged per fused-MLP grid
+    # step (numerics identical — row-independent math; targets the
+    # per-grid-step pipeline bubbles behind the HuBERT MLP's 48% MFU).
+    _mr_ov = _os.environ.get("TRIAD_BENCH_MLP_ROWS")
+    if _mr_ov:
+        rb = int(_mr_ov)
+        cfg = _dc.replace(
+            cfg,
+            hubert=_dc.replace(cfg.hubert, mlp_block_rows=rb),
+            vit=_dc.replace(cfg.vit, mlp_block_rows=rb),
+        )
     # TRIAD_BENCH_PARAM_DTYPE=bfloat16: store parameters as bf16. The
     # judged forward already CASTS every weight to bf16 before its
     # matmul (compute_dtype), so the math is unchanged at bf16

@@ -1,0 +1,30 @@
+#!/bin/bash
+# Round-3 third hardware runbook: composition legs on top of the r3b
+# singles (xt +19, unroll +10, posconv -6 at eval) plus the two
+# still-unmeasured knobs (param bf16 storage, fused-MLP batch-row
+# merging). ONE TPU job at a time. Logs to /tmp/r3c/.
+set -u
+OUT=/tmp/r3c
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+
+run() { # name, timeout_s, cmd...
+  local name=$1 to=$2; shift 2
+  echo "=== $name ($(date +%H:%M:%S)) ==="
+  timeout "$to" "$@" > "$OUT/$name.log" 2>&1
+  echo "rc=$? $(tail -1 "$OUT/$name.log")"
+}
+
+# --- eval compositions ---
+run bench_xt_unroll 3000 env TRIAD_BENCH_WAVE=xt TRIAD_BENCH_LOSS=chunked_unrolled python bench.py
+run bench_xt_mr4    3000 env TRIAD_BENCH_WAVE=xt TRIAD_BENCH_MLP_ROWS=4 python bench.py
+run bench_xt_pbf16  3000 env TRIAD_BENCH_WAVE=xt TRIAD_BENCH_PARAM_DTYPE=bfloat16 python bench.py
+run bench_full      3000 env TRIAD_BENCH_WAVE=xt TRIAD_BENCH_LOSS=chunked_unrolled TRIAD_BENCH_MLP_ROWS=4 TRIAD_BENCH_PARAM_DTYPE=bfloat16 python bench.py
+# drift bound
+run bench_default3  1800 python bench.py
+
+# --- train: mlprows2 on top of the r3b winners (read r3b first) ---
+run train_mr2       3600 python scripts/tpu_train_bench.py 10 chunked_vjp float32 perf,mlprows2
+
+echo "=== summary ==="
+for f in "$OUT"/*.log; do echo "--- $f"; tail -1 "$f"; done

@@ -88,6 +88,68 @@ class TestFusedMlp:
         )
 
 
+class TestBlockRows:
+    """block_rows merges batch rows per grid step (free HBM reshape;
+    per-step matmul M goes T -> rb*T). The math is row-independent, so
+    outputs AND grads must be bit-identical to rb=1."""
+
+    def test_output_identical(self, tensors):
+        x, w1, b1, w2, b2 = tensors
+        with pltpu.force_tpu_interpret_mode():
+            y1 = fused_mlp(x, w1, b1, w2, b2, jnp.int32(0), 0.0)
+            y2 = fused_mlp(x, w1, b1, w2, b2, jnp.int32(0), 0.0, "erf", B)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+    def test_grads_identical(self, tensors):
+        x, w1, b1, w2, b2 = tensors
+
+        def loss(rb):
+            return lambda *a: jnp.sum(
+                fused_mlp(*a, jnp.int32(0), 0.0, "erf", rb) ** 2
+            )
+
+        with pltpu.force_tpu_interpret_mode():
+            g1 = jax.grad(loss(1), argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+            g2 = jax.grad(loss(B), argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+        for a, b, name in zip(g1, g2, ["x", "w1", "b1", "w2", "b2"]):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=name
+            )
+
+    def test_hubert_layer_threads_block_rows(self):
+        """mlp_block_rows reaches the kernel through the config path and
+        leaves the layer output bit-identical."""
+        import dataclasses
+
+        from tests.test_encoders import SMALL_HUBERT
+        from triad_tpu.core.config import HubertConfig
+        from triad_tpu.models.hubert import HubertEncoderLayer
+
+        cfg = HubertConfig(**SMALL_HUBERT)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(
+            rng.normal(size=(4, 16, cfg.hidden_size)).astype(np.float32)
+        )
+        base = HubertEncoderLayer(dataclasses.replace(cfg, mlp_impl="fused"))
+        params = HubertEncoderLayer(
+            dataclasses.replace(cfg, mlp_impl="xla")
+        ).init(jax.random.key(0), x)["params"]
+        rb_layer = HubertEncoderLayer(
+            dataclasses.replace(cfg, mlp_impl="fused", mlp_block_rows=2)
+        )
+        with pltpu.force_tpu_interpret_mode():
+            y1 = base.apply({"params": params}, x)
+            y2 = rb_layer.apply({"params": params}, x)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+    def test_non_divisor_falls_back(self, tensors):
+        x, w1, b1, w2, b2 = tensors
+        with pltpu.force_tpu_interpret_mode():
+            y1 = fused_mlp(x, w1, b1, w2, b2, jnp.int32(0), 0.0)
+            y3 = fused_mlp(x, w1, b1, w2, b2, jnp.int32(0), 0.0, "erf", 3)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y3))
+
+
 class TestTanhGelu:
     """mlp_gelu="tanh": cheaper VPU transcendental, parity within the
     documented 4.7e-4 band (same bound as the frontend's tanh GELU,

@@ -59,6 +59,11 @@ class ViTConfig:
     # transcendental, same swap that won the conv frontend 44.7->28.5
     # ms). Only affects mlp_impl="fused".
     mlp_gelu: str = "erf"
+    # Batch rows merged per fused-MLP grid step (must divide B; 1 = off).
+    # Raises the per-step matmul M from T to rb*T (fewer pipeline
+    # bubbles, better MXU utilization); numerics identical. VMEM-bounded:
+    # eval-only rb=4 fits, training's backward caps at rb=2.
+    mlp_block_rows: int = 1
 
     @property
     def num_patches(self) -> int:
@@ -104,6 +109,8 @@ class HubertConfig:
     # GELU form inside the fused MLP kernel ("erf" parity / "tanh"
     # fast, <=4.7e-4 abs err). Only affects the fused pallas path.
     mlp_gelu: str = "erf"
+    # Batch rows merged per fused-MLP grid step (see VitConfig field).
+    mlp_block_rows: int = 1
     # "auto" (default): fused pallas attention+dropout kernel
     # (ops/pallas_attention.py) when training with attention dropout on
     # a TPU backend — 2.3x faster than the XLA path there (the
@@ -587,6 +594,7 @@ def apply_train_knobs(model_cfg: ModelConfig, knobs) -> ModelConfig:
     known = {
         "perf", "tanh", "pkattn", "mqkv", "vitpk", "vitmq", "monofe",
         "posconv", "wave640", "wavext", "rematconv", "noremat",
+        "mlprows2", "mlprows4",
     }
     unknown = knobs - known
     if unknown:
@@ -679,4 +687,15 @@ def apply_train_knobs(model_cfg: ModelConfig, knobs) -> ModelConfig:
             model_cfg,
             hubert=dataclasses.replace(model_cfg.hubert, remat="none"),
         )
+    # Fused-MLP batch-row merging (must divide B=64; numerics identical;
+    # rb=4 is eval-only — the backward's VMEM caps at rb=2).
+    for name, rb in (("mlprows2", 2), ("mlprows4", 4)):
+        if name in knobs:
+            model_cfg = dataclasses.replace(
+                model_cfg,
+                hubert=dataclasses.replace(
+                    model_cfg.hubert, mlp_block_rows=rb
+                ),
+                vit=dataclasses.replace(model_cfg.vit, mlp_block_rows=rb),
+            )
     return model_cfg

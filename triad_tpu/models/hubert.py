@@ -747,7 +747,7 @@ class HubertEncoderLayer(nn.Module):
                 x.astype(self.dtype),
                 w1.astype(self.dtype), b1.astype(self.dtype),
                 w2.astype(self.dtype), b2.astype(self.dtype),
-                seed, float(act_rate), c.mlp_gelu,
+                seed, float(act_rate), c.mlp_gelu, c.mlp_block_rows,
             )
         else:
             h = nn.Dense(

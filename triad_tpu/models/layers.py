@@ -510,6 +510,8 @@ class Mlp(nn.Module):
     # GELU form inside the fused kernel: "erf" (parity) or "tanh"
     # (cheaper VPU transcendental, <=4.7e-4 abs err).
     gelu: str = "erf"
+    # Batch rows merged per fused-kernel grid step (1 = off).
+    block_rows: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -527,7 +529,7 @@ class Mlp(nn.Module):
                 x.astype(self.dtype),
                 w1.astype(self.dtype), b1.astype(self.dtype),
                 w2.astype(self.dtype), b2.astype(self.dtype),
-                jnp.zeros((), jnp.int32), 0.0, self.gelu,
+                jnp.zeros((), jnp.int32), 0.0, self.gelu, self.block_rows,
             )
         x = nn.Dense(
             self.hidden_features, dtype=self.dtype, param_dtype=self.param_dtype,

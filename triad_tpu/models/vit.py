@@ -159,7 +159,7 @@ class ViTBlock(nn.Module):
         h = Mlp(
             int(c.hidden_size * c.mlp_ratio), c.hidden_size,
             dtype=self.dtype, param_dtype=self.param_dtype, name="mlp",
-            impl=c.mlp_impl, gelu=c.mlp_gelu,
+            impl=c.mlp_impl, gelu=c.mlp_gelu, block_rows=c.mlp_block_rows,
         )(h)
         h = LayerScale(
             c.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype, name="ls2"

@@ -153,12 +153,31 @@ def _full(shape):
     return pl.BlockSpec(shape, lambda i: (0,) * nd)
 
 
-def _fwd(x, w1, b1, w2, b2, seed, p_drop, gelu):
+def _merge_rows(block_rows: int, *arrays):
+    """View (B, T, D) arrays as (B/rb, rb*T, D) — free in HBM (row-major
+    contiguous) — so each grid step feeds the MXU an rb*T-row matmul
+    instead of T. The MLP math is row-independent, so numerics are
+    bit-identical; only the dropout stream (seed + program_id) moves,
+    which the kernel's contract declares non-checkpointable noise.
+    Forward and backward MUST use the same block_rows or the backward's
+    dropout replay would diverge from the forward's bits."""
+    b = arrays[0].shape[0]
+    if block_rows <= 1 or b % block_rows:
+        return arrays, b
+    return (
+        tuple(a.reshape(b // block_rows, block_rows * a.shape[1], a.shape[2])
+              for a in arrays),
+        b,
+    )
+
+
+def _fwd(x, w1, b1, w2, b2, seed, p_drop, gelu, block_rows=1):
+    (x,), b_orig = _merge_rows(block_rows, x)
     b, t, din = x.shape
     dh, dout = w1.shape[1], w2.shape[1]
     seed2d = seed.astype(jnp.int32).reshape(1, 1)
     row = lambda d: pl.BlockSpec((1, t, d), lambda i: (i, 0, 0))
-    return pl.pallas_call(
+    y = pl.pallas_call(
         functools.partial(_fwd_kernel, p_drop=p_drop, gelu=gelu),
         grid=(b,),
         in_specs=[
@@ -172,15 +191,17 @@ def _fwd(x, w1, b1, w2, b2, seed, p_drop, gelu):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(seed2d, x, w1, b1.reshape(1, dh), w2, b2.reshape(1, dout))
+    return y.reshape(b_orig, -1, dout)
 
 
-def _bwd_call(x, w1, b1, w2, seed, p_drop, gelu, dy):
+def _bwd_call(x, w1, b1, w2, seed, p_drop, gelu, dy, block_rows=1):
+    (x, dy), b_orig = _merge_rows(block_rows, x, dy)
     b, t, din = x.shape
     dh_dim = w1.shape[1]
     dout = w2.shape[1]
     seed2d = seed.astype(jnp.int32).reshape(1, 1)
     row = lambda d: pl.BlockSpec((1, t, d), lambda i: (i, 0, 0))
-    return pl.pallas_call(
+    dx, dh, g = pl.pallas_call(
         functools.partial(_bwd_kernel, p_drop=p_drop, gelu=gelu),
         grid=(b,),
         in_specs=[
@@ -199,28 +220,42 @@ def _bwd_call(x, w1, b1, w2, seed, p_drop, gelu, dy):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(seed2d, x, w1, b1.reshape(1, dh_dim), w2, dy)
+    t_orig = x.shape[1] * x.shape[0] // b_orig
+    return (
+        dx.reshape(b_orig, t_orig, din),
+        dh.reshape(b_orig, t_orig, dh_dim),
+        g.reshape(b_orig, t_orig, dh_dim),
+    )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def fused_mlp(x, w1, b1, w2, b2, seed, p_drop: float, gelu: str = "erf"):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def fused_mlp(x, w1, b1, w2, b2, seed, p_drop: float, gelu: str = "erf",
+              block_rows: int = 1):
     """y = dropout(gelu(x·W1 + b1))·W2 + b2, fused per batch element.
 
     x: (B, T, Din); w1: (Din, Dh); w2: (Dh, Dout); seed: int32 scalar
     (ignored at p_drop == 0). Weights should already be in compute
     dtype (the caller casts the fp32 masters once). gelu: "erf" (HF
     parity) or "tanh" (cheaper VPU transcendental, <=4.7e-4 abs err).
+    block_rows: batch rows merged per grid step (must divide B; silently
+    1 otherwise) — raises the per-step matmul M from T to rb*T and cuts
+    grid steps rb-fold (fewer pipeline bubbles). Numerics are identical
+    (row-independent math); only the dropout bit stream moves, which is
+    declared noise. VMEM grows ~rb-fold on the (rb*T, Dh) hidden tile:
+    at HuBERT train shapes rb=2 is the ceiling, eval-only rb=4.
     """
-    return _fwd(x, w1, b1, w2, b2, seed, p_drop, gelu)
+    return _fwd(x, w1, b1, w2, b2, seed, p_drop, gelu, block_rows)
 
 
-def _fused_mlp_fwd(x, w1, b1, w2, b2, seed, p_drop, gelu="erf"):
-    y = _fwd(x, w1, b1, w2, b2, seed, p_drop, gelu)
+def _fused_mlp_fwd(x, w1, b1, w2, b2, seed, p_drop, gelu="erf",
+                   block_rows=1):
+    y = _fwd(x, w1, b1, w2, b2, seed, p_drop, gelu, block_rows)
     return y, (x, w1, b1, w2, seed)
 
 
-def _fused_mlp_bwd(p_drop, gelu, res, dy):
+def _fused_mlp_bwd(p_drop, gelu, block_rows, res, dy):
     x, w1, b1, w2, seed = res
-    dx, dh, g = _bwd_call(x, w1, b1, w2, seed, p_drop, gelu, dy)
+    dx, dh, g = _bwd_call(x, w1, b1, w2, seed, p_drop, gelu, dy, block_rows)
     f32 = jnp.float32
     # Cross-batch weight reductions as plain XLA matmuls (roofline).
     dw1 = jnp.einsum(
