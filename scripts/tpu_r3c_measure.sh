@@ -25,6 +25,8 @@ run bench_default3  1800 python bench.py
 
 # --- train: mlprows2 on top of the r3b winners (read r3b first) ---
 run train_mr2       3600 python scripts/tpu_train_bench.py 10 chunked_vjp float32 perf,mlprows2
+# merged-qkv training attention (eval variant won; train never measured)
+run train_mqkv      3600 python scripts/tpu_train_bench.py 10 chunked_vjp float32 perf,mqkv,vitmq
 
 echo "=== summary ==="
 for f in "$OUT"/*.log; do echo "--- $f"; tail -1 "$f"; done
