@@ -281,6 +281,34 @@ class TestChunkedCustomVJP:
     written backward (bf16-operand recompute, no autodiff residual
     stash — ops/similarity._maxmean_chunked_vjp)."""
 
+    @pytest.mark.parametrize("chunk", [2, 3])
+    def test_av_unrolled_matches_chunked(self, feats, chunk):
+        """implementation="chunked_unrolled" = the chunked math with the
+        scan Python-unrolled (XLA schedules chunks freely; measured +10
+        clips/s at eval). Values and grads must match exactly."""
+        audio, _, visual, _ = feats
+        a, v = jnp.asarray(audio), jnp.asarray(visual)
+        t = jnp.float32(TEMP)
+
+        def f(impl):
+            return lambda a, v, t: av_loss(
+                a, v, t, _cfg(impl, chunk_size=chunk)
+            ).total
+
+        # Unrolling lets XLA reassociate the chunk-join reductions:
+        # values agree to float32 rounding, not bit-exactly.
+        np.testing.assert_allclose(
+            np.asarray(f("chunked")(a, v, t)),
+            np.asarray(f("chunked_unrolled")(a, v, t)),
+            rtol=1e-6,
+        )
+        ga = jax.grad(f("chunked"), argnums=(0, 1, 2))(a, v, t)
+        gb = jax.grad(f("chunked_unrolled"), argnums=(0, 1, 2))(a, v, t)
+        for x, y in zip(ga, gb):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-6, atol=1e-7
+            )
+
     @pytest.mark.parametrize("chunk", [1, 2, 3, 6])
     def test_av_values_match_chunked(self, feats, chunk):
         audio, _, visual, _ = feats
