@@ -56,6 +56,13 @@ def build_eval_fn():
         cfg = dataclasses.replace(
             cfg, hubert=dataclasses.replace(cfg.hubert, posconv_impl=pc)
         )
+    mr = os.environ.get("TRIAD_EVAL_MLP_ROWS")
+    if mr:
+        cfg = dataclasses.replace(
+            cfg,
+            hubert=dataclasses.replace(cfg.hubert, mlp_block_rows=int(mr)),
+            vit=dataclasses.replace(cfg.vit, mlp_block_rows=int(mr)),
+        )
     loss_cfg = perf_eval_loss_config()
     loss_ov = os.environ.get("TRIAD_EVAL_LOSS")
     if loss_ov:

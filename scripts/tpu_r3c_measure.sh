@@ -28,5 +28,9 @@ run train_mr2       3600 python scripts/tpu_train_bench.py 10 chunked_vjp float3
 # merged-qkv training attention (eval variant won; train never measured)
 run train_mqkv      3600 python scripts/tpu_train_bench.py 10 chunked_vjp float32 perf,mqkv,vitmq
 
+# --- fresh eval trace with the ACTUAL winner set (r3b's trace_eval
+# includes posconv=pallas, which measured -6 clips in-program) ---
+run trace_winners   3600 env TRIAD_EVAL_WAVE=xt TRIAD_EVAL_LOSS=chunked_unrolled TRIAD_EVAL_MLP_ROWS=4 python scripts/tpu_profile_trace.py eval /tmp/r3c/xplane_eval
+
 echo "=== summary ==="
 for f in "$OUT"/*.log; do echo "--- $f"; tail -1 "$f"; done
