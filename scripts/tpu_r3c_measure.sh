@@ -27,6 +27,12 @@ run bench_default3  1800 python bench.py
 run train_mr2       3600 python scripts/tpu_train_bench.py 10 chunked_vjp float32 perf,mlprows2
 # merged-qkv training attention (eval variant won; train never measured)
 run train_mqkv      3600 python scripts/tpu_train_bench.py 10 chunked_vjp float32 perf,mqkv,vitmq
+# remat-policy A/Bs on the r3b winner base (never hardware-measured):
+# noremat trades ~16 ms of frontend recompute for ~10 ms of HBM
+# round-trip on the stored activations (may OOM — that IS the result);
+# rematconv recomputes the frontend once, unchunked.
+run train_noremat   3600 python scripts/tpu_train_bench.py 10 chunked_vjp float32 perf,posconv,wavext,noremat
+run train_rematconv 3600 python scripts/tpu_train_bench.py 10 chunked_vjp float32 perf,posconv,wavext,rematconv
 
 # --- fresh eval trace with the ACTUAL winner set (r3b's trace_eval
 # includes posconv=pallas, which measured -6 clips in-program) ---
