@@ -5,6 +5,9 @@ interpret mode cannot cover). Run: python scripts/tpu_mlp_check.py
   2. dropout keep-rate ~= 1-p (mask extracted with w2 = identity).
   3. p>0 gradient exactness vs jax.grad of an explicit-mask reference.
   4. micro-bench: fused vs XLA fwd+bwd at HuBERT MLP shapes.
+  5. block_rows=2 at p>0: mask extraction + gradient exactness (the
+     backward must replay the merged-grid bit stream).
+  6. micro-bench: block_rows 1/2/4 fwd (eval) and 1/2 fwd+bwd (train).
 """
 
 import sys
@@ -123,6 +126,73 @@ def main():
             fused_mlp(x, w1b, b1b, w2b, b2b, jnp.int32(3), p).astype(jnp.float32) ** 2
         ),
     )
+
+    # 5. block_rows=2 at p>0: extract the rb=2 mask, then grads vs the
+    # explicit-mask reference (proves the backward replays the merged
+    # grid's bit stream, not rb=1's).
+    g2_drop = np.asarray(
+        jax.jit(lambda x: fused_mlp(x, w1, b1, eye, z, seed, p, "erf", 2))(x)
+    )
+    keep2 = (np.abs(g2_drop) > 1e-9) & active
+    keep2_rate = keep2.sum() / active.sum()
+    print(f"rb=2 keep rate = {keep2_rate:.4f} (target {1-p})")
+    assert abs(keep2_rate - (1 - p)) < 0.01
+    keep2_j = jnp.asarray(keep2.astype(np.float32))
+
+    def ref2_loss(x, w1, b1, w2, b2):
+        h = x @ w1 + b1
+        g = jax.nn.gelu(h, approximate=False) * keep2_j / (1.0 - p)
+        return jnp.sum((g @ w2 + b2) ** 2)
+
+    def fused2_loss(x, w1, b1, w2, b2):
+        return jnp.sum(
+            fused_mlp(x, w1, b1, w2, b2, seed, p, "erf", 2) ** 2
+        )
+
+    g_ref2 = jax.jit(jax.grad(ref2_loss, argnums=(0, 1, 2, 3, 4)))(
+        x, w1, b1, w2, b2
+    )
+    g_fused2 = jax.jit(jax.grad(fused2_loss, argnums=(0, 1, 2, 3, 4)))(
+        x, w1, b1, w2, b2
+    )
+    for gr, gf, name in zip(
+        g_ref2, g_fused2, ["x", "w1", "b1", "w2", "b2"]
+    ):
+        rel = float(jnp.max(jnp.abs(gr - gf))) / (
+            float(jnp.max(jnp.abs(gr))) + 1e-9
+        )
+        print(f"rb=2 d{name}: rel {rel:.3e}")
+        assert rel < 2e-2, (name, rel)
+
+    # 6. block_rows micro-bench
+    def timefwd(label, fn, iters=10):
+        def chained(x):
+            def body(c, _):
+                y = fn(x + (c * 1e-12).astype(x.dtype))
+                return jnp.sum(y.astype(jnp.float32) ** 2), None
+            r, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+            return r
+        gj = jax.jit(chained)
+        t0 = time.perf_counter(); float(gj(x2)); c = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(gj(x2)); dt = (time.perf_counter() - t0) / iters
+        print(f"{label}: {dt*1e3:.2f} ms fwd (compile {c:.0f}s)")
+
+    for rb in (1, 2, 4):
+        timefwd(
+            f"fused p=0 rb={rb}",
+            lambda x, rb=rb: fused_mlp(
+                x, w1b, b1b, w2b, b2b, jnp.int32(0), 0.0, "erf", rb
+            ),
+        )
+    for rb in (1, 2):
+        timegrad(
+            f"fused mlp+dropout rb={rb}",
+            lambda x, rb=rb: jnp.sum(
+                fused_mlp(
+                    x, w1b, b1b, w2b, b2b, jnp.int32(3), p, "erf", rb
+                ).astype(jnp.float32) ** 2
+            ),
+        )
     print("ALL CHECKS PASSED")
 
 

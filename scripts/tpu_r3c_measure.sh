@@ -34,6 +34,9 @@ run train_mqkv      3600 python scripts/tpu_train_bench.py 10 chunked_vjp float3
 run train_noremat   3600 python scripts/tpu_train_bench.py 10 chunked_vjp float32 perf,posconv,wavext,noremat
 run train_rematconv 3600 python scripts/tpu_train_bench.py 10 chunked_vjp float32 perf,posconv,wavext,rematconv
 
+# --- block_rows dropout-replay + micro-bench on chip ---
+run mlp_check       3600 python scripts/tpu_mlp_check.py
+
 # --- fresh eval trace with the ACTUAL winner set (r3b's trace_eval
 # includes posconv=pallas, which measured -6 clips in-program) ---
 run trace_winners   3600 env TRIAD_EVAL_WAVE=xt TRIAD_EVAL_LOSS=chunked_unrolled TRIAD_EVAL_MLP_ROWS=4 python scripts/tpu_profile_trace.py eval /tmp/r3c/xplane_eval
