@@ -39,11 +39,18 @@ normalize/temperature into neighbors and runs the token-sim matmuls in
 bf16, while this kernel computes f32 in-kernel and costs 7.0 ms/step
 (AV 5.5 + TV 1.5; xplane traces, docs/TRAINING_PERF.md "loss-impl A/B").
 An isolated 20.4 ms-vs-8.95 ms "win" for this kernel did not survive
-composition. Both impls scale linearly in B_keys, so the bf16 chunked
-scan is expected to hold at global-batch-512 key sets too. The kernel
-stays as (a) the long-context/blockwise design artifact and (b) an A/B
-target via LossConfig.implementation="pallas"; the default and the
-judged bench use "chunked".
+composition. The same holds at the kernel's own DESIGN POINT — the
+global-batch-512 key set (DP all-gathered negatives, q (64,499,512) x
+k (512,256,512)): measured IN COMPOSITION with the full eval forward on
+the chip (scripts/loss_global512_ab.py, Aug 19 r3b), chunked 109.9
+ms/step vs pallas 139.1 (matching loss values), i.e. the bf16 chunked
+scan wins by 27 ms/step at 512 keys as well — linear-in-B_keys scaling
+confirmed, kernel retired for production at every measured regime. At
+training (B=64, fwd+bwd joint step) loss=pallas also measured 462.5 ms
+vs chunked_vjp 455.7 (tpu_train_bench, same session). The kernel stays
+as (a) the long-context/blockwise design artifact and (b) an A/B target
+via LossConfig.implementation="pallas"; the default and the judged
+bench use "chunked".
 """
 
 from __future__ import annotations
