@@ -92,9 +92,17 @@ def main() -> None:
             file=sys.stderr,
         )
         av_ds = PackedAVDataset(path)
+        # Production ingest shape (configs/v5e8_scale.yaml): wire-dtype
+        # device augmentation — host work per clip is one memcpy; the
+        # augment math runs on-chip (data/device_aug.py). Host-side
+        # numpy augmentation measured 315 ms per B=64 batch on this
+        # 1-core box (the 22.5 clips/s wall of the first e2e run);
+        # TRIAD_INGEST_HOSTAUG=1 re-measures that path.
+        devaug = os.environ.get("TRIAD_INGEST_HOSTAUG") != "1"
         av_loader = AVLoader(
             av_ds, batch_size=B, audio_num_samples=AUDIO_SAMPLES,
             num_workers=workers, worker_mode="thread", seed=0,
+            device_augment=devaug,
         )
         tv_ds = SyntheticTVDataset(size=256, image_size=IMAGE)
         tok = WordPieceTokenizer.build_from_corpus(
@@ -119,9 +127,18 @@ def main() -> None:
                 "text_mask": jnp.asarray(b["text_mask"]),
             }
 
+        if devaug:
+            from triad_tpu.data.device_aug import device_ingest_av
+
+            def put_av_fn(b):
+                out = device_ingest_av(b)
+                # the jitted step's batch pytree is arrays only
+                return {"images": out["images"], "audio": out["audio"]}
+        else:
+            put_av_fn = put_av
         av_it = Prefetcher(
             cycling(lambda e, b: av_loader.epoch(e, b)), prefetch=4,
-            device_put=put_av,
+            device_put=put_av_fn,
         )
         tv_it = Prefetcher(
             cycling(lambda e, b: tv_loader.epoch(e, b)), prefetch=4,

@@ -37,6 +37,11 @@ run train_rematconv 3600 python scripts/tpu_train_bench.py 10 chunked_vjp float3
 # --- block_rows dropout-replay + micro-bench on chip ---
 run mlp_check       3600 python scripts/tpu_mlp_check.py
 
+# --- ingest e2e RE-RUN with device augmentation (the first run's
+# 22.5 clips/s wall was host numpy augmentation on this 1-core box;
+# with devaug the host cost per clip is one memcpy) ---
+run ingest_devaug   3600 python scripts/ingest_train_e2e.py 100 8
+
 # --- fresh eval trace with the ACTUAL winner set (r3b's trace_eval
 # includes posconv=pallas, which measured -6 clips in-program) ---
 run trace_winners   3600 env TRIAD_EVAL_WAVE=xt TRIAD_EVAL_LOSS=chunked_unrolled TRIAD_EVAL_MLP_ROWS=4 python scripts/tpu_profile_trace.py eval /tmp/r3c/xplane_eval

@@ -90,6 +90,52 @@ def test_trainer_end_to_end(run_dir):
 
 
 @pytest.mark.slow
+def test_device_augment_matches_host_augment(tmp_path):
+    """data.device_augment=True (wire-dtype uint8/int16 batches, augment
+    math on-device) trains through the production Trainer over a packed
+    shard and matches the host-augment run's per-step losses (same
+    (seed, epoch, batch, idx) draws; identical math within float32
+    noise — tests/test_device_aug.py pins the op-level equality)."""
+    import dataclasses
+
+    from triad_tpu.data.datasets import SyntheticAVDataset
+    from triad_tpu.data.packed import pack_dataset
+    from triad_tpu.train.trainer import Trainer
+
+    src = SyntheticAVDataset(size=8, image_size=28, audio_seconds=0.1)
+    shard = str(tmp_path / "tiny.tpack")
+    pack_dataset(src, shard, image_size=28, audio_samples=1600)
+
+    losses = {}
+    for devaug in (False, True):
+        cfg = tiny_config(tmp_path / f"devaug_{devaug}")
+        cfg = dataclasses.replace(
+            cfg,
+            data=dataclasses.replace(
+                cfg.data,
+                audio_visual_data_root=shard,
+                device_augment=devaug,
+            ),
+        )
+        trainer = Trainer(cfg, force_new_training=True)
+        trainer.train()
+        lines = [
+            json.loads(l)
+            for l in (
+                Path(cfg.train.output_dir) / "metrics.jsonl"
+            ).read_text().splitlines()
+        ]
+        losses[devaug] = [
+            l["train_loss"] for l in lines if "train_loss" in l and "val_train_loss" not in l
+        ]
+    assert losses[True], "device-augment run logged no train steps"
+    np.testing.assert_allclose(
+        losses[True], losses[False], rtol=2e-4,
+        err_msg="device-augment loss trajectory diverged from host path",
+    )
+
+
+@pytest.mark.slow
 def test_resume_restores_state(run_dir):
     from triad_tpu.train.trainer import Trainer
 

@@ -300,6 +300,15 @@ class DataConfig:
     # reference's 10 DataLoader worker processes, train.py:161).
     worker_mode: str = "thread"
     prefetch: int = 2
+    # Ship raw uint8 frames + int16 audio + per-sample draw params and
+    # run the augmentation math on the accelerator (data/device_aug.py):
+    # host cost per clip drops to one memcpy and the host->device image
+    # bytes drop 4x. Draws stay keyed on (seed, epoch, batch, idx) —
+    # exact-resume semantics unchanged; math identical to the host path
+    # (tests/test_device_aug.py). Needs a dataset exposing raw_item
+    # (TriadPack shards); silently falls back to host augmentation
+    # otherwise (AVLoader semantics).
+    device_augment: bool = False
     # Paths (None => synthetic data)
     audio_visual_data_root: Optional[str] = None
     text_dataset_path: Optional[str] = None

@@ -57,8 +57,11 @@ def device_augment_av(frames_u8, flip, brightness, contrast, saturation):
 
 
 @jax.jit
-def _audio_i16_to_f32(a16):
+def audio_i16_to_f32(a16):
     return a16.astype(jnp.float32) / 32767.0
+
+
+_audio_i16_to_f32 = audio_i16_to_f32  # back-compat alias
 
 
 def device_ingest_av(batch: Dict) -> Dict:

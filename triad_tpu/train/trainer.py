@@ -189,6 +189,7 @@ class Trainer:
             unique_videos=dc.unique_videos
             and hasattr(self.av_dataset, "video_files"),
             process_shard=self._proc_shard,
+            device_augment=dc.device_augment,
         )
         self.tv_loader = TVLoader(
             self.tv_dataset, self.tokenizer, dc.batch_size_tv,
@@ -613,6 +614,27 @@ class Trainer:
         return jnp.asarray(arr)
 
     def _device_av(self, batch) -> Dict[str, jax.Array]:
+        if "frames_u8" in batch:
+            # Wire-dtype raw batch (data.device_augment): transfer uint8
+            # frames + int16 audio + O(B) param vectors through the
+            # mesh-aware _put, then run the augment math on-device (one
+            # tiny jitted program; GSPMD keeps it batch-sharded).
+            from triad_tpu.data.device_aug import (
+                audio_i16_to_f32,
+                device_augment_av,
+            )
+
+            images = device_augment_av(
+                self._put(batch["frames_u8"]),
+                self._put(batch["aug_flip"]),
+                self._put(batch["aug_brightness"]),
+                self._put(batch["aug_contrast"]),
+                self._put(batch["aug_saturation"]),
+            )
+            return {
+                "images": images,
+                "audio": audio_i16_to_f32(self._put(batch["audio_i16"])),
+            }
         return {
             "images": self._put(batch["images"]),
             "audio": self._put(batch["audio"]),
