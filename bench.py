@@ -159,12 +159,15 @@ def main() -> None:
     # TRIAD_BENCH_POSCONV=conv|pallas (positional grouped conv impl).
     _wave_ov = _os.environ.get("TRIAD_BENCH_WAVE")
     _pc_ov = _os.environ.get("TRIAD_BENCH_POSCONV")
-    if _wave_ov or _pc_ov:
+    _tb_ov = _os.environ.get("TRIAD_BENCH_FE_TB")
+    if _wave_ov or _pc_ov or _tb_ov:
         hub = cfg.hubert
         if _wave_ov:
             hub = _dc.replace(hub, frontend_wave_layout=_wave_ov)
         if _pc_ov:
             hub = _dc.replace(hub, posconv_impl=_pc_ov)
+        if _tb_ov:
+            hub = _dc.replace(hub, frontend_tb=int(_tb_ov))
         cfg = _dc.replace(cfg, hubert=hub)
     # TRIAD_BENCH_VIT_ATTN=packed re-checks the ViT eval attention
     # kernel in the current program (the in-program trace shows ~6.8 ms

@@ -20,6 +20,10 @@ run bench_xt_unroll 3000 env TRIAD_BENCH_WAVE=xt TRIAD_BENCH_LOSS=chunked_unroll
 run bench_xt_mr4    3000 env TRIAD_BENCH_WAVE=xt TRIAD_BENCH_MLP_ROWS=4 python bench.py
 run bench_xt_pbf16  3000 env TRIAD_BENCH_WAVE=xt TRIAD_BENCH_PARAM_DTYPE=bfloat16 python bench.py
 run bench_full      3000 env TRIAD_BENCH_WAVE=xt TRIAD_BENCH_LOSS=chunked_unrolled TRIAD_BENCH_MLP_ROWS=4 TRIAD_BENCH_PARAM_DTYPE=bfloat16 python bench.py
+# frontend block-size sweep on the xt winner (per-step grid overhead
+# vs VMEM; the 21 ms kernel is 76% MFU of the 15.9 ms conv floor)
+run bench_xt_tb128  3000 env TRIAD_BENCH_WAVE=xt TRIAD_BENCH_FE_TB=128 python bench.py
+run bench_xt_tb256  3000 env TRIAD_BENCH_WAVE=xt TRIAD_BENCH_FE_TB=256 python bench.py
 # drift bound
 run bench_default3  1800 python bench.py
 

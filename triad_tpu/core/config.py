@@ -154,6 +154,11 @@ class HubertConfig:
     # ((B, 16, T/10) tap planes — 16/10 footprint, conv_0 as one
     # sublane-contracting matmul, one lane roll for the odd phase).
     frontend_wave_layout: str = "x10"
+    # Final tokens per "monolithic"-frontend grid block (multiple of 8;
+    # xt needs tb % 4 == 0). Larger blocks amortize per-step pipeline
+    # overhead against more VMEM (conv_0 block output is tb*32 x 1024
+    # f32). 64 = round-2 tuned value; sweep knob for hardware A/Bs.
+    frontend_tb: int = 64
     # Positional grouped conv (kernel 128, 16 groups): "conv" = XLA's
     # feature-grouped convolution (pays ~6.9 ms/step of {0,3,2,1}
     # pad/relayout fusions plus an 8.3 ms dW reduction at B=64 train —

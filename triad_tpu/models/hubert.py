@@ -457,7 +457,7 @@ class ConvFeatureEncoder(nn.Module):
                 scale.astype(jnp.float32),
                 bias.astype(jnp.float32),
                 [conv.kernel for conv in self.convs[1:]],
-                64,
+                c.frontend_tb,
                 self.dtype,
                 c.frontend_gelu,
                 c.frontend_wave_layout,
