@@ -187,6 +187,15 @@ def main() -> None:
         cfg = _dc.replace(
             cfg, hubert=_dc.replace(cfg.hubert, attention_impl=_ha_ov)
         )
+    # TRIAD_BENCH_LN=fused|xla: HuBERT residual+LN impl at eval. The
+    # trace shows ~8.6 ms/step of XLA LN stats fusions running at ~50%
+    # HBM bandwidth; the fused add+LN kernel does stats+apply in one
+    # VMEM pass (ln_impl "auto" only engages it when dropout is live).
+    _ln_ov = _os.environ.get("TRIAD_BENCH_LN")
+    if _ln_ov:
+        cfg = _dc.replace(
+            cfg, hubert=_dc.replace(cfg.hubert, ln_impl=_ln_ov)
+        )
     # TRIAD_BENCH_MLP_ROWS=2|4: batch rows merged per fused-MLP grid
     # step (numerics identical — row-independent math; targets the
     # per-grid-step pipeline bubbles behind the HuBERT MLP's 48% MFU).
