@@ -187,6 +187,16 @@ def main() -> None:
         cfg = _dc.replace(
             cfg, hubert=_dc.replace(cfg.hubert, attention_impl=_ha_ov)
         )
+    # TRIAD_BENCH_ATTN_PAD=none|hbm: ragged token dim straight into the
+    # eval attention kernels vs the jnp.pad HBM copies (~4.8 ms/step of
+    # pure pad fusions in the r3b trace).
+    _ap_ov = _os.environ.get("TRIAD_BENCH_ATTN_PAD")
+    if _ap_ov:
+        cfg = _dc.replace(
+            cfg,
+            hubert=_dc.replace(cfg.hubert, attention_eval_pad=_ap_ov),
+            vit=_dc.replace(cfg.vit, attention_eval_pad=_ap_ov),
+        )
     # TRIAD_BENCH_LN=fused|xla: HuBERT residual+LN impl at eval. The
     # trace shows ~8.6 ms/step of XLA LN stats fusions running at ~50%
     # HBM bandwidth; the fused add+LN kernel does stats+apply in one

@@ -110,7 +110,7 @@ class TestPackedEval:
     tolerance, incl. ragged N (query rows padded to 8, keys to 128) and
     key masks."""
 
-    def _check(self, n, with_mask):
+    def _check(self, n, with_mask, pad="hbm"):
         b, h, d = 2, 3, 64
         rng = np.random.default_rng(3)
         mk = lambda: jnp.asarray(
@@ -124,7 +124,9 @@ class TestPackedEval:
             mask = jnp.asarray(valid)[:, None, None, :].astype(bool)
         ref = dot_product_attention(q, k, v, mask, jnp.float32)
         with pltpu.force_tpu_interpret_mode():
-            out = packed_dot_product_attention(q, k, v, mask, jnp.float32)
+            out = packed_dot_product_attention(
+                q, k, v, mask, jnp.float32, pad=pad
+            )
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
         )
@@ -137,6 +139,12 @@ class TestPackedEval:
 
     def test_key_mask(self):
         self._check(40, with_mask=True)
+
+    def test_pad_none_ragged(self):
+        """pad="none": the ragged token dim goes straight to the kernel
+        (no HBM pad copies, no output slice). Same math."""
+        self._check(99, with_mask=False, pad="none")
+        self._check(40, with_mask=True, pad="none")
 
 
 class TestPackedTrain:
@@ -233,6 +241,27 @@ class TestMergedQkv:
         with pltpu.force_tpu_interpret_mode():
             out = merged_packed_dot_product_attention(
                 self._merge(q, k, v), jnp.asarray(valid), jnp.float32, d
+            )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref.reshape(b, n, h * d)),
+            rtol=2e-5, atol=2e-5,
+        )
+
+    def test_eval_pad_none_matches_xla(self):
+        from triad_tpu.models.layers import (
+            merged_packed_dot_product_attention,
+        )
+
+        q, k, v = self._tensors()
+        b, n, h, d = q.shape
+        valid = np.ones((b, n), np.float32)
+        valid[0, n - 7:] = 0.0
+        mask4 = jnp.asarray(valid)[:, None, None, :].astype(bool)
+        ref = dot_product_attention(q, k, v, mask4, jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            out = merged_packed_dot_product_attention(
+                self._merge(q, k, v), jnp.asarray(valid), jnp.float32, d,
+                pad="none",
             )
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref.reshape(b, n, h * d)),

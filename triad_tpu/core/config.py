@@ -64,6 +64,12 @@ class ViTConfig:
     # bubbles, better MXU utilization); numerics identical. VMEM-bounded:
     # eval-only rb=4 fits, training's backward caps at rb=2.
     mlp_block_rows: int = 1
+    # Token-dim padding for the packed/merged EVAL attention kernels:
+    # "hbm" pads q/k/v (or merged qkv) to 8/128-multiples with jnp.pad
+    # (a full-tensor HBM copy per layer, ~4.8 ms/step total at B=64);
+    # "none" feeds the ragged N straight in (Mosaic pads VMEM tiles
+    # internally). Numerics identical; A/B knob until hardware-proven.
+    attention_eval_pad: str = "hbm"
 
     @property
     def num_patches(self) -> int:
@@ -111,6 +117,8 @@ class HubertConfig:
     mlp_gelu: str = "erf"
     # Batch rows merged per fused-MLP grid step (see VitConfig field).
     mlp_block_rows: int = 1
+    # Eval-attention token padding ("hbm"/"none" — see VitConfig field).
+    attention_eval_pad: str = "hbm"
     # "auto" (default): fused pallas attention+dropout kernel
     # (ops/pallas_attention.py) when training with attention dropout on
     # a TPU backend — 2.3x faster than the XLA path there (the

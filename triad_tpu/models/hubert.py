@@ -614,6 +614,7 @@ class HubertSelfAttention(nn.Module):
                 # "packed_merged_pair": head-pair block-diagonal eval
                 # inner loop (128-deep matmuls, MXU softmax denoms).
                 pair=impl == "packed_merged_pair",
+                pad=c.attention_eval_pad,
             )
             return dense("out_proj")(out)
         q = dense("q_proj")(x).reshape(*x.shape[:2], c.num_heads, head_dim)
@@ -656,6 +657,7 @@ class HubertSelfAttention(nn.Module):
                 scores_dtype=jnp.dtype(c.attention_scores_dtype),
                 probs_dropout=probs_dropout,
                 impl=impl,
+                eval_pad=c.attention_eval_pad,
             )
         return dense("out_proj")(out.reshape(*x.shape[:2], c.hidden_size))
 

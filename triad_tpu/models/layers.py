@@ -199,6 +199,7 @@ def packed_dot_product_attention(
     mask: Optional[jax.Array],
     dtype: Dtype,
     pair: bool = False,
+    pad: str = "hbm",
 ) -> jax.Array:
     """Adapter for ops.pallas_attention.fused_attention_eval: keeps the
     projections' packed (B, N, H*Dh) layout (free reshapes, no
@@ -222,9 +223,25 @@ def packed_dot_product_attention(
         # The pair kernel packs TWO 64-wide heads into each 128-lane
         # window; other head dims would silently mis-slice.
         raise ValueError(f"pair eval kernel requires head_dim 64, got {d}")
+    sm_scale = float(1.0 / np.sqrt(d))
+    if pad == "none" and not pair:
+        # Ragged token dim straight into the kernel: _head_eval is
+        # shape-generic, the HBM pad copies (q/k/v (B, N_pad, H*D)
+        # writes, ~1.8 ms/step at HuBERT B=64) and the output slice
+        # disappear. Mosaic pads VMEM tiles internally; the pair
+        # kernel's block-diagonal lane layout still needs real 128s.
+        def flat(x):
+            return x.reshape(b, n, h * d).astype(dtype)
+
+        key_mask = (
+            mask.reshape(b, n).astype(jnp.float32)
+            if mask is not None else jnp.ones((b, n), jnp.float32)
+        )
+        out = fused_attention_eval(flat(q), flat(k), flat(v), key_mask,
+                                   sm_scale)
+        return out.reshape(b, n, h, d)
     nq_pad = _round_up(n, 8)
     nk_pad = _round_up(n, 128)
-    sm_scale = float(1.0 / np.sqrt(d))
 
     def packed(x, n_to):
         x = x.reshape(b, n, h * d).astype(dtype)
@@ -256,6 +273,7 @@ def merged_packed_dot_product_attention(
     dropout_rng: Optional[jax.Array] = None,
     differentiable: bool = False,
     pair: bool = False,
+    pad: str = "hbm",
 ) -> jax.Array:
     """Adapter for the MERGED-qkv pallas kernels: the caller computes
     q|k|v as ONE (C, 3C) projection matmul and this function dispatches
@@ -290,8 +308,23 @@ def merged_packed_dot_product_attention(
         )
     if hd3 % (3 * 64) != 0:
         raise ValueError(f"bad merged qkv width {hd3} (not 3*H*64)")
-    n_pad = _round_up(n, 128)  # shared q/k padding in the merged layout
     sm_scale = float(1.0 / np.sqrt(head_dim))
+    needs_train_kernel = (
+        dropout_rate > 0.0 and dropout_rng is not None
+    ) or differentiable
+    if pad == "none" and not needs_train_kernel and not pair:
+        # Ragged N straight into the eval kernel (no (B, N_pad, 3C)
+        # HBM pad copy — ~2.8 ms/step across the 12 ViT layers at
+        # B=64, 261 -> 384 — and no output slice). _head_eval is
+        # shape-generic; Mosaic pads VMEM tiles internally.
+        key_mask = (
+            mask.reshape(b, n).astype(jnp.float32)
+            if mask is not None else jnp.ones((b, n), jnp.float32)
+        )
+        return fused_attention_eval_merged(
+            qkv.astype(dtype), key_mask, sm_scale
+        )
+    n_pad = _round_up(n, 128)  # shared q/k padding in the merged layout
     qkv = qkv.astype(dtype)
     if n_pad != n:
         qkv = jnp.pad(qkv, ((0, 0), (0, n_pad - n), (0, 0)))
@@ -327,6 +360,7 @@ def dot_product_attention(
     scores_dtype: Dtype = jnp.float32,
     probs_dropout=None,
     impl: str = "xla",
+    eval_pad: str = "hbm",
 ) -> jax.Array:
     """Standard softmax attention.
 
@@ -358,7 +392,7 @@ def dot_product_attention(
         return flash_dot_product_attention(q, k, v, mask, dtype)
     if impl in ("packed", "packed_pair") and probs_dropout is None:
         return packed_dot_product_attention(
-            q, k, v, mask, dtype, pair=impl == "packed_pair"
+            q, k, v, mask, dtype, pair=impl == "packed_pair", pad=eval_pad
         )
     depth = q.shape[-1]
     scale = jnp.asarray(1.0 / jnp.sqrt(depth), dtype)

@@ -94,6 +94,7 @@ class ViTAttention(nn.Module):
                 qkv, None, self.dtype, head_dim,
                 differentiable=c.attention_impl == "fused_packed_merged",
                 pair=c.attention_impl == "packed_merged_pair",
+                pad=c.attention_eval_pad,
             )
             return LoRADense(
                 c.hidden_size, rank=rank, alpha=c.lora_alpha,
