@@ -22,6 +22,10 @@ run bench_tb256     3000 env TRIAD_BENCH_WAVE=xt TRIAD_BENCH_LOSS=chunked_unroll
 # --- fused add+LN at eval on the winner base ---
 run bench_lnfused   3000 env TRIAD_BENCH_WAVE=xt TRIAD_BENCH_LOSS=chunked_unrolled TRIAD_BENCH_LN=fused python bench.py
 
+# --- ragged-N eval attention (kills the 4.8 ms of jnp.pad copies;
+# first on-chip compile of ragged token dims in these kernels) ---
+run bench_attnpad   3000 env TRIAD_BENCH_WAVE=xt TRIAD_BENCH_LOSS=chunked_unrolled TRIAD_BENCH_ATTN_PAD=none python bench.py
+
 # --- final eval combo (winners only; extend with tb/ln if they win) ---
 run bench_winners   3000 env TRIAD_BENCH_WAVE=xt TRIAD_BENCH_LOSS=chunked_unrolled python bench.py
 
