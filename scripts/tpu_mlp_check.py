@@ -129,12 +129,21 @@ def main():
 
     # 5. block_rows=2 at p>0: extract the rb=2 mask, then grads vs the
     # explicit-mask reference (proves the backward replays the merged
-    # grid's bit stream, not rb=1's).
+    # grid's bit stream, not rb=1's). Shorter T: the f32 backward at
+    # rb=2 exceeds the 100 MB VMEM limit at T=499 (107.9M measured —
+    # production bf16 fits; this check keeps f32 exactness instead).
+    xs = x[:, :256]
     g2_drop = np.asarray(
-        jax.jit(lambda x: fused_mlp(x, w1, b1, eye, z, seed, p, "erf", 2))(x)
+        jax.jit(lambda x: fused_mlp(x, w1, b1, eye, z, seed, p, "erf", 2))(xs)
     )
-    keep2 = (np.abs(g2_drop) > 1e-9) & active
-    keep2_rate = keep2.sum() / active.sum()
+    g2_plain = np.asarray(
+        jax.jit(
+            lambda x: fused_mlp(x, w1, b1, eye, z, jnp.int32(0), 0.0)
+        )(xs)
+    )
+    active2 = np.abs(g2_plain) > 1e-6
+    keep2 = (np.abs(g2_drop) > 1e-9) & active2
+    keep2_rate = keep2.sum() / active2.sum()
     print(f"rb=2 keep rate = {keep2_rate:.4f} (target {1-p})")
     assert abs(keep2_rate - (1 - p)) < 0.01
     keep2_j = jnp.asarray(keep2.astype(np.float32))
@@ -150,10 +159,10 @@ def main():
         )
 
     g_ref2 = jax.jit(jax.grad(ref2_loss, argnums=(0, 1, 2, 3, 4)))(
-        x, w1, b1, w2, b2
+        xs, w1, b1, w2, b2
     )
     g_fused2 = jax.jit(jax.grad(fused2_loss, argnums=(0, 1, 2, 3, 4)))(
-        x, w1, b1, w2, b2
+        xs, w1, b1, w2, b2
     )
     for gr, gf, name in zip(
         g_ref2, g_fused2, ["x", "w1", "b1", "w2", "b2"]

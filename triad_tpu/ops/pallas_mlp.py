@@ -242,7 +242,13 @@ def fused_mlp(x, w1, b1, w2, b2, seed, p_drop: float, gelu: str = "erf",
     grid steps rb-fold (fewer pipeline bubbles). Numerics are identical
     (row-independent math); only the dropout bit stream moves, which is
     declared noise. VMEM grows ~rb-fold on the (rb*T, Dh) hidden tile:
-    at HuBERT train shapes rb=2 is the ceiling, eval-only rb=4.
+    at HuBERT bf16 train shapes rb=2 fits; the f32 backward at rb=2
+    exceeds the 100 MB VMEM limit at T=499 (107.9M measured on-chip).
+    RETIRED from production by measurement (r3c): the MLP kernels run
+    at ~96% of bf16 peak already, and merging LOST throughput at both
+    eval (rb=4: 563.0 vs 608.3 clips/s) and train (rb=2: 496.1 vs
+    459.8 ms) — the bigger VMEM footprint shrinks double-buffering
+    depth with no bubble to recover. Kept as an A/B knob.
     """
     return _fwd(x, w1, b1, w2, b2, seed, p_drop, gelu, block_rows)
 
