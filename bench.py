@@ -194,8 +194,8 @@ def main() -> None:
     if _ap_ov:
         cfg = _dc.replace(
             cfg,
-            hubert=_dc.replace(cfg.hubert, attention_eval_pad=_ap_ov),
-            vit=_dc.replace(cfg.vit, attention_eval_pad=_ap_ov),
+            hubert=_dc.replace(cfg.hubert, attention_pad=_ap_ov),
+            vit=_dc.replace(cfg.vit, attention_pad=_ap_ov),
         )
     # TRIAD_BENCH_LN=fused|xla: HuBERT residual+LN impl at eval. The
     # trace shows ~8.6 ms/step of XLA LN stats fusions running at ~50%

@@ -175,6 +175,35 @@ class TestPackedTrain:
             np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
         )
 
+    def test_p0_pad_none_forward_and_grads(self):
+        """pad="none": ragged N straight into the training kernel —
+        forward AND custom-VJP grads match the XLA reference (no HBM
+        pad copies around either pass)."""
+        from triad_tpu.models.layers import (
+            fused_packed_dot_product_attention,
+        )
+
+        q, k, v = self._tensors()
+        fused = lambda q, k, v: fused_packed_dot_product_attention(
+            q, k, v, None, jnp.float32, pad="none"
+        )
+        ref = lambda q, k, v: dot_product_attention(
+            q, k, v, None, jnp.float32
+        )
+        loss = lambda fn: (lambda q, k, v: jnp.sum(fn(q, k, v) ** 2))
+        with pltpu.force_tpu_interpret_mode():
+            out = fused(q, k, v)
+            g_fused = jax.grad(loss(fused), argnums=(0, 1, 2))(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref(q, k, v)), rtol=2e-5, atol=2e-5
+        )
+        g_ref = jax.grad(loss(ref), argnums=(0, 1, 2))(q, k, v)
+        for gf, gr, name in zip(g_fused, g_ref, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(gf), np.asarray(gr), rtol=2e-4, atol=2e-4,
+                err_msg=name,
+            )
+
     def test_p0_grads_match_autodiff(self):
         from triad_tpu.models.layers import (
             fused_packed_dot_product_attention,

@@ -69,7 +69,7 @@ class ViTConfig:
     # (a full-tensor HBM copy per layer, ~4.8 ms/step total at B=64);
     # "none" feeds the ragged N straight in (Mosaic pads VMEM tiles
     # internally). Numerics identical; A/B knob until hardware-proven.
-    attention_eval_pad: str = "hbm"
+    attention_pad: str = "hbm"
 
     @property
     def num_patches(self) -> int:
@@ -118,7 +118,7 @@ class HubertConfig:
     # Batch rows merged per fused-MLP grid step (see VitConfig field).
     mlp_block_rows: int = 1
     # Eval-attention token padding ("hbm"/"none" — see VitConfig field).
-    attention_eval_pad: str = "hbm"
+    attention_pad: str = "hbm"
     # "auto" (default): fused pallas attention+dropout kernel
     # (ops/pallas_attention.py) when training with attention dropout on
     # a TPU backend — 2.3x faster than the XLA path there (the
@@ -616,7 +616,7 @@ def apply_train_knobs(model_cfg: ModelConfig, knobs) -> ModelConfig:
     known = {
         "perf", "tanh", "pkattn", "mqkv", "vitpk", "vitmq", "monofe",
         "posconv", "wave640", "wavext", "rematconv", "noremat",
-        "mlprows2", "mlprows4",
+        "mlprows2", "mlprows4", "attnpad",
     }
     unknown = knobs - known
     if unknown:
@@ -708,6 +708,16 @@ def apply_train_knobs(model_cfg: ModelConfig, knobs) -> ModelConfig:
         model_cfg = dataclasses.replace(
             model_cfg,
             hubert=dataclasses.replace(model_cfg.hubert, remat="none"),
+        )
+    # Ragged-N attention (skip the HBM pad copies around the packed/
+    # merged kernels — fwd AND custom-VJP bwd; +35 clips/s at eval).
+    if "attnpad" in knobs:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            hubert=dataclasses.replace(
+                model_cfg.hubert, attention_pad="none"
+            ),
+            vit=dataclasses.replace(model_cfg.vit, attention_pad="none"),
         )
     # Fused-MLP batch-row merging (must divide B=64; numerics identical;
     # rb=4 is eval-only — the backward's VMEM caps at rb=2).

@@ -614,7 +614,7 @@ class HubertSelfAttention(nn.Module):
                 # "packed_merged_pair": head-pair block-diagonal eval
                 # inner loop (128-deep matmuls, MXU softmax denoms).
                 pair=impl == "packed_merged_pair",
-                pad=c.attention_eval_pad,
+                pad=c.attention_pad,
             )
             return dense("out_proj")(out)
         q = dense("q_proj")(x).reshape(*x.shape[:2], c.num_heads, head_dim)
@@ -640,9 +640,12 @@ class HubertSelfAttention(nn.Module):
                 if impl == "fused_packed"
                 else fused_dot_product_attention
             )
+            kw = (
+                {"pad": c.attention_pad} if impl == "fused_packed" else {}
+            )
             out = fn(
                 q, k, v, None, self.dtype,
-                dropout_rate=rate, dropout_rng=rng,
+                dropout_rate=rate, dropout_rng=rng, **kw,
             )
         else:
             probs_dropout = None
@@ -657,7 +660,7 @@ class HubertSelfAttention(nn.Module):
                 scores_dtype=jnp.dtype(c.attention_scores_dtype),
                 probs_dropout=probs_dropout,
                 impl=impl,
-                eval_pad=c.attention_eval_pad,
+                eval_pad=c.attention_pad,
             )
         return dense("out_proj")(out.reshape(*x.shape[:2], c.hidden_size))
 

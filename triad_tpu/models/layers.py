@@ -153,18 +153,43 @@ def fused_packed_dot_product_attention(
     dtype: Dtype,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    pad: str = "hbm",
 ) -> jax.Array:
     """Adapter for ops.pallas_attention.fused_attention_packed — the
     TRAINING kernel (fp32 softmax + in-kernel dropout + recompute
     backward) on the packed (B, N, H*Dh) layout, so the (B, H, N, D)
     transposes of fused_dot_product_attention disappear (~20 ms/step of
-    copy/pad fusions at B=64 in the round-2 train trace)."""
+    copy/pad fusions at B=64 in the round-2 train trace). pad="none"
+    feeds the ragged token dim straight in (no HBM pad copies around
+    fwd AND bwd; the kernels are shape-generic — proven on-chip at
+    eval, +35 clips/s)."""
     from triad_tpu.ops.pallas_attention import fused_attention_packed
 
     b, n, h, d = q.shape
+    sm_scale = float(1.0 / np.sqrt(d))
+
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        seed = _dropout_seed(dropout_rng)
+    else:
+        seed = jnp.zeros((), jnp.int32)
+        dropout_rate = 0.0
+
+    if pad == "none":
+        def flat(x):
+            return x.reshape(b, n, h * d).astype(dtype)
+
+        key_mask = (
+            mask.reshape(b, n).astype(jnp.float32)
+            if mask is not None else jnp.ones((b, n), jnp.float32)
+        )
+        out = fused_attention_packed(
+            flat(q), flat(k), flat(v), key_mask, seed,
+            float(dropout_rate), sm_scale,
+        )
+        return out.reshape(b, n, h, d)
+
     nq_pad = _round_up(n, 8)
     nk_pad = _round_up(n, 128)
-    sm_scale = float(1.0 / np.sqrt(d))
 
     def packed(x, n_to):
         x = x.reshape(b, n, h * d).astype(dtype)
@@ -178,12 +203,6 @@ def fused_packed_dot_product_attention(
         key_mask = jnp.ones((b, n), jnp.float32)
     if nk_pad != n:
         key_mask = jnp.pad(key_mask, ((0, 0), (0, nk_pad - n)))
-
-    if dropout_rate > 0.0 and dropout_rng is not None:
-        seed = _dropout_seed(dropout_rng)
-    else:
-        seed = jnp.zeros((), jnp.int32)
-        dropout_rate = 0.0
 
     out = fused_attention_packed(
         packed(q, nq_pad), packed(k, nk_pad), packed(v, nk_pad),
@@ -312,15 +331,23 @@ def merged_packed_dot_product_attention(
     needs_train_kernel = (
         dropout_rate > 0.0 and dropout_rng is not None
     ) or differentiable
-    if pad == "none" and not needs_train_kernel and not pair:
-        # Ragged N straight into the eval kernel (no (B, N_pad, 3C)
-        # HBM pad copy — ~2.8 ms/step across the 12 ViT layers at
-        # B=64, 261 -> 384 — and no output slice). _head_eval is
-        # shape-generic; Mosaic pads VMEM tiles internally.
+    if pad == "none" and not pair:
+        # Ragged N straight into the kernels (no (B, N_pad, 3C) HBM
+        # pad copy — ~2.8 ms/step across the 12 ViT layers at B=64,
+        # 261 -> 384 — and no output slice). The kernel bodies are
+        # shape-generic; Mosaic pads VMEM tiles internally. On-chip
+        # proven at eval (+35 clips/s, r3d bench_attnpad).
         key_mask = (
             mask.reshape(b, n).astype(jnp.float32)
             if mask is not None else jnp.ones((b, n), jnp.float32)
         )
+        if needs_train_kernel:
+            live = dropout_rate > 0.0 and dropout_rng is not None
+            seed = _dropout_seed(dropout_rng) if live else jnp.int32(0)
+            return fused_attention_packed_merged(
+                qkv.astype(dtype), key_mask, seed,
+                float(dropout_rate) if live else 0.0, sm_scale,
+            )
         return fused_attention_eval_merged(
             qkv.astype(dtype), key_mask, sm_scale
         )

@@ -94,7 +94,7 @@ class ViTAttention(nn.Module):
                 qkv, None, self.dtype, head_dim,
                 differentiable=c.attention_impl == "fused_packed_merged",
                 pair=c.attention_impl == "packed_merged_pair",
-                pad=c.attention_eval_pad,
+                pad=c.attention_pad,
             )
             return LoRADense(
                 c.hidden_size, rank=rank, alpha=c.lora_alpha,
@@ -117,7 +117,7 @@ class ViTAttention(nn.Module):
             )
 
             out = fused_packed_dot_product_attention(
-                q, k, v, None, self.dtype
+                q, k, v, None, self.dtype, pad=c.attention_pad
             )
         else:
             out = dot_product_attention(
