@@ -15,8 +15,9 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def test_perf_train_config_is_the_measured_knob_set():
-    # == scripts/tpu_train_bench.py knobs "tanh,pkattn,vitpk,monofe"
-    # (docs/TRAINING_PERF.md: 634.9 -> 491.9 ms at B=64).
+    # == scripts/tpu_train_bench.py knobs "perf,posconv,wavext"
+    # (docs/TRAINING_PERF.md: 634.9 -> 491.9 -> 461.8 -> 452.4 ms at
+    # B=64 across rounds 2-3).
     base = ModelConfig()
     expected = dataclasses.replace(
         base,
@@ -27,9 +28,20 @@ def test_perf_train_config_is_the_measured_knob_set():
         hubert=dataclasses.replace(
             base.hubert, mlp_gelu="tanh", attention_impl="fused_packed",
             frontend_impl="monolithic", frontend_gelu="tanh",
+            posconv_impl="pallas", frontend_wave_layout="xt",
         ),
     )
     assert perf_train_model_config() == expected
+
+
+def test_perf_eval_config_carries_round3_winners():
+    cfg = perf_eval_model_config()
+    assert cfg.hubert.frontend_wave_layout == "xt"
+    assert cfg.hubert.attention_pad == "none"
+    assert cfg.vit.attention_pad == "none"
+    from triad_tpu.core.config import perf_eval_loss_config
+
+    assert perf_eval_loss_config().implementation == "chunked_unrolled"
 
 
 def test_perf_presets_keep_parity_defaults_elsewhere():

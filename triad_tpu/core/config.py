@@ -527,6 +527,14 @@ def perf_eval_model_config() -> ModelConfig:
       merged-qkv measured a LOSS at eval (563.9) — its q/k/v are three
       separate Dense params and the one-big-matmul saving does not
       cover the merged kernel's padding at T=499; it stays packed.
+    - round-3 hardware session (runbooks r3b-r3d, measurement log in
+      docs/TRAINING_PERF.md): "xt" tap-plane waveform layout
+      (589.2 -> 608.3) and ragged-N attention (attention_pad="none":
+      616.1 -> 651.3 with the unrolled loss — the jnp.pad HBM copies
+      around the packed/merged kernels disappear). Retired by the same
+      session's measurements: pallas posconv at eval (583.0), bf16
+      param storage (598.9), fused-MLP row merging (563.0), fused
+      add+LN at eval (611.2), frontend tb 128/256 (600.2/609.2).
     """
     base = ModelConfig()
     return dataclasses.replace(
@@ -534,10 +542,12 @@ def perf_eval_model_config() -> ModelConfig:
         vit=dataclasses.replace(
             base.vit, attention_scores_dtype="bfloat16", mlp_impl="fused",
             mlp_gelu="tanh", attention_impl="packed_merged",
+            attention_pad="none",
         ),
         hubert=dataclasses.replace(
             base.hubert, attention_scores_dtype="bfloat16", mlp_impl="auto",
             mlp_gelu="tanh", frontend_impl="monolithic", frontend_gelu="tanh",
+            frontend_wave_layout="xt", attention_pad="none",
             # Packed-layout eval attention kernel (no (B, H, N, N) probs
             # HBM round-trip, no qkv transposes): 2.76 vs 3.44 ms/layer
             # vs the bf16-scores XLA path at (64, 499, 12, 64)
@@ -565,7 +575,13 @@ def perf_train_model_config() -> ModelConfig:
       layout — no probs HBM round-trips, no (B, H, N, D) transpose
       or pad-to-384-lane copies (611.7 -> 570.7 -> 510.7 ms);
     - monolithic pallas conv frontend forward with XLA-recompute
-      backward (510.7 -> 491.9 ms).
+      backward (510.7 -> 491.9 ms);
+    - round 3: bf16 backward recompute (491.9 -> 461.8, see
+      docs/TRAINING_PERF.md), pallas pos-conv (459.8 -> 455.7 on the
+      re-measured base) and the xt waveform layout (-> 452.4). Retired
+      by measurement at train: loss=pallas (462.5), mlprows2 (496.1),
+      mqkv (458.2, within drift), noremat/rematconv (453.8/453.9 —
+      the chunked recompute policy is already at its floor).
     """
     base = ModelConfig()
     return dataclasses.replace(
@@ -577,6 +593,7 @@ def perf_train_model_config() -> ModelConfig:
         hubert=dataclasses.replace(
             base.hubert, mlp_gelu="tanh", attention_impl="fused_packed",
             frontend_impl="monolithic", frontend_gelu="tanh",
+            posconv_impl="pallas", frontend_wave_layout="xt",
         ),
     )
 
@@ -594,9 +611,17 @@ def perf_eval_loss_config() -> LossConfig:
     chunked scan costs 3.1 ms/step (bf16 matmuls, normalize/temperature
     fused into neighbors) vs the kernel's 7.0 — the isolated
     chained-timing numbers do not transfer. chunked is the judged
-    config; override with TRIAD_BENCH_LOSS for A/Bs."""
+    config; override with TRIAD_BENCH_LOSS for A/Bs.
+
+    Round 3: "chunked_unrolled" (same math, scan Python-unrolled so XLA
+    schedules/overlaps the chunk programs freely) measured +9.6 clips/s
+    at B=64 (598.8 vs 589.2) and composes with the xt frontend (616.1)
+    and ragged-N attention (651.3); it also wins at the global-512 key
+    set (109.6 vs 111.1 ms composed). Values match chunked to f32
+    rounding (tests/test_losses.py)."""
     return LossConfig(
-        implementation="chunked", chunk_size=16, matmul_precision="default"
+        implementation="chunked_unrolled", chunk_size=16,
+        matmul_precision="default",
     )
 
 
