@@ -1,0 +1,98 @@
+"""On-chip numeric check: ragged-N attention (attention_pad="none") vs
+the padded path, eval AND training kernels, at the production shapes.
+Interpret tests prove the math (tests/test_pallas_attention.py); this
+confirms the REAL Mosaic lowering computes the same values at ragged
+sublane/lane counts. Run: python scripts/tpu_attnpad_check.py
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from triad_tpu.models.layers import (
+    fused_packed_dot_product_attention,
+    merged_packed_dot_product_attention,
+    packed_dot_product_attention,
+)
+
+
+def main() -> None:
+    rng = np.random.default_rng(0)
+    for name, n in (("hubert", 499), ("vit", 261)):
+        b, h, d = 4, 12, 64
+        mk = lambda: jnp.asarray(
+            rng.normal(size=(b, n, h, d)).astype(np.float32) * 0.3
+        ).astype(jnp.bfloat16)
+        q, k, v = mk(), mk(), mk()
+
+        # eval packed: ragged vs padded
+        o_pad = jax.jit(
+            lambda q, k, v: packed_dot_product_attention(
+                q, k, v, None, jnp.bfloat16, pad="hbm"
+            )
+        )(q, k, v)
+        o_rag = jax.jit(
+            lambda q, k, v: packed_dot_product_attention(
+                q, k, v, None, jnp.bfloat16, pad="none"
+            )
+        )(q, k, v)
+        de = float(jnp.max(jnp.abs(
+            o_pad.astype(jnp.float32) - o_rag.astype(jnp.float32)
+        )))
+        print(f"{name} eval packed  ragged-vs-padded max|diff| = {de:.2e}",
+              flush=True)
+        assert de < 1e-2, de
+
+        # eval merged: ragged vs padded
+        qkv = jnp.concatenate(
+            [x.reshape(b, n, h * d) for x in (q, k, v)], axis=-1
+        )
+        m_pad = jax.jit(
+            lambda qkv: merged_packed_dot_product_attention(
+                qkv, None, jnp.bfloat16, d, pad="hbm"
+            )
+        )(qkv)
+        m_rag = jax.jit(
+            lambda qkv: merged_packed_dot_product_attention(
+                qkv, None, jnp.bfloat16, d, pad="none"
+            )
+        )(qkv)
+        dm = float(jnp.max(jnp.abs(
+            m_pad.astype(jnp.float32) - m_rag.astype(jnp.float32)
+        )))
+        print(f"{name} eval merged  ragged-vs-padded max|diff| = {dm:.2e}",
+              flush=True)
+        assert dm < 1e-2, dm
+
+        # training packed (p=0): fwd + grads, ragged vs padded
+        def loss(pad):
+            return lambda q, k, v: jnp.sum(
+                fused_packed_dot_product_attention(
+                    q, k, v, None, jnp.bfloat16, pad=pad
+                ).astype(jnp.float32) ** 2
+            )
+
+        g_pad = jax.jit(jax.grad(loss("hbm"), argnums=(0, 1, 2)))(q, k, v)
+        g_rag = jax.jit(jax.grad(loss("none"), argnums=(0, 1, 2)))(q, k, v)
+        for gp, gr, nm in zip(g_pad, g_rag, "qkv"):
+            dg = float(jnp.max(jnp.abs(
+                gp.astype(jnp.float32) - gr.astype(jnp.float32)
+            )))
+            scale = float(jnp.max(jnp.abs(gp.astype(jnp.float32)))) + 1e-9
+            print(f"{name} train d{nm}  ragged-vs-padded rel = "
+                  f"{dg / scale:.2e}", flush=True)
+            assert dg / scale < 1e-2, (nm, dg, scale)
+    print("ALL CHECKS PASSED")
+
+
+if __name__ == "__main__":
+    print(f"devices: {jax.devices()}", flush=True)
+    main()
