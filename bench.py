@@ -202,10 +202,14 @@ def main() -> None:
     # HBM bandwidth; the fused add+LN kernel does stats+apply in one
     # VMEM pass (ln_impl "auto" only engages it when dropout is live).
     _ln_ov = _os.environ.get("TRIAD_BENCH_LN")
-    if _ln_ov:
-        cfg = _dc.replace(
-            cfg, hubert=_dc.replace(cfg.hubert, ln_impl=_ln_ov)
-        )
+    _lr_ov = _os.environ.get("TRIAD_BENCH_LN_ROWS")
+    if _ln_ov or _lr_ov:
+        hub = cfg.hubert
+        if _ln_ov:
+            hub = _dc.replace(hub, ln_impl=_ln_ov)
+        if _lr_ov:
+            hub = _dc.replace(hub, ln_block_rows=int(_lr_ov))
+        cfg = _dc.replace(cfg, hubert=hub)
     # TRIAD_BENCH_MLP_ROWS=2|4: batch rows merged per fused-MLP grid
     # step (numerics identical — row-independent math; targets the
     # per-grid-step pipeline bubbles behind the HuBERT MLP's 48% MFU).

@@ -71,6 +71,33 @@ class TestFusedDropoutAddLN:
                 err_msg=name,
             )
 
+    def test_block_rows_identical(self):
+        """block_rows merges batch rows per grid step (free reshape; LN
+        is per-row over C) — outputs and grads bit-identical to rb=1."""
+        x, h, scale, bias = self._inputs()
+
+        def loss(rb):
+            return lambda x, h, scale, bias: jnp.sum(
+                fused_dropout_add_ln(
+                    x, h, scale, bias, jnp.int32(0), 0.0, 1e-5, rb
+                ) ** 2
+            )
+
+        with pltpu.force_tpu_interpret_mode():
+            y1 = fused_dropout_add_ln(
+                x, h, scale, bias, jnp.int32(0), 0.0, 1e-5
+            )
+            y2 = fused_dropout_add_ln(
+                x, h, scale, bias, jnp.int32(0), 0.0, 1e-5, 2
+            )
+            g1 = jax.grad(loss(1), argnums=(0, 1, 2, 3))(x, h, scale, bias)
+            g2 = jax.grad(loss(2), argnums=(0, 1, 2, 3))(x, h, scale, bias)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+        for a, b, name in zip(g1, g2, ["x", "h", "scale", "bias"]):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=name
+            )
+
     def test_hubert_layer_param_compat(self):
         """ln_impl='fused' consumes the same param tree the XLA path
         made (layer_norm/final_layer_norm {scale, bias}) and matches at

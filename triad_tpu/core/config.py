@@ -138,6 +138,11 @@ class HubertConfig:
     # the separate add/normalize passes), XLA elsewhere. "xla"/"fused"
     # force one.
     ln_impl: str = "auto"
+    # Batch rows merged per fused-LN grid step (must divide B; 1 = off).
+    # LN's per-step work is ~0.06 ms of bandwidth, so the rb=1 kernel is
+    # bubble-dominated (lost the eval A/B 611.2 vs 616.1); merging rows
+    # cuts grid steps rb-fold with negligible VMEM. Exact math.
+    ln_block_rows: int = 1
     # "conv" = XLA conv lowering; "matmul" = im2col reshape + MXU matmul
     # (identical numerics; slower end-to-end); "pallas" = fused
     # stride-2 conv kernels with the inter-layer GroupNorm/GELU applied

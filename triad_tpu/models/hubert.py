@@ -704,6 +704,7 @@ class HubertEncoderLayer(nn.Module):
             return fused_dropout_add_ln(
                 x.astype(self.dtype), h.astype(self.dtype), scale, bias,
                 seed, float(rate), float(c.layer_norm_eps),
+                c.ln_block_rows,
             )
         h = nn.Dropout(c.hidden_dropout, name=drop_name)(
             h, deterministic=deterministic

@@ -103,10 +103,29 @@ def _vec_spec(c: int):
     return pl.BlockSpec((1, c), lambda i: (0, 0))
 
 
-def _fwd(x, h, scale, bias, seed, p_drop, eps):
+def _merge_rows(block_rows: int, *arrays):
+    """View (B, T, C) arrays as (B/rb, rb*T, C) — free in HBM. LN is
+    per-row over C, so merging is exact; only the dropout bit stream
+    moves (noise; fwd/bwd must share rb for replay). Same trick as
+    ops/pallas_mlp._merge_rows — here the per-step work is tiny
+    (~0.06 ms of bandwidth), so cutting grid steps rb-fold attacks the
+    pipeline bubbles that made the rb=1 eval A/B lose (611.2 vs 616.1),
+    with none of the MLP's VMEM blow-up."""
+    b = arrays[0].shape[0]
+    if block_rows <= 1 or b % block_rows:
+        return arrays, b
+    return (
+        tuple(a.reshape(b // block_rows, block_rows * a.shape[1], a.shape[2])
+              for a in arrays),
+        b,
+    )
+
+
+def _fwd(x, h, scale, bias, seed, p_drop, eps, block_rows=1):
+    (x, h), b_orig = _merge_rows(block_rows, x, h)
     b, t, c = x.shape
     seed2d = seed.astype(jnp.int32).reshape(1, 1)
-    return pl.pallas_call(
+    y = pl.pallas_call(
         functools.partial(_fwd_kernel, p_drop=p_drop, eps=eps),
         grid=(b,),
         in_specs=[
@@ -119,12 +138,14 @@ def _fwd(x, h, scale, bias, seed, p_drop, eps):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(seed2d, x, h, scale.reshape(1, c), bias.reshape(1, c))
+    return y.reshape(b_orig, -1, c)
 
 
-def _bwd_call(x, h, scale, seed, p_drop, eps, dy):
+def _bwd_call(x, h, scale, seed, p_drop, eps, dy, block_rows=1):
+    (x, h, dy), b_orig = _merge_rows(block_rows, x, h, dy)
     b, t, c = x.shape
     seed2d = seed.astype(jnp.int32).reshape(1, 1)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_bwd_kernel, p_drop=p_drop, eps=eps),
         grid=(b,),
         in_specs=[
@@ -146,26 +167,40 @@ def _bwd_call(x, h, scale, seed, p_drop, eps, dy):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(seed2d, x, h, scale.reshape(1, c), dy)
+    t_orig = t * b // b_orig
+    return (
+        out[0].reshape(b_orig, t_orig, c),
+        out[1].reshape(b_orig, t_orig, c),
+        # dscale/dbias partials stay (b_merged, 1, c): the wrapper only
+        # sums them over (0, 1) — no un-merge needed.
+        out[2],
+        out[3],
+    )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def fused_dropout_add_ln(x, h, scale, bias, seed, p_drop: float, eps: float):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_dropout_add_ln(x, h, scale, bias, seed, p_drop: float, eps: float,
+                         block_rows: int = 1):
     """LayerNorm(x + dropout(h, p_drop)) fused per batch row.
 
     x, h: (B, T, C); scale, bias: (C,) (nn.LayerNorm-compatible); seed:
     int32 scalar (ignored at p_drop == 0). Stats in fp32 over C.
+    block_rows merges rb batch rows per grid step (must divide B;
+    silently 1 otherwise) — exact math, dropout stream moves (noise).
     """
-    return _fwd(x, h, scale, bias, seed, p_drop, eps)
+    return _fwd(x, h, scale, bias, seed, p_drop, eps, block_rows)
 
 
-def _fused_fwd(x, h, scale, bias, seed, p_drop, eps):
-    y = _fwd(x, h, scale, bias, seed, p_drop, eps)
+def _fused_fwd(x, h, scale, bias, seed, p_drop, eps, block_rows=1):
+    y = _fwd(x, h, scale, bias, seed, p_drop, eps, block_rows)
     return y, (x, h, scale, seed)
 
 
-def _fused_bwd(p_drop, eps, res, dy):
+def _fused_bwd(p_drop, eps, block_rows, res, dy):
     x, h, scale, seed = res
-    dx, dh, dscale_p, dbias_p = _bwd_call(x, h, scale, seed, p_drop, eps, dy)
+    dx, dh, dscale_p, dbias_p = _bwd_call(
+        x, h, scale, seed, p_drop, eps, dy, block_rows
+    )
     dscale = jnp.sum(dscale_p, axis=(0, 1)).astype(scale.dtype)
     dbias = jnp.sum(dbias_p, axis=(0, 1)).astype(scale.dtype)
     return dx, dh, dscale, dbias, None
