@@ -93,9 +93,16 @@ class TestFusedDropoutAddLN:
             g1 = jax.grad(loss(1), argnums=(0, 1, 2, 3))(x, h, scale, bias)
             g2 = jax.grad(loss(2), argnums=(0, 1, 2, 3))(x, h, scale, bias)
         np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
-        for a, b, name in zip(g1, g2, ["x", "h", "scale", "bias"]):
+        # dx/dh are per-row (bit-identical); dscale/dbias partials sum
+        # in a different order (in-kernel accumulation across merged
+        # rows vs cross-grid sum) — f32 rounding only.
+        for a, b, name in zip(g1[:2], g2[:2], ["x", "h"]):
             np.testing.assert_array_equal(
                 np.asarray(a), np.asarray(b), err_msg=name
+            )
+        for a, b, name in zip(g1[2:], g2[2:], ["scale", "bias"]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, err_msg=name
             )
 
     def test_hubert_layer_param_compat(self):
