@@ -22,6 +22,10 @@ run attnpad_check   3600 python scripts/tpu_attnpad_check.py
 run bench_codified  3000 python bench.py
 run bench_codified2 1800 python bench.py
 
+# fused add+LN with row merging (rb=1 lost to grid bubbles at 611.2;
+# rb=8 cuts grid steps 8x with negligible VMEM)
+run bench_lnrows8   3000 env TRIAD_BENCH_LN=fused TRIAD_BENCH_LN_ROWS=8 python bench.py
+
 # train attnpad A/B on the codified train winners (perf now includes
 # posconv + wavext; attnpad kills the pad copies around fwd AND bwd)
 run train_attnpad   4200 python scripts/tpu_train_bench.py 10 chunked_vjp float32 perf,attnpad
