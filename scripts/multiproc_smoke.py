@@ -146,7 +146,7 @@ def _run_workers(run_dir, tag, env_extra=None, expect_final=True):
     artifact — TPU pods don't use gloo); the retry runs with the warm
     cache, so the skew is gone. Any other failure raises immediately.
     """
-    for attempt in (1, 2):
+    for attempt in (1, 2, 3):
         with socket.socket() as s:
             s.bind(("127.0.0.1", 0))
             port = s.getsockname()[1]
@@ -170,7 +170,7 @@ def _run_workers(run_dir, tag, env_extra=None, expect_final=True):
                 or "DEADLINE_EXCEEDED" in o
                 for o in outs
             )
-            if gloo_skew and attempt == 1:
+            if gloo_skew and attempt < 3:
                 print(f"phase {tag}: gloo rendezvous timeout (cold-cache "
                       "compile skew) — retrying with warm cache", flush=True)
                 continue

@@ -14,6 +14,12 @@ run() { # name, timeout_s, cmd...
   echo "rc=$? $(tail -1 "$OUT/$name.log")"
 }
 
+# on-chip numerics for the CODIFIED xt frontend: the original r3b
+# check crashed at the Mosaic alignment bug BEFORE comparing values;
+# after the fix only throughput was ever measured on hardware. The
+# r3e ingest run ended with loss=NaN — rule the xt fwd values in/out.
+run frontend_check  3600 python scripts/tpu_r3_kernels_check.py frontend
+
 # on-chip numerics: ragged vs padded attention (eval + train kernels)
 run attnpad_check   3600 python scripts/tpu_attnpad_check.py
 
