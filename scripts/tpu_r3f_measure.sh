@@ -36,8 +36,14 @@ run bench_lnrows8   3000 env TRIAD_BENCH_LN=fused TRIAD_BENCH_LN_ROWS=8 python b
 # posconv + wavext; attnpad kills the pad copies around fwd AND bwd)
 run train_attnpad   4200 python scripts/tpu_train_bench.py 10 chunked_vjp float32 perf,attnpad
 
-# global-512 composed step with the codified eval config
+# global-512 composed step with the codified eval config (its "check"
+# value doubles as an on-chip xt-forward correctness probe: pre-xt runs
+# printed 728.83-728.85)
 run g512_codified   5400 python scripts/loss_global512_ab.py 5 chunked_unrolled composed
+
+# longer-horizon loss sanity on the codified train set (the r3e ingest
+# run ended loss=NaN after 100 steps; 30 chained updates here)
+run train_loss30    4200 python scripts/tpu_train_bench.py 30 chunked_vjp float32 perf
 
 # fresh fat map at the codified defaults (perf_eval == judged program)
 run trace_codified  3600 python scripts/tpu_profile_trace.py eval /tmp/r3f/xplane_eval
