@@ -155,8 +155,14 @@ def main() -> None:
         float(metrics["train_loss"])  # sync before the clock
 
         t0 = time.perf_counter()
-        for _ in range(steps):
+        for i in range(steps):
             state, metrics = step(state, next(av_it), next(tv_it), one, one)
+            if (i + 1) % 25 == 0 and i + 1 < steps:
+                # Cheap progress probes (one ~30 ms readback each):
+                # pins WHERE a divergence/NaN enters a long run.
+                print(f"# step {i + 1}: loss="
+                      f"{float(metrics['train_loss']):.4f}",
+                      file=sys.stderr, flush=True)
         loss = float(metrics["train_loss"])  # one readback ends the clock
         dt = (time.perf_counter() - t0) / steps
         av_it.close()
