@@ -15,20 +15,21 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def test_perf_train_config_is_the_measured_knob_set():
-    # == scripts/tpu_train_bench.py knobs "perf,posconv,wavext"
-    # (docs/TRAINING_PERF.md: 634.9 -> 491.9 -> 461.8 -> 452.4 ms at
-    # B=64 across rounds 2-3).
+    # == scripts/tpu_train_bench.py knobs "perf,attnpad" (perf already
+    # carries posconv+wavext; docs/TRAINING_PERF.md: 634.9 -> 491.9 ->
+    # 461.8 -> 452.4 -> 442.6 ms at B=64 across rounds 2-3).
     base = ModelConfig()
     expected = dataclasses.replace(
         base,
         vit=dataclasses.replace(
             base.vit, mlp_impl="fused", mlp_gelu="tanh",
-            attention_impl="fused_packed",
+            attention_impl="fused_packed", attention_pad="none",
         ),
         hubert=dataclasses.replace(
             base.hubert, mlp_gelu="tanh", attention_impl="fused_packed",
             frontend_impl="monolithic", frontend_gelu="tanh",
             posconv_impl="pallas", frontend_wave_layout="xt",
+            attention_pad="none",
         ),
     )
     assert perf_train_model_config() == expected

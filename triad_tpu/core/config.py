@@ -583,22 +583,27 @@ def perf_train_model_config() -> ModelConfig:
       backward (510.7 -> 491.9 ms);
     - round 3: bf16 backward recompute (491.9 -> 461.8, see
       docs/TRAINING_PERF.md), pallas pos-conv (459.8 -> 455.7 on the
-      re-measured base) and the xt waveform layout (-> 452.4). Retired
-      by measurement at train: loss=pallas (462.5), mlprows2 (496.1),
-      mqkv (458.2, within drift), noremat/rematconv (453.8/453.9 —
-      the chunked recompute policy is already at its floor).
+      re-measured base), the xt waveform layout (-> 452.4) and ragged-N
+      attention (attention_pad="none", -> 442.6 — the pad copies around
+      the training kernels' fwd AND custom-VJP bwd disappear; grads
+      bit-identical to the padded path on-chip,
+      scripts/tpu_attnpad_check.py). Retired by measurement at train:
+      loss=pallas (462.5), mlprows2 (496.1), mqkv (458.2, within
+      drift), noremat/rematconv (453.8/453.9 — the chunked recompute
+      policy is already at its floor).
     """
     base = ModelConfig()
     return dataclasses.replace(
         base,
         vit=dataclasses.replace(
             base.vit, mlp_impl="fused", mlp_gelu="tanh",
-            attention_impl="fused_packed",
+            attention_impl="fused_packed", attention_pad="none",
         ),
         hubert=dataclasses.replace(
             base.hubert, mlp_gelu="tanh", attention_impl="fused_packed",
             frontend_impl="monolithic", frontend_gelu="tanh",
             posconv_impl="pallas", frontend_wave_layout="xt",
+            attention_pad="none",
         ),
     )
 
