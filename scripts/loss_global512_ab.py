@@ -34,7 +34,7 @@ NK = 256       # ViT patches
 D = 512
 
 
-def composed(iters: int, impls) -> None:
+def composed(iters: int, impls, chunk: int = 16) -> None:
     """In-PROGRAM composition at the DP design point: the full tri-modal
     eval forward at per-chip B=64 plus BOTH losses computed against a
     512-clip key set (the post-all-gather shape each chip sees under
@@ -85,13 +85,13 @@ def composed(iters: int, impls) -> None:
                 temp = params["temperature"]
                 av = aggregate_crossbatch(
                     out["audio"], kv, temp, clamp_min=-60.0,
-                    implementation=impl, chunk_size=16,
+                    implementation=impl, chunk_size=chunk,
                     compute_diag=False, precision="default",
                 )
                 tv = aggregate_crossbatch(
                     out["text"], kv, temp, clamp_min=-20.0,
                     query_mask=text_mask, implementation=impl,
-                    chunk_size=16, compute_diag=False, precision="default",
+                    chunk_size=chunk, compute_diag=False, precision="default",
                 )
                 return row_infonce(av) + row_infonce(tv), None
 
@@ -106,7 +106,7 @@ def composed(iters: int, impls) -> None:
             val = float(run(*args, n=iters))
             dt = (time.perf_counter() - t0) / iters
             print(json.dumps({
-                "impl": impl, "pass": "composed eval fwd+loss vs 512 keys",
+                "impl": impl, "pass": f"composed eval fwd+loss vs 512 keys (chunk {chunk})",
                 "ms": round(dt * 1e3, 2),
                 "clips_per_s_chip": round(BQ / dt, 1),
                 "check": round(val, 2),
@@ -128,8 +128,9 @@ def main() -> None:
         set(sys.argv[3].split(",")) if len(sys.argv) > 3
         else {"isolated", "composed"}
     )
+    chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 16
     if "composed" in modes:
-        composed(iters, impls)
+        composed(iters, impls, chunk)
     if "isolated" not in modes:
         return
     from triad_tpu.ops.similarity import aggregate_crossbatch
@@ -145,7 +146,7 @@ def main() -> None:
 
     for impl in impls:
         kwargs = dict(
-            clamp_min=-60.0, implementation=impl, chunk_size=16,
+            clamp_min=-60.0, implementation=impl, chunk_size=chunk,
             compute_diag=False, precision="default",
         )
 
