@@ -112,14 +112,40 @@ def main() -> None:
             num_workers=workers, worker_mode="thread", seed=0,
             device_augment=devaug,
         )
-        tv_ds = SyntheticTVDataset(size=256, image_size=IMAGE)
-        tok = WordPieceTokenizer.build_from_corpus(
-            [tv_ds.__getitem__(i, apply_augmentation=False)[1]
-             for i in range(64)]
-        )
+        if devaug:
+            # File-backed captions (the production TV path): decoded
+            # uint8 + draw params ship to the device, augment math
+            # on-chip — 4x fewer image wire bytes than fp32.
+            from PIL import Image
+
+            cap_root = os.path.join(tmp, "caps", "a")
+            os.makedirs(cap_root)
+            rng0 = np.random.default_rng(1)
+            for i in range(256):
+                arr = rng0.integers(
+                    0, 256, size=(IMAGE, IMAGE, 3)
+                ).astype(np.uint8)
+                Image.fromarray(arr).save(
+                    os.path.join(cap_root, f"i{i}.jpg"), quality=90
+                )
+                with open(os.path.join(cap_root, f"i{i}.txt"), "w") as f:
+                    f.write(f"synthetic caption number {i}")
+            from triad_tpu.data.datasets import LocalCaptionDataset
+
+            tv_ds = LocalCaptionDataset(
+                os.path.join(tmp, "caps"), image_size=IMAGE
+            )
+            corpus = [f"synthetic caption number {i}" for i in range(64)]
+        else:
+            tv_ds = SyntheticTVDataset(size=256, image_size=IMAGE)
+            corpus = [
+                tv_ds.__getitem__(i, apply_augmentation=False)[1]
+                for i in range(64)
+            ]
+        tok = WordPieceTokenizer.build_from_corpus(corpus)
         tv_loader = TVLoader(
             tv_ds, tok, B, max_text_tokens=TEXT_LEN, seed=0,
-            num_workers=max(1, workers // 4),
+            num_workers=max(1, workers // 4), device_augment=devaug,
         )
 
         def put_av(b):
@@ -148,9 +174,21 @@ def main() -> None:
             cycling(lambda e, b: av_loader.epoch(e, b)), prefetch=4,
             device_put=put_av_fn,
         )
+        if devaug:
+            from triad_tpu.data.device_aug import device_ingest_tv
+
+            def put_tv_fn(b):
+                out = device_ingest_tv(b)
+                return {
+                    "images": out["images"],
+                    "token_ids": out["token_ids"],
+                    "text_mask": out["text_mask"],
+                }
+        else:
+            put_tv_fn = put_tv
         tv_it = Prefetcher(
             cycling(lambda e, b: tv_loader.epoch(e, b)), prefetch=4,
-            device_put=put_tv,
+            device_put=put_tv_fn,
         )
 
         # Warm: compile + fill prefetch queues.

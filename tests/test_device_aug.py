@@ -66,3 +66,82 @@ def test_ingest_passthrough_for_augmented_batches(pack_path):
     np.testing.assert_allclose(
         np.asarray(out["images"]), host["images"], rtol=0, atol=0
     )
+
+
+# ---------------------------------------------------------------------------
+# TV path: on-device augmentation vs the host apply (same draws)
+# ---------------------------------------------------------------------------
+
+
+def test_device_augment_tv_matches_host_apply():
+    import jax.numpy as jnp
+
+    from triad_tpu.data.device_aug import device_augment_tv, tv_param_arrays
+    from triad_tpu.data.images import apply_tv_image, draw_tv_params
+
+    rng = np.random.default_rng(7)
+    b, h, w = 5, 28, 28
+    frames = rng.integers(0, 256, size=(b, h, w, 3)).astype(np.uint8)
+    params = [
+        draw_tv_params(np.random.default_rng((3, 0, 0, i)), h, w)
+        for i in range(b)
+    ]
+    host = np.stack([
+        apply_tv_image(f.astype(np.float32) / 255.0, p)
+        for f, p in zip(frames, params)
+    ])
+    arrs = tv_param_arrays(params)
+    dev = device_augment_tv(
+        jnp.asarray(frames), jnp.asarray(arrs["aug_flip"]),
+        jnp.asarray(arrs["aug_dx"]), jnp.asarray(arrs["aug_dy"]),
+        jnp.asarray(arrs["aug_perm"]), jnp.asarray(arrs["aug_factors"]),
+    )
+    np.testing.assert_allclose(np.asarray(dev), host, rtol=2e-4, atol=2e-4)
+
+
+@pytest.fixture()
+def caption_dir(tmp_path):
+    """Tiny on-disk LocalCaptionDataset: pre-sized jpgs + captions."""
+    from PIL import Image
+
+    root = tmp_path / "caps"
+    sub = root / "a"
+    sub.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        arr = rng.integers(0, 256, size=(28, 28, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(sub / f"img{i}.jpg", quality=95)
+        (sub / f"img{i}.txt").write_text(f"caption number {i}")
+    return str(root)
+
+
+def test_tv_loader_device_augment_matches_host(caption_dir):
+    from triad_tpu.data.datasets import LocalCaptionDataset
+    from triad_tpu.data.device_aug import device_ingest_tv
+    from triad_tpu.data.pipeline import TVLoader
+    from triad_tpu.data.tokenizer import WordPieceTokenizer
+
+    ds = LocalCaptionDataset(caption_dir, image_size=28)
+    tok = WordPieceTokenizer.build_from_corpus(
+        [ds[i][1] for i in range(len(ds))]
+    )
+
+    def loader(devaug):
+        return TVLoader(
+            ds, tok, batch_size=4, max_text_tokens=8, seed=3,
+            num_workers=1, device_augment=devaug,
+        )
+
+    host = next(iter(loader(False)))
+    raw = next(iter(loader(True)))
+    assert raw["frames_u8"].dtype == np.uint8
+    dev = device_ingest_tv(raw)
+    # both paths decode the same jpg and draw from the same
+    # (seed, epoch, batch, idx) keys — equal to device-float noise
+    np.testing.assert_allclose(
+        np.asarray(dev["images"]), host["images"], rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dev["token_ids"]), host["token_ids"]
+    )
+    assert dev["captions"] == host["captions"]

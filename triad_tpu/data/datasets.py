@@ -72,6 +72,41 @@ class LocalCaptionDataset:
             print(f"Error loading {img_path}: {e}")
             return np.zeros((self.image_size, self.image_size, 3), np.float32), ""
 
+    def raw_item(self, idx: int) -> dict:
+        """Wire-dtype access for on-device TV augmentation: the decoded
+        uint8 pixels + caption, augmentation deferred to the device
+        (data/device_aug.device_augment_tv). Exact vs the host path when
+        images are pre-sized on disk (the reference's contract — its
+        transform has NO resize, dataset.py:32-44); off-spec sizes are
+        bilinear-resized then rounded back to uint8 (<=1/255 wire
+        quantization). Same zero-fallback semantics as __getitem__."""
+        from PIL import Image
+
+        from triad_tpu.data.images import resize_bilinear
+
+        img_path = self.image_files[idx]
+        try:
+            with Image.open(img_path) as im:
+                arr = np.asarray(im.convert("RGB"), np.uint8)
+            if arr.shape[:2] != (self.image_size, self.image_size):
+                arr = np.clip(
+                    np.round(
+                        resize_bilinear(
+                            arr.astype(np.float32) / 255.0, self.image_size
+                        ) * 255.0
+                    ), 0, 255,
+                ).astype(np.uint8)
+            caption = img_path.with_suffix(".txt").read_text().strip()
+            return {"image_u8": arr, "caption": caption}
+        except Exception as e:  # noqa: BLE001
+            print(f"Error loading {img_path}: {e}")
+            return {
+                "image_u8": np.zeros(
+                    (self.image_size, self.image_size, 3), np.uint8
+                ),
+                "caption": "",
+            }
+
 
 class AudioVisualDataset:
     """Segmented video shards: root/segment_N/*.mp4."""

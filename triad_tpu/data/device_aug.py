@@ -64,6 +64,86 @@ def audio_i16_to_f32(a16):
 _audio_i16_to_f32 = audio_i16_to_f32  # back-compat alias
 
 
+def tv_param_arrays(params: List[dict]) -> Dict[str, np.ndarray]:
+    """draw_tv_params dicts -> plain arrays for device transfer."""
+    return {
+        "aug_flip": np.array([p["flip"] for p in params], np.bool_),
+        "aug_dx": np.array([p["dx"] for p in params], np.int32),
+        "aug_dy": np.array([p["dy"] for p in params], np.int32),
+        "aug_perm": np.array([p["perm"] for p in params], np.int32),
+        "aug_factors": np.array(
+            [p["factors"] for p in params], np.float32
+        ),
+    }
+
+
+_TV_MAX_SHIFT = 32  # >= round(0.1 * image_size) for 224-class inputs
+
+
+@jax.jit
+def device_augment_tv(frames_u8, flip, dx, dy, perm, factors):
+    """(B, H, W, 3) uint8 + draw_tv_params arrays -> normalized float32.
+
+    Same math as images.apply_tv_image (reference LocalCaptionDataset
+    transform, dataset.py:32-44): hflip, integer translate with zero
+    fill, the three jitter ops applied in the drawn ORDER (perm[k] = op
+    applied k-th with factors[k]), ImageNet normalize. The translate is
+    a per-sample dynamic_slice of a zero-padded copy; the ordered
+    jitter evaluates all three candidate ops per stage and selects —
+    elementwise work is microseconds on the accelerator.
+    """
+    x = frames_u8.astype(jnp.float32) / 255.0
+    x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+
+    h, w = x.shape[1], x.shape[2]
+    pad = _TV_MAX_SHIFT
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+
+    def shift_one(img, dy1, dx1):
+        # out[y, x] = img[y - dy, x - dx], zero outside (images._translate)
+        return jax.lax.dynamic_slice(
+            img, (pad - dy1, pad - dx1, 0), (h, w, 3)
+        )
+
+    x = jax.vmap(shift_one)(xp, dy, dx)
+
+    lw = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
+    for k in range(3):
+        f = factors[:, k][:, None, None, None]
+        sel = perm[:, k][:, None, None, None]
+        bright = jnp.clip(x * f, 0.0, 1.0)
+        gray = jnp.sum(x * lw, axis=3, keepdims=True)
+        gmean = jnp.mean(gray, axis=(1, 2), keepdims=True)
+        contr = jnp.clip(f * x + (1.0 - f) * gmean, 0.0, 1.0)
+        sat = jnp.clip(f * x + (1.0 - f) * gray, 0.0, 1.0)
+        x = jnp.where(sel == 0, bright, jnp.where(sel == 1, contr, sat))
+    return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+
+
+def device_ingest_tv(batch: Dict) -> Dict:
+    """Prefetcher ``device_put`` callable for raw TV batches: uint8
+    frames + draw params + pre-tokenized ids at wire width; augment
+    math on device. Passes through host-augmented batches untouched."""
+    if "frames_u8" not in batch:
+        return {
+            k: jax.device_put(v) if isinstance(v, np.ndarray) else v
+            for k, v in batch.items()
+        }
+    frames, flip, dx, dy, perm, factors, ids, mask = jax.device_put((
+        batch["frames_u8"], batch["aug_flip"], batch["aug_dx"],
+        batch["aug_dy"], batch["aug_perm"], batch["aug_factors"],
+        batch["token_ids"], batch["text_mask"],
+    ))
+    out = {
+        "images": device_augment_tv(frames, flip, dx, dy, perm, factors),
+        "token_ids": ids,
+        "text_mask": mask,
+    }
+    if "captions" in batch:
+        out["captions"] = batch["captions"]
+    return out
+
+
 def device_ingest_av(batch: Dict) -> Dict:
     """Prefetcher ``device_put`` callable for raw AV batches: transfers
     uint8 frames + int16 audio + params at wire width (4x / 2x fewer

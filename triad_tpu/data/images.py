@@ -172,24 +172,42 @@ def _translate(img: np.ndarray, dx: int, dy: int) -> np.ndarray:
     return out
 
 
+def draw_tv_params(rng: np.random.Generator, h: int, w: int) -> dict:
+    """Draw the TV augmentation parameters, consuming ``rng`` in EXACTLY
+    the order ``augment_tv_image`` historically did (flip, dx, dy,
+    permutation, then one factor per APPLIED op) — so a params-based
+    apply (host batched or on-device) reproduces the per-item path
+    draw-for-draw. perm[k] = op index applied k-th (0 brightness,
+    1 contrast, 2 saturation); factors[k] = its factor."""
+    flip = bool(rng.random() < 0.5)
+    dx = int(round(rng.uniform(-0.1, 0.1) * w))
+    dy = int(round(rng.uniform(-0.1, 0.1) * h))
+    perm = rng.permutation(3)
+    factors = [float(rng.uniform(0.8, 1.2)) for _ in perm]
+    return {
+        "flip": flip, "dx": dx, "dy": dy,
+        "perm": [int(i) for i in perm], "factors": factors,
+    }
+
+
+def apply_tv_image(img: np.ndarray, p: dict) -> np.ndarray:
+    """Apply draw_tv_params output to an (H, W, 3) [0,1] image — the
+    same math as the historical in-place path, normalized float32."""
+    if p["flip"]:
+        img = img[:, ::-1]
+    img = _translate(img, p["dx"], p["dy"])
+    ops = (_adjust_brightness, _adjust_contrast, _adjust_saturation)
+    for op_idx, f in zip(p["perm"], p["factors"]):
+        img = ops[op_idx](img, f)
+    return imagenet_normalize(img)
+
+
 def augment_tv_image(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     """Reference LocalCaptionDataset train transform (dataset.py:32-44):
     hflip p=0.5, translate U(-0.1, 0.1) of the size, color jitter 0.2
     (random order, as torchvision does), ImageNet normalize."""
     h, w = img.shape[:2]
-    if rng.random() < 0.5:
-        img = img[:, ::-1]
-    dx = int(round(rng.uniform(-0.1, 0.1) * w))
-    dy = int(round(rng.uniform(-0.1, 0.1) * h))
-    img = _translate(img, dx, dy)
-    jitter_ops = [
-        lambda x: _adjust_brightness(x, rng.uniform(0.8, 1.2)),
-        lambda x: _adjust_contrast(x, rng.uniform(0.8, 1.2)),
-        lambda x: _adjust_saturation(x, rng.uniform(0.8, 1.2)),
-    ]
-    for i in rng.permutation(3):
-        img = jitter_ops[i](img)
-    return imagenet_normalize(img)
+    return apply_tv_image(img, draw_tv_params(rng, h, w))
 
 
 def clean_image(img: np.ndarray) -> np.ndarray:

@@ -325,6 +325,7 @@ class TVLoader:
         drop_last: bool = True,
         worker_mode: str = "thread",
         process_shard=None,
+        device_augment: bool = False,
     ):
         self.dataset = dataset
         self.tokenizer = tokenizer
@@ -337,6 +338,13 @@ class TVLoader:
         self.num_workers = num_workers
         self.augment = augment
         self.drop_last = drop_last
+        # Ship decoded uint8 pixels + draw params; the augment math runs
+        # on-device (data/device_aug.device_augment_tv). Needs a dataset
+        # exposing raw_item and only applies while augmenting (the clean
+        # path has no draw to defer).
+        self.device_augment = device_augment and hasattr(
+            dataset, "raw_item"
+        )
 
     def __len__(self) -> int:
         n = len(self.dataset) // self.batch_size
@@ -351,6 +359,43 @@ class TVLoader:
         )
         for b in range(start_batch, sampler.num_batches):
             idx = _shard_rows(sampler.batch_indices(b), self.process_shard)
+            if self.device_augment and self.augment:
+                from triad_tpu.data.device_aug import tv_param_arrays
+                from triad_tpu.data.images import draw_tv_params
+
+                ds = self.dataset
+                items = list(
+                    self.pool._ensure().map(
+                        ds.raw_item, [int(i) for i in idx]
+                    )
+                ) if self.pool.mode == "thread" else [
+                    ds.raw_item(int(i)) for i in idx
+                ]
+                frames = np.stack([it["image_u8"] for it in items])
+                h, w = frames.shape[1], frames.shape[2]
+                # Same per-item draw keys as the host path, so a run is
+                # bitwise-resumable across aug placements.
+                params = [
+                    draw_tv_params(
+                        np.random.default_rng(
+                            (self.seed, epoch, b, int(i))
+                        ), h, w,
+                    )
+                    for i in idx
+                ]
+                captions = [it["caption"] for it in items]
+                ids, mask = self.tokenizer.encode_batch(
+                    captions, max_length=self.max_text_tokens,
+                    pad_to=self.max_text_tokens,
+                )
+                yield {
+                    "frames_u8": frames,
+                    **tv_param_arrays(params),
+                    "token_ids": ids,
+                    "text_mask": mask.astype(np.float32),
+                    "captions": captions,
+                }
+                continue
             seeds = [(self.seed, epoch, b, int(i)) for i in idx]
             items = self.pool.map(idx, self.augment, seeds=seeds)
             images = np.stack([img for img, _ in items])

@@ -196,6 +196,7 @@ class Trainer:
             max_text_tokens=dc.max_text_tokens, seed=tc.seed,
             num_workers=dc.num_workers, worker_mode=dc.worker_mode,
             process_shard=self._proc_shard,
+            device_augment=dc.device_augment,
         )
 
         # -- mesh (DP scale-out; opt-in via mesh.num_devices) ----------
@@ -641,6 +642,25 @@ class Trainer:
         }
 
     def _device_tv(self, batch) -> Dict[str, jax.Array]:
+        if "frames_u8" in batch:
+            # Wire-dtype raw TV batch (data.device_augment): uint8
+            # pixels + O(B) draw params through the mesh-aware _put,
+            # augment math on-device (data/device_aug.py).
+            from triad_tpu.data.device_aug import device_augment_tv
+
+            images = device_augment_tv(
+                self._put(batch["frames_u8"]),
+                self._put(batch["aug_flip"]),
+                self._put(batch["aug_dx"]),
+                self._put(batch["aug_dy"]),
+                self._put(batch["aug_perm"]),
+                self._put(batch["aug_factors"]),
+            )
+            return {
+                "images": images,
+                "token_ids": self._put(batch["token_ids"]),
+                "text_mask": self._put(batch["text_mask"]),
+            }
         return {
             "images": self._put(batch["images"]),
             "token_ids": self._put(batch["token_ids"]),
