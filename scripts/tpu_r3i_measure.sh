@@ -1,0 +1,20 @@
+#!/bin/bash
+# Round-3 ninth hardware runbook: the full wire-dtype ingest (AV devaug
+# + the new TV devaug with file-backed captions) feeding the production
+# joint step.
+set -u
+OUT=/tmp/r3i
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+
+run() { # name, timeout_s, cmd...
+  local name=$1 to=$2; shift 2
+  echo "=== $name ($(date +%H:%M:%S)) ==="
+  timeout "$to" "$@" > "$OUT/$name.log" 2>&1
+  echo "rc=$? $(tail -1 "$OUT/$name.log")"
+}
+
+run ingest_full_devaug 3600 python scripts/ingest_train_e2e.py 60 8
+
+echo "=== summary ==="
+for f in "$OUT"/*.log; do echo "--- $f"; tail -1 "$f"; done
