@@ -39,9 +39,11 @@ IMAGE = 224
 def main() -> None:
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     workers = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    knobs = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else {
-        "perf", "posconv", "mqkv", "vitmq",
-    }
+    # Default = the CODIFIED production train set ("perf" carries
+    # posconv + xt + ragged attention on the verified unmerged kernels).
+    # The earlier mqkv/vitmq default measured ~neutral at train and is
+    # NOT the production config; keep the harness on what ships.
+    knobs = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else {"perf"}
 
     import os
     import shutil

@@ -90,6 +90,57 @@ def main() -> None:
             print(f"{name} train d{nm}  ragged-vs-padded rel = "
                   f"{dg / scale:.2e}", flush=True)
             assert dg / scale < 1e-2, (nm, dg, scale)
+
+        # MERGED training kernel (differentiable d(qkv) path) at ragged
+        # N — the one composition the r3g NaN implicated. Compare the
+        # padded adapter (production) against the raw merged train
+        # kernel fed ragged shapes directly.
+        from triad_tpu.ops.pallas_attention import (
+            fused_attention_packed_merged,
+        )
+
+        sm = float(1.0 / np.sqrt(d))
+        km = jnp.ones((b, n), jnp.float32)
+
+        def loss_rag_merged(qkv):
+            o = fused_attention_packed_merged(
+                qkv, km, jnp.int32(0), 0.0, sm
+            )
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        def loss_pad_merged(qkv):
+            o = merged_packed_dot_product_attention(
+                qkv, None, jnp.bfloat16, d, differentiable=True,
+                pad="hbm",
+            )
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        o_rm = jax.jit(
+            lambda qkv: fused_attention_packed_merged(
+                qkv, km, jnp.int32(0), 0.0, sm
+            )
+        )(qkv)
+        o_pm = jax.jit(
+            lambda qkv: merged_packed_dot_product_attention(
+                qkv, None, jnp.bfloat16, d, differentiable=True,
+                pad="hbm",
+            )
+        )(qkv)
+        dmt = float(jnp.max(jnp.abs(
+            o_rm.astype(jnp.float32) - o_pm.astype(jnp.float32)
+        )))
+        finite = bool(jnp.all(jnp.isfinite(o_rm.astype(jnp.float32))))
+        print(f"{name} train merged fwd ragged-vs-padded max|diff| = "
+              f"{dmt:.2e} (ragged finite: {finite})", flush=True)
+        g_rm = jax.jit(jax.grad(loss_rag_merged))(qkv)
+        g_pm = jax.jit(jax.grad(loss_pad_merged))(qkv)
+        dgm = float(jnp.max(jnp.abs(
+            g_rm.astype(jnp.float32) - g_pm.astype(jnp.float32)
+        )))
+        sc = float(jnp.max(jnp.abs(g_pm.astype(jnp.float32)))) + 1e-9
+        gfin = bool(jnp.all(jnp.isfinite(g_rm.astype(jnp.float32))))
+        print(f"{name} train merged d(qkv) ragged-vs-padded rel = "
+              f"{dgm / sc:.2e} (ragged finite: {gfin})", flush=True)
     print("ALL CHECKS PASSED")
 
 

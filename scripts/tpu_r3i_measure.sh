@@ -14,7 +14,15 @@ run() { # name, timeout_s, cmd...
   echo "rc=$? $(tail -1 "$OUT/$name.log")"
 }
 
+# merged-TRAIN ragged forensics (the r3g NaN suspect) + re-verify the
+# production (unmerged) ragged paths after the adapter restriction
+run attnpad_check2  3600 python scripts/tpu_attnpad_check.py
+
 run ingest_full_devaug 3600 python scripts/ingest_train_e2e.py 60 8
+# control: same run with the r3g knob set (mqkv/vitmq) now that the
+# merged adapter falls back to padded shapes — if this is clean, the
+# ragged merged-train kernel was the NaN; if it still NaNs, keep digging
+run ingest_mqkv_ctl 3600 python scripts/ingest_train_e2e.py 60 8 perf,mqkv,vitmq
 
 echo "=== summary ==="
 for f in "$OUT"/*.log; do echo "--- $f"; tail -1 "$f"; done

@@ -331,23 +331,22 @@ def merged_packed_dot_product_attention(
     needs_train_kernel = (
         dropout_rate > 0.0 and dropout_rng is not None
     ) or differentiable
-    if pad == "none" and not pair:
-        # Ragged N straight into the kernels (no (B, N_pad, 3C) HBM
+    if pad == "none" and not pair and not needs_train_kernel:
+        # Ragged N straight into the EVAL kernel (no (B, N_pad, 3C) HBM
         # pad copy — ~2.8 ms/step across the 12 ViT layers at B=64,
-        # 261 -> 384 — and no output slice). The kernel bodies are
-        # shape-generic; Mosaic pads VMEM tiles internally. On-chip
-        # proven at eval (+35 clips/s, r3d bench_attnpad).
+        # 261 -> 384 — and no output slice). On-chip proven bit-exact
+        # at eval (+35 clips/s, r3d bench_attnpad /
+        # scripts/tpu_attnpad_check.py). The MERGED TRAINING kernel
+        # stays on padded shapes: an e2e run with pad=none reaching it
+        # produced NaN losses by step 25 at lr=1e-6 (r3g ingest) while
+        # the UNMERGED training kernel verified bit-exact ragged — the
+        # merged d(qkv) path at ragged N is unproven on hardware, so it
+        # falls through to the padded branch below until the on-chip
+        # check (tpu_attnpad_check merged-train leg) clears it.
         key_mask = (
             mask.reshape(b, n).astype(jnp.float32)
             if mask is not None else jnp.ones((b, n), jnp.float32)
         )
-        if needs_train_kernel:
-            live = dropout_rate > 0.0 and dropout_rng is not None
-            seed = _dropout_seed(dropout_rng) if live else jnp.int32(0)
-            return fused_attention_packed_merged(
-                qkv.astype(dtype), key_mask, seed,
-                float(dropout_rate) if live else 0.0, sm_scale,
-            )
         return fused_attention_eval_merged(
             qkv.astype(dtype), key_mask, sm_scale
         )
