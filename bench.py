@@ -154,6 +154,9 @@ def main() -> None:
     _loss_ov = _os.environ.get("TRIAD_BENCH_LOSS")
     if _loss_ov:
         loss_cfg = _dc.replace(loss_cfg, implementation=_loss_ov)
+    _chunk_ov = _os.environ.get("TRIAD_BENCH_LOSS_CHUNK")
+    if _chunk_ov:
+        loss_cfg = _dc.replace(loss_cfg, chunk_size=int(_chunk_ov))
     # More A/B knobs for bisecting under identical run conditions:
     # TRIAD_BENCH_WAVE=x10|x640 (frontend waveform shipping layout),
     # TRIAD_BENCH_POSCONV=conv|pallas (positional grouped conv impl).

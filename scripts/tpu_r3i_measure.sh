@@ -24,5 +24,10 @@ run ingest_full_devaug 3600 python scripts/ingest_train_e2e.py 60 8
 # ragged merged-train kernel was the NaN; if it still NaNs, keep digging
 run ingest_mqkv_ctl 3600 python scripts/ingest_train_e2e.py 60 8 perf,mqkv,vitmq
 
+# loss chunk-size at the single-chip judged shape (g512 sweep showed
+# chunk 8 marginally ahead at 512 keys)
+run bench_chunk8    3000 env TRIAD_BENCH_LOSS_CHUNK=8 python bench.py
+run bench_chunk32   3000 env TRIAD_BENCH_LOSS_CHUNK=32 python bench.py
+
 echo "=== summary ==="
 for f in "$OUT"/*.log; do echo "--- $f"; tail -1 "$f"; done
