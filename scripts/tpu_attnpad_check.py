@@ -141,6 +141,37 @@ def main() -> None:
         gfin = bool(jnp.all(jnp.isfinite(g_rm.astype(jnp.float32))))
         print(f"{name} train merged d(qkv) ragged-vs-padded rel = "
               f"{dgm / sc:.2e} (ragged finite: {gfin})", flush=True)
+        # Ragged N with LIVE DROPOUT (p=0.1): the in-kernel PRNG mask at
+        # unaligned lane counts is the one ragged configuration the
+        # p=0 equality checks cannot cover (different bit streams).
+        # Finiteness + moment sanity vs the padded p=0.1 run.
+        def drop_stats(pad):
+            def f(q, k, v):
+                o = fused_packed_dot_product_attention(
+                    q, k, v, None, jnp.bfloat16,
+                    dropout_rate=0.1,
+                    dropout_rng=jax.random.key(5),
+                    pad=pad,
+                )
+                o = o.astype(jnp.float32)
+                return (
+                    jnp.all(jnp.isfinite(o)),
+                    jnp.mean(o), jnp.std(o),
+                    jnp.max(jnp.abs(o)),
+                )
+
+            fin, mu, sd, mx = jax.jit(f)(q, k, v)
+            return bool(fin), float(mu), float(sd), float(mx)
+
+        fin_r, mu_r, sd_r, mx_r = drop_stats("none")
+        fin_p, mu_p, sd_p, mx_p = drop_stats("hbm")
+        print(f"{name} train dropout ragged: finite={fin_r} "
+              f"mean={mu_r:.4f} std={sd_r:.4f} max={mx_r:.2f} | padded: "
+              f"finite={fin_p} mean={mu_p:.4f} std={sd_p:.4f} "
+              f"max={mx_p:.2f}", flush=True)
+        assert fin_r and fin_p
+        assert abs(sd_r - sd_p) < 0.2 * max(sd_p, 1e-3), (sd_r, sd_p)
+        assert mx_r < 10 * max(mx_p, 1.0), (mx_r, mx_p)
     print("ALL CHECKS PASSED")
 
 
