@@ -203,14 +203,50 @@ def main() -> None:
         float(metrics["train_loss"])  # sync before the clock
 
         t0 = time.perf_counter()
+        nan_reported = False
+        # TRIAD_INGEST_PROBE=1: per-step loss readbacks (syncs every
+        # step — diagnostic mode, throughput number invalid) so the
+        # EXACT culprit batch of a NaN is still in hand for forensics.
+        probe_every = 1 if os.environ.get("TRIAD_INGEST_PROBE") else 5
         for i in range(steps):
-            state, metrics = step(state, next(av_it), next(tv_it), one, one)
-            if (i + 1) % 25 == 0 and i + 1 < steps:
+            av_b, tv_b = next(av_it), next(tv_it)
+            state, metrics = step(state, av_b, tv_b, one, one)
+            if (i + 1) % probe_every == 0 and i + 1 < steps:
                 # Cheap progress probes (one ~30 ms readback each):
                 # pins WHERE a divergence/NaN enters a long run.
-                print(f"# step {i + 1}: loss="
-                      f"{float(metrics['train_loss']):.4f}",
+                li = float(metrics["train_loss"])
+                print(f"# step {i + 1}: loss={li:.4f}",
                       file=sys.stderr, flush=True)
+                if li != li and not nan_reported:
+                    nan_reported = True
+                    import jax.numpy as _jnp
+
+                    for nm, bb in (("av", av_b), ("tv", tv_b)):
+                        for k2, v2 in bb.items():
+                            if hasattr(v2, "dtype") and _jnp.issubdtype(
+                                v2.dtype, _jnp.floating
+                            ):
+                                print(
+                                    f"# NaN forensics {nm}.{k2}: finite="
+                                    f"{bool(_jnp.all(_jnp.isfinite(v2)))} "
+                                    f"max|x|={float(_jnp.max(_jnp.abs(v2))):.3e}",
+                                    file=sys.stderr, flush=True,
+                                )
+                    import jax as _jax
+
+                    bad = [
+                        p for p, v2 in _jax.tree_util.tree_leaves_with_path(
+                            state.params
+                        )
+                        if _jnp.issubdtype(v2.dtype, _jnp.floating)
+                        and not bool(_jnp.all(_jnp.isfinite(v2)))
+                    ]
+                    print(
+                        f"# NaN forensics: {len(bad)} non-finite param "
+                        f"leaves"
+                        + (f"; first: {bad[:3]}" if bad else ""),
+                        file=sys.stderr, flush=True,
+                    )
         loss = float(metrics["train_loss"])  # one readback ends the clock
         dt = (time.perf_counter() - t0) / steps
         av_it.close()
