@@ -628,9 +628,14 @@ def perf_eval_loss_config() -> LossConfig:
     at B=64 (598.8 vs 589.2) and composes with the xt frontend (616.1)
     and ragged-N attention (651.3); it also wins at the global-512 key
     set (109.6 vs 111.1 ms composed). Values match chunked to f32
-    rounding (tests/test_losses.py)."""
+    rounding (tests/test_losses.py).
+
+    chunk_size 32: neutral at the single-chip B=64 shape (652.1 vs
+    650.2-651.8 for 16) and the measured winner at the DP-512 key set
+    (102.69 ms composed vs 104.94 for 16, 104.18 for 8, 103.62 for 64
+    — r3h sweep)."""
     return LossConfig(
-        implementation="chunked_unrolled", chunk_size=16,
+        implementation="chunked_unrolled", chunk_size=32,
         matmul_precision="default",
     )
 
