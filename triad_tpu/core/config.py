@@ -462,12 +462,39 @@ class MeshConfig:
 
 
 @dataclass(frozen=True)
+class PretrainedConfig:
+    """Where to find pretrained weights at startup. The reference fetches
+    HuBERT/DistilBERT from the HF hub and DINOv2 from torch.hub
+    (model.py:29-30, 79-80, 218); here the on-disk artifacts are named
+    explicitly and loaded offline (models/hf_import.py). All optional —
+    None means fresh initialization for that backbone."""
+
+    # HF snapshot directory (config.json + model.safetensors [sharded ok]
+    # or pytorch_model.bin), e.g. a local facebook/hubert-base-ls960.
+    hubert: Optional[str] = None
+    # HF snapshot directory, e.g. a local distilbert-base-uncased.
+    text: Optional[str] = None
+    # HF snapshot directory (dinov2-with-registers-base layout) OR a
+    # torch.hub .pth state-dict file (dinov2_vitb14_reg_pretrain.pth).
+    vit: Optional[str] = None
+    # A trained reference checkpoint_epoch{E}_step{S}.pt — overrides the
+    # per-backbone paths (it carries heads + temperature too).
+    reference_checkpoint: Optional[str] = None
+
+    def any(self) -> bool:
+        return any(
+            (self.hubert, self.text, self.vit, self.reference_checkpoint)
+        )
+
+
+@dataclass(frozen=True)
 class Config:
     model: ModelConfig = field(default_factory=ModelConfig)
     loss: LossConfig = field(default_factory=LossConfig)
     data: DataConfig = field(default_factory=DataConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    pretrained: PretrainedConfig = field(default_factory=PretrainedConfig)
 
     # -- serialization -------------------------------------------------
 

@@ -272,7 +272,34 @@ class Trainer:
 
         # -- model / optimizer ----------------------------------------
         self.model = TriadModel(config.model)
-        params = init_triad_model(config.model, jax.random.key(tc.seed))
+        if config.pretrained.any():
+            # Pretrained backbones from on-disk snapshots (the
+            # reference's startup fetches, model.py:29-30, 79-80, 218)
+            # or a full trained reference checkpoint.
+            from triad_tpu.models.hf_import import (
+                init_params_from_pretrained,
+            )
+
+            pre = config.pretrained
+            params = init_params_from_pretrained(
+                config.model, jax.random.key(tc.seed),
+                hubert_path=pre.hubert, text_path=pre.text,
+                vit_path=pre.vit,
+                reference_checkpoint=pre.reference_checkpoint,
+            )
+            params = jax.tree.map(jnp.asarray, params)
+            self.metrics.info(
+                "Loaded pretrained weights: "
+                + ", ".join(
+                    f"{k}={v}" for k, v in (
+                        ("hubert", pre.hubert), ("text", pre.text),
+                        ("vit", pre.vit),
+                        ("reference", pre.reference_checkpoint),
+                    ) if v
+                )
+            )
+        else:
+            params = init_triad_model(config.model, jax.random.key(tc.seed))
         self.partition = ParamPartition(params)
 
         self.steps_per_epoch = tc.steps_per_epoch or max(
