@@ -55,9 +55,12 @@ def test_dryrun_multichip_8_driver_style():
         f"driver multichip check would be RED (rc={proc.returncode})\n"
         f"--- stdout ---\n{proc.stdout}\n--- stderr ---\n{proc.stderr}"
     )
-    # Both legs must have actually run and reported finite losses.
+    # All four legs must have actually run and reported finite losses:
+    # DP (ZeRO-1), dp x tp, ZeRO-1 + ring negatives, FSDP.
     assert "dryrun_multichip(8) OK" in proc.stdout, proc.stdout
     assert "dp x tp) OK" in proc.stdout, proc.stdout
+    assert "zero1+ring) OK" in proc.stdout, proc.stdout
+    assert "fsdp) OK" in proc.stdout, proc.stdout
 
 
 def test_dryrun_body_returns_loss():
