@@ -172,6 +172,113 @@ def main() -> None:
         assert fin_r and fin_p
         assert abs(sd_r - sd_p) < 0.2 * max(sd_p, 1e-3), (sd_r, sd_p)
         assert mx_r < 10 * max(mx_p, 1.0), (mx_r, mx_p)
+
+        # MERGED train kernel with LIVE dropout at ragged N — the last
+        # uncleared merged composition (the p=0 merged legs above are
+        # bit-exact; models/layers.py keeps live-dropout merged on
+        # padded shapes until this probe passes on-chip).
+        def drop_stats_merged(n_in, qkv_in, km_in):
+            def f(qkv):
+                o = fused_attention_packed_merged(
+                    qkv, km_in, jnp.int32(7), 0.1, sm
+                )
+                o = o[:, :n_in].astype(jnp.float32)
+                return (
+                    jnp.all(jnp.isfinite(o)),
+                    jnp.mean(o), jnp.std(o),
+                    jnp.max(jnp.abs(o)),
+                )
+
+            fin, mu, sd, mx = jax.jit(f)(qkv_in)
+            return bool(fin), float(mu), float(sd), float(mx)
+
+        n_pad = ((n + 127) // 128) * 128
+        qkv_p = jnp.pad(qkv, ((0, 0), (0, n_pad - n), (0, 0)))
+        km_p = jnp.pad(km, ((0, 0), (0, n_pad - n)))
+        fin_mr, mu_mr, sd_mr, mx_mr = drop_stats_merged(n, qkv, km)
+        fin_mp, mu_mp, sd_mp, mx_mp = drop_stats_merged(n, qkv_p, km_p)
+        print(f"{name} train merged dropout ragged: finite={fin_mr} "
+              f"mean={mu_mr:.4f} std={sd_mr:.4f} max={mx_mr:.2f} | "
+              f"padded: finite={fin_mp} mean={mu_mp:.4f} std={sd_mp:.4f} "
+              f"max={mx_mp:.2f}", flush=True)
+        assert fin_mr and fin_mp
+        assert abs(sd_mr - sd_mp) < 0.2 * max(sd_mp, 1e-3), (sd_mr, sd_mp)
+        assert mx_mr < 10 * max(mx_mp, 1.0), (mx_mr, mx_mp)
+
+        # Ragged live-dropout BACKWARD — the composition the r4a e2e
+        # NaN implicates (perf train = ragged unmerged kernels + p=0.1
+        # attention dropout; r4a NaN'd on BOTH kernel sets at lr=1e-6
+        # while every fwd leg above is finite). The replayed in-kernel
+        # bits feed _head_bwd at unaligned lane counts; check grad
+        # finiteness + moment sanity vs the padded p=0.1 grads across a
+        # seed sweep (the e2e step seed varies per step).
+        # One jitted grad program per pad mode; the key is a traced
+        # argument so the seed sweep reuses the compile.
+        def _drop_loss(pad):
+            def f(q, k, v, rng_key):
+                o = fused_packed_dot_product_attention(
+                    q, k, v, None, jnp.bfloat16,
+                    dropout_rate=0.1, dropout_rng=rng_key, pad=pad,
+                )
+                return jnp.sum(o.astype(jnp.float32) ** 2)
+
+            return jax.jit(jax.grad(f, argnums=(0, 1, 2)))
+
+        _g_rag = _drop_loss("none")
+        _g_pad = _drop_loss("hbm")
+
+        def drop_grad_stats(gfn, rng_key):
+            g = gfn(q, k, v, rng_key)
+            fin = bool(all(
+                jnp.all(jnp.isfinite(x.astype(jnp.float32))) for x in g
+            ))
+            mx = max(
+                float(jnp.max(jnp.abs(x.astype(jnp.float32)))) for x in g
+            )
+            sd = float(jnp.std(g[0].astype(jnp.float32)))
+            return fin, sd, mx
+
+        for s in range(8):
+            kk = jax.random.key(100 + s)
+            fin_gr, sd_gr, mx_gr = drop_grad_stats(_g_rag, kk)
+            fin_gp, sd_gp, mx_gp = drop_grad_stats(_g_pad, kk)
+            ok = fin_gr and fin_gp and mx_gr < 10 * max(mx_gp, 1.0)
+            print(f"{name} train dropout BWD seed={100 + s} ragged: "
+                  f"finite={fin_gr} std={sd_gr:.4f} max={mx_gr:.2f} | "
+                  f"padded: finite={fin_gp} std={sd_gp:.4f} "
+                  f"max={mx_gp:.2f}", flush=True)
+            assert ok, (s, fin_gr, fin_gp, mx_gr, mx_gp)
+
+        @jax.jit
+        def _gm(qkv_in, km_in, seed):
+            def f(qkv):
+                o = fused_attention_packed_merged(
+                    qkv, km_in, seed, 0.1, sm
+                )
+                return jnp.sum(o.astype(jnp.float32) ** 2)
+
+            return jax.grad(f)(qkv_in)
+
+        def drop_grad_stats_merged(rng_seed, qkv_in, km_in):
+            g = _gm(qkv_in, km_in, jnp.int32(rng_seed)).astype(jnp.float32)
+            return (
+                bool(jnp.all(jnp.isfinite(g))),
+                float(jnp.std(g)),
+                float(jnp.max(jnp.abs(g))),
+            )
+
+        for s in range(4):
+            fin_gr, sd_gr, mx_gr = drop_grad_stats_merged(200 + s, qkv, km)
+            fin_gp, sd_gp, mx_gp = drop_grad_stats_merged(
+                200 + s, qkv_p, km_p
+            )
+            print(f"{name} train merged dropout BWD seed={200 + s} "
+                  f"ragged: finite={fin_gr} std={sd_gr:.4f} "
+                  f"max={mx_gr:.2f} | padded: finite={fin_gp} "
+                  f"std={sd_gp:.4f} max={mx_gp:.2f}", flush=True)
+            assert fin_gr and fin_gp and mx_gr < 10 * max(mx_gp, 1.0), (
+                s, fin_gr, fin_gp, mx_gr, mx_gp
+            )
     print("ALL CHECKS PASSED")
 
 

@@ -328,28 +328,33 @@ def merged_packed_dot_product_attention(
     if hd3 % (3 * 64) != 0:
         raise ValueError(f"bad merged qkv width {hd3} (not 3*H*64)")
     sm_scale = float(1.0 / np.sqrt(head_dim))
-    needs_train_kernel = (
-        dropout_rate > 0.0 and dropout_rng is not None
-    ) or differentiable
-    if pad == "none" and not pair and not needs_train_kernel:
-        # Ragged N straight into the EVAL kernel (no (B, N_pad, 3C) HBM
+    live_dropout = dropout_rate > 0.0 and dropout_rng is not None
+    if pad == "none" and not pair:
+        # Ragged N straight into the kernels (no (B, N_pad, 3C) HBM
         # pad copy — ~2.8 ms/step across the 12 ViT layers at B=64,
-        # 261 -> 384 — and no output slice). On-chip proven bit-exact
-        # at eval (+35 clips/s, r3d bench_attnpad /
-        # scripts/tpu_attnpad_check.py). The MERGED TRAINING kernel
-        # stays on padded shapes: an e2e run with pad=none reaching it
-        # produced NaN losses by step 25 at lr=1e-6 (r3g ingest) while
-        # the UNMERGED training kernel verified bit-exact ragged — the
-        # merged d(qkv) path at ragged N is unproven on hardware, so it
-        # falls through to the padded branch below until the on-chip
-        # check (tpu_attnpad_check merged-train leg) clears it.
+        # 261 -> 384 — and no output slice). On-chip proven
+        # (scripts/tpu_attnpad_check.py, r4 run): bit-exact at eval
+        # (+35 clips/s, r3d bench_attnpad), bit-exact for the merged
+        # TRAINING kernel's fwd + d(qkv) at p=0 (the r3g NaN suspect —
+        # cleared; the r4 e2e NaN reproduced on the UNMERGED set too,
+        # exonerating this kernel), and finite/moment-sane for the
+        # live-dropout fwd AND backward across a seed sweep (the
+        # in-kernel PRNG stream at unaligned lane counts).
         key_mask = (
             mask.reshape(b, n).astype(jnp.float32)
             if mask is not None else jnp.ones((b, n), jnp.float32)
         )
-        return fused_attention_eval_merged(
-            qkv.astype(dtype), key_mask, sm_scale
-        )
+        qkv = qkv.astype(dtype)
+        if live_dropout:
+            return fused_attention_packed_merged(
+                qkv, key_mask, _dropout_seed(dropout_rng),
+                float(dropout_rate), sm_scale,
+            )
+        if differentiable:
+            return fused_attention_packed_merged(
+                qkv, key_mask, jnp.int32(0), 0.0, sm_scale
+            )
+        return fused_attention_eval_merged(qkv, key_mask, sm_scale)
     n_pad = _round_up(n, 128)  # shared q/k padding in the merged layout
     qkv = qkv.astype(dtype)
     if n_pad != n:
