@@ -3,7 +3,7 @@ the joint train step, with an op-level breakdown parsed from the xplane
 (tensorboard_plugin_profile) — ground truth where chained-scan timing
 through the tunnel is too noisy.
 
-Run: python scripts/tpu_profile_trace.py [eval|train] [outdir]
+Run: python scripts/tpu_profile_trace.py [eval|train|dp512] [outdir]
 """
 
 import functools
@@ -110,10 +110,11 @@ def build_train_fn():
         ModelConfig(), os.environ.get("TRIAD_TRAIN_KNOBS", "")
     )
     # TRIAD_TRAIN_LOSS=chunked|pallas (default chunked, the production
-    # train path) — for tracing the loss-impl A/B.
+    # train path) — for tracing the loss-impl A/B. Chunk 32 = the
+    # codified DP-512 winner (r3h sweep); TRIAD_TRAIN_CHUNK overrides.
     loss_cfg = LossConfig(
         implementation=os.environ.get("TRIAD_TRAIN_LOSS", "chunked"),
-        chunk_size=16,
+        chunk_size=int(os.environ.get("TRIAD_TRAIN_CHUNK", "32")),
     )
     optim_cfg = OptimConfig(gradient_accumulation_steps=1)
     params = init_triad_model(model_cfg, jax.random.key(0))
@@ -149,6 +150,71 @@ def build_train_fn():
         return (state,)
 
     return run, (state,)
+
+
+def build_dp512_fn():
+    """The composed DP-512 north-star program (bench.py --dp512): the
+    full tri-modal eval forward at per-chip B=64 plus BOTH row-block
+    losses against a 512-clip all-gathered key set, at the codified
+    perf_eval + chunk-32 config. This is the program whose 102.69 ms
+    (r3h) the >=625 clips/s/chip target prices at <=102.4 ms."""
+    from triad_tpu.core.config import (
+        perf_eval_loss_config,
+        perf_eval_model_config,
+    )
+    from triad_tpu.models import TriadModel, init_triad_model
+    from triad_tpu.ops.similarity import aggregate_crossbatch
+
+    cfg = perf_eval_model_config()
+    loss_cfg = perf_eval_loss_config()
+    chunk_ov = os.environ.get("TRIAD_BENCH_LOSS_CHUNK")
+    if chunk_ov:
+        loss_cfg = dataclasses.replace(loss_cfg, chunk_size=int(chunk_ov))
+    model = TriadModel(cfg)
+    params = init_triad_model(cfg, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(B, 224, 224, 3)).astype(np.float32))
+    audio = jnp.asarray(
+        (rng.normal(size=(B, AUDIO_SAMPLES)) * 0.1).astype(np.float32)
+    )
+    token_ids = jnp.asarray(
+        rng.integers(1, 30_000, size=(B, TEXT_LEN)).astype(np.int32)
+    )
+    text_mask = jnp.ones((B, TEXT_LEN), jnp.float32)
+    kv = jnp.asarray(
+        np.random.default_rng(1).normal(size=(512, 256, 512))
+        .astype(np.float32),
+        jnp.bfloat16,
+    )
+
+    def row_infonce(agg):
+        s = agg.clip_sims
+        lse = jax.nn.logsumexp(s, axis=1)
+        pos = jnp.diagonal(s[:, :B])
+        return jnp.mean(lse - pos) + agg.nonneg_sq_sum / agg.volume_numel
+
+    @jax.jit
+    def run(images, audio, token_ids, text_mask, kv):
+        out = model.apply(
+            {"params": params}, images, audio, token_ids, text_mask,
+            train=False,
+        )
+        temp = params["temperature"]
+        av = aggregate_crossbatch(
+            out["audio"], kv, temp, clamp_min=-60.0,
+            implementation=loss_cfg.implementation,
+            chunk_size=loss_cfg.chunk_size,
+            compute_diag=False, precision="default",
+        )
+        tv = aggregate_crossbatch(
+            out["text"], kv, temp, clamp_min=-20.0, query_mask=text_mask,
+            implementation=loss_cfg.implementation,
+            chunk_size=loss_cfg.chunk_size,
+            compute_diag=False, precision="default",
+        )
+        return (row_infonce(av) + row_infonce(tv),)
+
+    return run, (images, audio, token_ids, text_mask, kv)
 
 
 def summarize(logdir: str, top: int = 45, n_steps: int = 3) -> None:
@@ -203,7 +269,12 @@ def main() -> None:
     logdir = (
         sys.argv[2] if len(sys.argv) > 2 else f"/tmp/triad_trace_{what}"
     )
-    fn, args = build_eval_fn() if what == "eval" else build_train_fn()
+    if what == "eval":
+        fn, args = build_eval_fn()
+    elif what == "dp512":
+        fn, args = build_dp512_fn()
+    else:
+        fn, args = build_train_fn()
     # compile outside the trace; in train mode the state is donated and
     # threaded through (args is the 1-tuple (state,)).
     out = fn(*args)
