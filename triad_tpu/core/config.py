@@ -683,7 +683,7 @@ def apply_train_knobs(model_cfg: ModelConfig, knobs) -> ModelConfig:
     known = {
         "perf", "tanh", "pkattn", "mqkv", "vitpk", "vitmq", "monofe",
         "posconv", "wave640", "wavext", "rematconv", "noremat",
-        "mlprows2", "mlprows4", "attnpad",
+        "mlprows2", "mlprows4", "attnpad", "pad128",
     }
     unknown = knobs - known
     if unknown:
@@ -785,6 +785,18 @@ def apply_train_knobs(model_cfg: ModelConfig, knobs) -> ModelConfig:
                 model_cfg.hubert, attention_pad="none"
             ),
             vit=dataclasses.replace(model_cfg.vit, attention_pad="none"),
+        )
+    # Inverse A/B: force the padded adapter back on AFTER "perf" (which
+    # codifies attention_pad="none") — isolates ragged-N in e2e NaN
+    # forensics (r4a: both kernel sets NaN'd; ragged+live-dropout bwd
+    # is the untested composition).
+    if "pad128" in knobs:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            hubert=dataclasses.replace(
+                model_cfg.hubert, attention_pad="hbm"
+            ),
+            vit=dataclasses.replace(model_cfg.vit, attention_pad="hbm"),
         )
     # Fused-MLP batch-row merging (must divide B=64; numerics identical;
     # rb=4 is eval-only — the backward's VMEM caps at rb=2).
