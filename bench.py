@@ -166,6 +166,14 @@ def main() -> None:
     _chunk_ov = _os.environ.get("TRIAD_BENCH_LOSS_CHUNK")
     if _chunk_ov:
         loss_cfg = _dc.replace(loss_cfg, chunk_size=int(_chunk_ov))
+    # TRIAD_BENCH_VOLUME_DTYPE=bfloat16: store the (Bq, chunk, Nq, Nk)
+    # token-sim volume in bf16 between the matmul and its max/clamp
+    # consumers (f32 MXU accumulation unchanged) — halves the loss
+    # path's dominant HBM traffic; the same bf16-or-better contract as
+    # attention_scores_dtype.
+    _vd_ov = _os.environ.get("TRIAD_BENCH_VOLUME_DTYPE")
+    if _vd_ov:
+        loss_cfg = _dc.replace(loss_cfg, volume_dtype=_vd_ov)
     # More A/B knobs for bisecting under identical run conditions:
     # TRIAD_BENCH_WAVE=x10|x640 (frontend waveform shipping layout),
     # TRIAD_BENCH_POSCONV=conv|pallas (positional grouped conv impl).
@@ -286,6 +294,7 @@ def main() -> None:
                 implementation=loss_cfg.implementation,
                 chunk_size=loss_cfg.chunk_size,
                 compute_diag=False, precision="default",
+                volume_dtype=loss_cfg.volume_dtype,
             )
             tv = aggregate_crossbatch(
                 out["text"], kv, temp, clamp_min=-20.0,
@@ -293,6 +302,7 @@ def main() -> None:
                 implementation=loss_cfg.implementation,
                 chunk_size=loss_cfg.chunk_size,
                 compute_diag=False, precision="default",
+                volume_dtype=loss_cfg.volume_dtype,
             )
             n_q = out["audio"].shape[0]
             return _row_infonce(av, n_q) + _row_infonce(tv, n_q)

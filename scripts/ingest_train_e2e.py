@@ -12,7 +12,7 @@ Reports sustained clips/s INCLUDING data against the step-only rate; if
 the two match (within tunnel jitter), host ingest on this box's cores
 covers the chip's consumption. Prints one JSON line.
 
-Run: python scripts/ingest_train_e2e.py [steps] [workers] [knobs]
+Run: python scripts/ingest_train_e2e.py [steps] [workers] [knobs] [worker_mode]
 """
 
 import json
@@ -44,6 +44,9 @@ def main() -> None:
     # The earlier mqkv/vitmq default measured ~neutral at train and is
     # NOT the production config; keep the harness on what ships.
     knobs = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else {"perf"}
+    # arg 4: AV worker mode — "thread" (default) or "process" (spawned
+    # decode workers; the VERDICT r3 item-4 scaling axis).
+    worker_mode = sys.argv[4] if len(sys.argv) > 4 else "thread"
 
     import os
     import shutil
@@ -111,7 +114,7 @@ def main() -> None:
         devaug = os.environ.get("TRIAD_INGEST_HOSTAUG") != "1"
         av_loader = AVLoader(
             av_ds, batch_size=B, audio_num_samples=AUDIO_SAMPLES,
-            num_workers=workers, worker_mode="thread", seed=0,
+            num_workers=workers, worker_mode=worker_mode, seed=0,
             device_augment=devaug,
         )
         if devaug:
@@ -254,7 +257,7 @@ def main() -> None:
 
         print(json.dumps({
             "metric": "train clips/s/chip incl. packed ingest "
-                      f"(joint step, B={B}, {workers} workers)",
+                      f"(joint step, B={B}, {workers} {worker_mode} workers)",
             "value": round(B / dt, 1),
             "unit": "clips/s/chip",
             "step_ms": round(dt * 1e3, 1),

@@ -170,6 +170,9 @@ def build_dp512_fn():
     chunk_ov = os.environ.get("TRIAD_BENCH_LOSS_CHUNK")
     if chunk_ov:
         loss_cfg = dataclasses.replace(loss_cfg, chunk_size=int(chunk_ov))
+    vd_ov = os.environ.get("TRIAD_BENCH_VOLUME_DTYPE")
+    if vd_ov:
+        loss_cfg = dataclasses.replace(loss_cfg, volume_dtype=vd_ov)
     model = TriadModel(cfg)
     params = init_triad_model(cfg, jax.random.key(0))
     rng = np.random.default_rng(0)
@@ -205,12 +208,14 @@ def build_dp512_fn():
             implementation=loss_cfg.implementation,
             chunk_size=loss_cfg.chunk_size,
             compute_diag=False, precision="default",
+            volume_dtype=loss_cfg.volume_dtype,
         )
         tv = aggregate_crossbatch(
             out["text"], kv, temp, clamp_min=-20.0, query_mask=text_mask,
             implementation=loss_cfg.implementation,
             chunk_size=loss_cfg.chunk_size,
             compute_diag=False, precision="default",
+            volume_dtype=loss_cfg.volume_dtype,
         )
         return (row_infonce(av) + row_infonce(tv),)
 

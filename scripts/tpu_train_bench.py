@@ -40,12 +40,15 @@ def main() -> None:
     # 4th arg: comma-separated perf knobs — the shared set documented
     # in core.config.apply_train_knobs. Default = parity config.
     knobs = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else set()
+    # 5th arg: loss chunk size (default 16 = the historical measurement
+    # config; the codified production chunk is 32, neutral at B=64).
+    chunk = int(sys.argv[5]) if len(sys.argv) > 5 else 16
 
     from triad_tpu.core.config import apply_train_knobs
 
     model_cfg = apply_train_knobs(ModelConfig(), knobs)
     loss_cfg = LossConfig(
-        implementation=loss_impl, chunk_size=16, matmul_precision="default"
+        implementation=loss_impl, chunk_size=chunk, matmul_precision="default"
     )
     optim_cfg = OptimConfig(
         gradient_accumulation_steps=1, mu_dtype=moments, nu_dtype=moments

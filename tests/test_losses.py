@@ -276,6 +276,109 @@ class TestBf16VolumeOperands:
         )
 
 
+class TestBf16Volume:
+    """volume_dtype="bfloat16": the token-sim volume is rounded to bf16
+    between the matmul (still f32-accumulated on the MXU) and its
+    max/clamp consumers — halves the loss path's dominant HBM traffic
+    (the eval bench's perf knob). Values must stay within bf16 rounding
+    of the f32-volume path, and the chunked_vjp backward must recompute
+    at the SAME volume dtype so its argmax routing matches its forward."""
+
+    def _qkt(self, seed=0, bq=4, bk=4, nq=12, nk=8, d=128):
+        rng = np.random.default_rng(seed)
+        q = jnp.asarray(
+            rng.normal(size=(bq, nq, d)).astype(np.float32), jnp.bfloat16
+        )
+        k = jnp.asarray(
+            rng.normal(size=(bk, nk, d)).astype(np.float32), jnp.bfloat16
+        )
+        return q, k, jnp.float32(1.5)
+
+    @pytest.mark.parametrize(
+        "impl", ["dense", "chunked", "chunked_unrolled", "chunked_vjp"]
+    )
+    def test_bf16_volume_within_bf16_rounding(self, impl):
+        from triad_tpu.ops.similarity import aggregate_crossbatch
+
+        q, k, t = self._qkt()
+        f32 = aggregate_crossbatch(
+            q, k, t, clamp_min=-60.0, implementation=impl, chunk_size=2,
+            precision="default",
+        )
+        bf16 = aggregate_crossbatch(
+            q, k, t, clamp_min=-60.0, implementation=impl, chunk_size=2,
+            precision="default", volume_dtype="bfloat16",
+        )
+        # bf16 has ~8 mantissa bits: 2^-8 relative on the max entries.
+        np.testing.assert_allclose(
+            np.asarray(bf16.clip_sims), np.asarray(f32.clip_sims),
+            rtol=2 ** -7, atol=0.15,
+        )
+        np.testing.assert_allclose(
+            float(bf16.nonneg_sq_sum), float(f32.nonneg_sq_sum),
+            rtol=2 ** -6,
+        )
+
+    def test_vjp_bf16_forward_matches_chunked_bf16(self):
+        from triad_tpu.ops.similarity import aggregate_crossbatch
+
+        q, k, t = self._qkt(seed=3)
+        a = aggregate_crossbatch(
+            q, k, t, clamp_min=-60.0, implementation="chunked",
+            chunk_size=2, precision="default", volume_dtype="bfloat16",
+        )
+        b = aggregate_crossbatch(
+            q, k, t, clamp_min=-60.0, implementation="chunked_vjp",
+            chunk_size=2, precision="default", volume_dtype="bfloat16",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.clip_sims), np.asarray(b.clip_sims)
+        )
+
+    def test_bf16_grads_all_implementations_match_dense(self):
+        """Gradients at volume_dtype=bfloat16: dense autodiff is the
+        oracle; chunked, chunked_unrolled and the hand-written VJP must
+        all match it. Also the regression pin for a real JAX sharp
+        edge this test originally caught: lax.scan's transpose
+        mis-handles a bf16 dot output inside the scanned body (all-zero
+        cotangents under jax.checkpoint, NaN without) — the chunked
+        path force-unrolls at bf16 volume for exactly this reason
+        (similarity.aggregate_crossbatch)."""
+        from triad_tpu.ops.similarity import aggregate_crossbatch
+
+        q, k, t = self._qkt(seed=7)
+
+        def grads(impl):
+            def f(q_, k_, t_):
+                agg = aggregate_crossbatch(
+                    q_, k_, t_, clamp_min=-60.0, implementation=impl,
+                    chunk_size=2, precision="default",
+                    volume_dtype="bfloat16", compute_diag=False,
+                )
+                return (
+                    jnp.sum(agg.clip_sims * jnp.cos(agg.clip_sims))
+                    + agg.nonneg_sq_sum / agg.volume_numel
+                )
+
+            return jax.grad(f, argnums=(0, 1, 2))(q, k, t)
+
+        oracle = grads("dense")
+        assert all(
+            bool(jnp.any(jnp.asarray(x, jnp.float32) != 0.0))
+            for x in oracle
+        ), "degenerate oracle"
+        for impl in ("chunked", "chunked_unrolled", "chunked_vjp"):
+            for x, y in zip(oracle, grads(impl)):
+                # atol covers bf16 cotangent rounding: autodiff rounds
+                # each chunk's dts to bf16 before the transpose matmul,
+                # so near-zero grad elements carry ~2^-5-scale noise.
+                np.testing.assert_allclose(
+                    np.asarray(x, np.float32), np.asarray(y, np.float32),
+                    rtol=2e-2, atol=6e-2,
+                    err_msg=f"impl={impl}",
+                )
+
+
 class TestChunkedCustomVJP:
     """implementation="chunked_vjp": same forward as "chunked", hand-
     written backward (bf16-operand recompute, no autodiff residual

@@ -294,6 +294,14 @@ class LossConfig:
     # "default" lets bf16 features ride the MXU natively (~3.5x faster
     # aggregation, production path).
     matmul_precision: str = "highest"
+    # Storage dtype of the (Bq, chunk, Nq, Nk) token-sim volume between
+    # the matmul and its max/clamp consumers: "float32" (parity
+    # default) or "bfloat16" — the matmul still accumulates in f32 on
+    # the MXU, only the HBM round-trip of the volume is rounded to
+    # bf16, halving the loss path's dominant memory traffic (the same
+    # contract as attention_scores_dtype="bfloat16": bf16-or-better
+    # numerics; the max/mean/clamp^2 reductions stay f32).
+    volume_dtype: str = "float32"
 
 
 # ---------------------------------------------------------------------------

@@ -161,6 +161,7 @@ def av_loss(
         implementation=cfg.implementation,
         chunk_size=cfg.chunk_size,
         precision=cfg.matmul_precision,
+        volume_dtype=cfg.volume_dtype,
     )
     return av_loss_from_aggregate(agg, temperature, cfg)
 
@@ -203,5 +204,6 @@ def tv_loss(
         implementation=cfg.implementation,
         chunk_size=cfg.chunk_size,
         precision=cfg.matmul_precision,
+        volume_dtype=cfg.volume_dtype,
     )
     return tv_loss_from_aggregate(agg, cfg)

@@ -47,6 +47,18 @@ def _prec(precision: str):
     )
 
 
+def _volume_pet(volume_dtype: str):
+    """preferred_element_type of the token-sim einsums: the MXU always
+    accumulates in f32; "bfloat16" only rounds the HBM-resident volume
+    (halving the loss path's dominant memory traffic). Consumers upcast
+    back to f32 in-register, so means/clamp^2 sums stay f32."""
+    if volume_dtype == "bfloat16":
+        return jnp.bfloat16
+    if volume_dtype == "float32":
+        return jnp.float32
+    raise ValueError(f"unknown volume_dtype {volume_dtype!r}")
+
+
 def _volume_operands(query: jax.Array, key: jax.Array, precision: str):
     """Resolve (q, k, einsum precision) for the token-sim matmuls.
 
@@ -150,13 +162,14 @@ def _aggregate_dense(
     query_mask: Optional[jax.Array],
     compute_diag: bool = True,
     precision: str = "highest",
+    volume_dtype: str = "float32",
 ) -> AggregateOut:
     Bq, Nq, _ = query.shape
     Bk, Nk = key.shape[0], key.shape[1]
     q, k, prec = _volume_operands(query, key, precision)
     # token_sims[i,j,q,k] (model.py:384-387 / 502-505)
-    ts = jnp.einsum("iqd,jkd->ijqk", q, k, preferred_element_type=jnp.float32, precision=prec)
-    ts = ts * temperature.astype(jnp.float32)
+    ts = jnp.einsum("iqd,jkd->ijqk", q, k, preferred_element_type=_volume_pet(volume_dtype), precision=prec)
+    ts = ts.astype(jnp.float32) * temperature.astype(jnp.float32)
     max_sims = jnp.max(ts, axis=3)  # over key tokens (model.py:389/507)
     clip_sims = _masked_mean_over_queries(max_sims, query_mask)
     clamped = jnp.clip(ts, clamp_min, 0.0)
@@ -184,11 +197,13 @@ def _aggregate_chunked(
     compute_diag: bool = True,
     precision: str = "highest",
     unroll: bool = False,
+    volume_dtype: str = "float32",
 ) -> AggregateOut:
     Bq, Nq, D = query.shape
     Bk, Nk = key.shape[0], key.shape[1]
     q, k, prec = _volume_operands(query, key, precision)
     temp = temperature.astype(jnp.float32)
+    pet = _volume_pet(volume_dtype)
 
     # largest divisor <= chunk_size so shapes stay static (shared with
     # the custom-VJP path — _chunk_sizes).
@@ -198,8 +213,8 @@ def _aggregate_chunked(
     @jax.checkpoint
     def chunk_fn(k_chunk):
         # (Bq, chunk, Nq, Nk) — the only live slice of the volume.
-        ts = jnp.einsum("iqd,jkd->ijqk", q, k_chunk, preferred_element_type=jnp.float32, precision=prec)
-        ts = ts * temp
+        ts = jnp.einsum("iqd,jkd->ijqk", q, k_chunk, preferred_element_type=pet, precision=prec)
+        ts = ts.astype(jnp.float32) * temp
         max_sims = jnp.max(ts, axis=3)
         clip = _masked_mean_over_queries(max_sims, query_mask)  # (Bq, chunk)
         clamped = jnp.clip(ts, clamp_min, 0.0)
@@ -251,10 +266,10 @@ def _chunk_sizes(bk: int, chunk_size: int) -> Tuple[int, int]:
     return chunk, bk // chunk
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _maxmean_chunked_vjp(
     q, k, temperature, coeff, clamp_min: float, chunk_size: int,
-    prec: jax.lax.Precision,
+    prec: jax.lax.Precision, volume_dtype: str = "float32",
 ):
     """(clip_sims (Bq, Bk) f32, nonneg_sq_sum () f32) with a custom
     backward. q/k are the RESOLVED volume operands and ``prec`` the
@@ -264,23 +279,25 @@ def _maxmean_chunked_vjp(
     weight (1/Nq, or mask/count for the masked TV mean) — linear, so
     clip_sims = sum_a coeff[i,a] * max_v ts[i,j,a,v]."""
     clip, nonneg = _mm_fwd_scan(
-        q, k, temperature, coeff, clamp_min, chunk_size, prec
+        q, k, temperature, coeff, clamp_min, chunk_size, prec, volume_dtype
     )
     return clip, nonneg
 
 
-def _mm_fwd_scan(q, k, temperature, coeff, clamp_min, chunk_size, prec):
+def _mm_fwd_scan(q, k, temperature, coeff, clamp_min, chunk_size, prec,
+                 volume_dtype):
     Bq, Nq, D = q.shape
     Bk, Nk = k.shape[0], k.shape[1]
     temp = temperature.astype(jnp.float32)
+    pet = _volume_pet(volume_dtype)
     chunk, num_chunks = _chunk_sizes(Bk, chunk_size)
     k_chunks = k.reshape(num_chunks, chunk, Nk, D)
 
     def body(carry, k_chunk):
         ts = jnp.einsum(
             "iqd,jkd->ijqk", q, k_chunk,
-            preferred_element_type=jnp.float32, precision=prec,
-        ) * temp
+            preferred_element_type=pet, precision=prec,
+        ).astype(jnp.float32) * temp
         max_sims = jnp.max(ts, axis=3)  # (Bq, chunk, Nq)
         # exact f32 multiply+reduce (an einsum here would go through the
         # MXU at DEFAULT precision on TPU, truncating the f32 inputs to
@@ -294,19 +311,21 @@ def _mm_fwd_scan(q, k, temperature, coeff, clamp_min, chunk_size, prec):
     return clip_sims, jnp.sum(nns)
 
 
-def _mm_vjp_fwd(q, k, temperature, coeff, clamp_min, chunk_size, prec):
+def _mm_vjp_fwd(q, k, temperature, coeff, clamp_min, chunk_size, prec,
+                volume_dtype):
     out = _mm_fwd_scan(
-        q, k, temperature, coeff, clamp_min, chunk_size, prec
+        q, k, temperature, coeff, clamp_min, chunk_size, prec, volume_dtype
     )
     return out, (q, k, temperature, coeff)
 
 
-def _mm_vjp_bwd(clamp_min, chunk_size, prec, res, cts):
+def _mm_vjp_bwd(clamp_min, chunk_size, prec, volume_dtype, res, cts):
     q, k, temperature, coeff = res
     g_clip, g_nn = cts
     Bq, Nq, D = q.shape
     Bk, Nk = k.shape[0], k.shape[1]
     temp = temperature.astype(jnp.float32)
+    pet = _volume_pet(volume_dtype)
     chunk, num_chunks = _chunk_sizes(Bk, chunk_size)
     k_chunks = k.reshape(num_chunks, chunk, Nk, D)
     g_chunks = jnp.transpose(
@@ -318,10 +337,12 @@ def _mm_vjp_bwd(clamp_min, chunk_size, prec, res, cts):
     def body(carry, xs):
         dq_acc, dtemp_acc = carry
         k_chunk, g_c = xs
+        # Recompute at the forward's volume dtype so eq/argmax routing
+        # is bit-identical to the forward's max.
         ts = jnp.einsum(
             "iqd,jkd->ijqk", q, k_chunk,
-            preferred_element_type=jnp.float32, precision=prec,
-        ) * temp  # (Bq, chunk, Nq, Nk)
+            preferred_element_type=pet, precision=prec,
+        ).astype(jnp.float32) * temp  # (Bq, chunk, Nq, Nk)
         max_sims = jnp.max(ts, axis=3, keepdims=True)
         eq = (ts == max_sims).astype(jnp.float32)
         count = jnp.sum(eq, axis=3, keepdims=True)
@@ -376,6 +397,7 @@ def _aggregate_chunked_custom(
     chunk_size: int,
     compute_diag: bool = True,
     precision: str = "highest",
+    volume_dtype: str = "float32",
 ) -> AggregateOut:
     """Chunked aggregation routed through the hand-written VJP
     (implementation="chunked_vjp"). Forward values match "chunked"
@@ -390,7 +412,8 @@ def _aggregate_chunked_custom(
         m = query_mask.astype(jnp.float32)
         coeff = m / jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1e-7)
     clip_sims, nonneg_sq_sum = _maxmean_chunked_vjp(
-        q, k, temperature, coeff, clamp_min, chunk_size, prec_resolved
+        q, k, temperature, coeff, clamp_min, chunk_size, prec_resolved,
+        volume_dtype,
     )
     numel = jnp.asarray(Bq * Bk * Nq * Nk, jnp.float32)
     diag = None
@@ -418,6 +441,7 @@ def aggregate_crossbatch(
     chunk_size: int = 8,
     compute_diag: bool = True,
     precision: str = "highest",
+    volume_dtype: str = "float32",
 ) -> AggregateOut:
     """Cross-batch max-mean aggregation (reference model.py:370-392/490-514).
 
@@ -432,22 +456,37 @@ def aggregate_crossbatch(
     unroll = False
     if implementation == "chunked_unrolled":
         implementation, unroll = "chunked", True
+    if implementation == "chunked" and volume_dtype == "bfloat16":
+        # lax.scan's TRANSPOSE mis-handles a bf16 dot output inside the
+        # body in this JAX version: autodiff through the scanned chunk
+        # loop returns all-ZERO cotangents with jax.checkpoint and NaN
+        # without it, while the Python-unrolled loop (and the dense and
+        # custom-VJP paths) differentiate correctly — measured on CPU,
+        # tests/test_losses.py::TestBf16Volume pins dense == chunked ==
+        # chunked_vjp grads. Force the unrolled form so a future caller
+        # cannot silently train with zero loss gradients.
+        unroll = True
     if implementation == "dense":
         return _aggregate_dense(
             query, key, temperature, clamp_min, query_mask, compute_diag,
-            precision,
+            precision, volume_dtype,
         )
     if implementation == "chunked":
         return _aggregate_chunked(
             query, key, temperature, clamp_min, query_mask, chunk_size,
-            compute_diag, precision, unroll,
+            compute_diag, precision, unroll, volume_dtype,
         )
     if implementation == "chunked_vjp":
         return _aggregate_chunked_custom(
             query, key, temperature, clamp_min, query_mask, chunk_size,
-            compute_diag, precision,
+            compute_diag, precision, volume_dtype,
         )
     if implementation == "pallas":
+        if volume_dtype != "float32":
+            raise ValueError(
+                "volume_dtype is only supported by the XLA "
+                "implementations (the pallas kernel is retired)"
+            )
         from triad_tpu.ops.pallas_maxmean import aggregate_pallas
 
         return aggregate_pallas(

@@ -220,6 +220,7 @@ def _ring_aggregate(
             chunk_size=cfg.chunk_size,
             compute_diag=False,
             precision=cfg.matmul_precision,
+            volume_dtype=cfg.volume_dtype,
         )
         nxt = jax.lax.ppermute(buf, axis, perm)
         return nxt, (agg.clip_sims, agg.nonneg_sq_sum)
@@ -278,6 +279,7 @@ def _av_loss_shard(
             chunk_size=cfg.chunk_size,
             compute_diag=False,
             precision=cfg.matmul_precision,
+            volume_dtype=cfg.volume_dtype,
         )
     contrastive, diag_vals = _distributed_symmetric_infonce(agg.clip_sims, axis)
 
@@ -335,6 +337,7 @@ def _tv_loss_shard(
             chunk_size=cfg.chunk_size,
             compute_diag=False,
             precision=cfg.matmul_precision,
+            volume_dtype=cfg.volume_dtype,
         )
     contrastive, diag_vals = _distributed_symmetric_infonce(agg.clip_sims, axis)
 
