@@ -21,6 +21,17 @@ run() { # name, timeout_s, cmd...
   echo "rc=$? $(tail -1 "$OUT/$name.log")"
 }
 
+# 0) the audio-NaN module probe: perf vs parity kernels on the saved
+#    culprit batch (uniform-noise audio NaNs the audio encoder at
+#    step 0 on-chip; grounded tonal audio and gaussian noise are clean)
+run nan_probe_perf   3000 python scripts/tpu_nan_audio_probe.py perf
+run nan_probe_parity 3000 python scripts/tpu_nan_audio_probe.py -
+run nan_probe_eval   3000 python scripts/tpu_nan_audio_probe.py perf /tmp/nan_culprit.npz eval
+
+# 0b) bf16 token-sim volume A/B (volume_dtype knob, commit r4)
+run bench_vdt        3000 env TRIAD_BENCH_VOLUME_DTYPE=bfloat16 python bench.py
+run dp512_vdt        3000 env TRIAD_BENCH_VOLUME_DTYPE=bfloat16 python bench.py --dp512
+
 for c in 24 40 48 64; do
   run "dp512_c$c" 3000 env TRIAD_BENCH_LOSS_CHUNK=$c python bench.py --dp512
 done
