@@ -68,8 +68,11 @@ def main() -> None:
 
     from triad_tpu.train.step import _encode_av
 
+    # params must be jit ARGUMENTS, not closure constants — closed-over
+    # arrays serialize into the HLO and the tunnel's remote_compile
+    # rejects the ~400 MB request (HTTP 413).
     @jax.jit
-    def row_report(audio):
+    def row_report(params, audio):
         out = model.apply(
             {"params": params},
             jnp.zeros((audio.shape[0], 224, 224, 3), jnp.float32),
@@ -83,7 +86,7 @@ def main() -> None:
                     axis=(1, 2)),
         )
 
-    fin, mx = row_report(audio)
+    fin, mx = row_report(params, audio)
     fin = np.asarray(fin)
     bad = np.flatnonzero(~fin)
     print(json.dumps({
@@ -99,7 +102,7 @@ def main() -> None:
     rows = audio[bad[:4]]
 
     @jax.jit
-    def probe(rows):
+    def probe(params, rows):
         _out, mods = model.apply(
             {"params": params},
             jnp.zeros((rows.shape[0], 224, 224, 3), jnp.float32),
@@ -122,7 +125,7 @@ def main() -> None:
             )
         return rep
 
-    rep = probe(rows)
+    rep = probe(params, rows)
     items = [
         (nm, bool(f), float(m)) for nm, (f, m) in sorted(rep.items())
     ]
