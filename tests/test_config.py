@@ -43,6 +43,9 @@ def test_perf_eval_config_carries_round3_winners():
     from triad_tpu.core.config import perf_eval_loss_config
 
     assert perf_eval_loss_config().implementation == "chunked_unrolled"
+    assert perf_eval_loss_config().chunk_size == 32
+    # r4: bf16 token-sim volume (653.2 vs 646.1 same-day, r4c bench_vdt)
+    assert perf_eval_loss_config().volume_dtype == "bfloat16"
 
 
 def test_perf_presets_keep_parity_defaults_elsewhere():

@@ -668,10 +668,19 @@ def perf_eval_loss_config() -> LossConfig:
     chunk_size 32: neutral at the single-chip B=64 shape (652.1 vs
     650.2-651.8 for 16) and the measured winner at the DP-512 key set
     (102.69 ms composed vs 104.94 for 16, 104.18 for 8, 103.62 for 64
-    — r3h sweep)."""
+    — r3h sweep).
+
+    Round 4: volume_dtype "bfloat16" — the token-sim volume rides HBM
+    as bf16 between the f32-accumulated matmul and its max/clamp
+    consumers (same contract as attention_scores_dtype). Measured
+    +7.1 clips/s at the judged B=64 shape (653.2 vs 646.1 same-day
+    baseline, r4c bench_vdt) and neutral at the DP-512 composed shape
+    (647.3 vs 648.3 — there the loss already hides behind the
+    encoders). Gradient equivalence pinned by
+    tests/test_losses.py::TestBf16Volume."""
     return LossConfig(
         implementation="chunked_unrolled", chunk_size=32,
-        matmul_precision="default",
+        matmul_precision="default", volume_dtype="bfloat16",
     )
 
 
