@@ -66,7 +66,14 @@ def main() -> None:
 
     audio = jnp.asarray(audio_np)
 
-    from triad_tpu.train.step import _encode_av
+    # Audio path only: the full _encode_av runs the ViT whose
+    # map_variables LoRA wrapper rejects capture_intermediates'
+    # mutable-collection apply (flax ScopeCollectionNotFound). The NaN
+    # is in the audio encoder (stage-2 bisect), so probe just it —
+    # same normalize -> HuBERT -> projection path the step uses, and
+    # the SAME rng stream the step hands the AV encode (rng_av).
+    def _audio_only(model, audio, train):
+        return model.encode_audio(audio, train=train)
 
     # params must be jit ARGUMENTS, not closure constants — closed-over
     # arrays serialize into the HLO and the tunnel's remote_compile
@@ -74,12 +81,10 @@ def main() -> None:
     @jax.jit
     def row_report(params, audio):
         out = model.apply(
-            {"params": params},
-            jnp.zeros((audio.shape[0], 224, 224, 3), jnp.float32),
-            audio, train=train, rngs={"dropout": rng_av},
-            method=_encode_av,
+            {"params": params}, audio, train,
+            rngs={"dropout": rng_av}, method=_audio_only,
         )
-        a = out["audio"].astype(jnp.float32)
+        a = out.astype(jnp.float32)
         return (
             jnp.all(jnp.isfinite(a), axis=(1, 2)),
             jnp.max(jnp.abs(jnp.where(jnp.isfinite(a), a, 0.0)),
@@ -104,10 +109,8 @@ def main() -> None:
     @jax.jit
     def probe(params, rows):
         _out, mods = model.apply(
-            {"params": params},
-            jnp.zeros((rows.shape[0], 224, 224, 3), jnp.float32),
-            rows, train=train, rngs={"dropout": rng_av},
-            method=_encode_av,
+            {"params": params}, rows, train,
+            rngs={"dropout": rng_av}, method=_audio_only,
             capture_intermediates=lambda mdl, name: name == "__call__",
             mutable=["intermediates"],
         )
