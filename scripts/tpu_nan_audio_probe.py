@@ -38,6 +38,10 @@ def main() -> None:
         knobs = ""
     npz = sys.argv[2] if len(sys.argv) > 2 else "/tmp/nan_culprit.npz"
     mode = sys.argv[3] if len(sys.argv) > 3 else "train"
+    # 5th arg "skip": stage 1 only (kernel-discrimination sweeps don't
+    # need the module capture, and the B=2 re-run doesn't reproduce the
+    # batch-layout-dependent NaN anyway).
+    stage2 = sys.argv[4] if len(sys.argv) > 4 else "auto"
 
     from triad_tpu.core.config import ModelConfig, apply_train_knobs
     from triad_tpu.models import TriadModel, init_triad_model
@@ -100,7 +104,7 @@ def main() -> None:
         "first_bad": bad[:8].tolist(),
         "max_abs_finite": round(float(np.max(np.asarray(mx))), 3),
     }), flush=True)
-    if bad.size == 0:
+    if bad.size == 0 or stage2 == "skip":
         return
 
     # ---- stage 2: capture_intermediates on the worst rows ------------
