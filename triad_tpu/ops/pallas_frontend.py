@@ -376,12 +376,26 @@ def conv0_stats(
         )(x10, jnp.zeros((1, 1), jnp.int32))
         w_e = wg[:, :C]  # (32, C) f32
         w_o = wg[:, C:]
-        sum_c = sv[:, 0, :] @ w_e + sv[:, 1, :] @ w_o  # (B, C)
-        sq_c = jnp.einsum("bij,jc,ic->bc", ge, w_e, w_e) + jnp.einsum(
-            "bij,jc,ic->bc", go, w_o, w_o
-        )
+        # HIGHEST precision is load-bearing, not hygiene: these host
+        # contractions run at the platform DEFAULT matmul precision
+        # otherwise, which TPU downcasts to bf16 — and the quadratic
+        # form's ~0.4% relative error is enough to drive a genuinely
+        # small channel variance (measured true var ~1.3e-3 on
+        # uniform-noise audio) NEGATIVE (measured -1.17e-3), making
+        # rsqrt(var + 1e-5) NaN for the whole row. The r4/r5 perf-kernel
+        # forward NaN (2/64 culprit-batch rows) was exactly this;
+        # scripts/tpu_nan_fe_xt_probe.py is the on-chip regression. The
+        # contraction is (B,32,32)x(32,C)^2 — microseconds either way.
+        hi = jax.lax.Precision.HIGHEST
+        sum_c = jnp.einsum("bi,ic->bc", sv[:, 0, :], w_e, precision=hi)
+        sum_c += jnp.einsum("bi,ic->bc", sv[:, 1, :], w_o, precision=hi)
+        sq_c = jnp.einsum(
+            "bij,jc,ic->bc", ge, w_e, w_e, precision=hi
+        ) + jnp.einsum("bij,jc,ic->bc", go, w_o, w_o, precision=hi)
         mean = sum_c / m0_total
-        var = sq_c / m0_total - mean * mean
+        # Clamp: E[x^2] - E[x]^2 can still round epsilon-negative at
+        # f32 for near-zero true variance; rsqrt must never see < -eps.
+        var = jnp.maximum(sq_c / m0_total - mean * mean, 0.0)
         return mean, var
     s, sq = pl.pallas_call(
         functools.partial(
@@ -413,7 +427,8 @@ def conv0_stats(
     s = s[:, 0, :]
     sq = sq[:, 0, :]
     mean = s / m0_total
-    var = sq / m0_total - mean * mean
+    # Same epsilon-negative clamp as the xt branch above.
+    var = jnp.maximum(sq / m0_total - mean * mean, 0.0)
     return mean, var
 
 
