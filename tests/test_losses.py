@@ -331,8 +331,13 @@ class TestBf16Volume:
             q, k, t, clamp_min=-60.0, implementation="chunked_vjp",
             chunk_size=2, precision="default", volume_dtype="bfloat16",
         )
-        np.testing.assert_array_equal(
-            np.asarray(a.clip_sims), np.asarray(b.clip_sims)
+        # Not bit-exact by contract: the chunked forward reduces as
+        # mean(max_sims) while the VJP forward computes sum(max_sims *
+        # (1/Nq)) — algebraically equal, last-bit different in general
+        # (ADVICE r4). Tight allclose pins the equivalence.
+        np.testing.assert_allclose(
+            np.asarray(a.clip_sims), np.asarray(b.clip_sims),
+            rtol=1e-6, atol=1e-7,
         )
 
     def test_bf16_grads_all_implementations_match_dense(self):

@@ -385,6 +385,51 @@ class TestRingNegatives:
                 np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-7
             )
 
+    @pytest.mark.parametrize("negatives", ["all_gather", "ring"])
+    def test_av_bf16_volume_grads_match_dense_bf16(
+        self, mesh, feats, negatives
+    ):
+        """volume_dtype=bfloat16 through the DISTRIBUTED losses — the
+        combination the codified perf config ships (ADVICE r4: nothing
+        pinned it; notably the ring path nests the bf16-volume einsum
+        inside the ring lax.scan body, the construct the chunked path's
+        unroll guard exists for). Values and gradients must match the
+        single-device dense bf16-volume oracle."""
+        cfg = LossConfig(
+            implementation="chunked", chunk_size=4, negatives=negatives,
+            volume_dtype="bfloat16",
+        )
+        ref_cfg = LossConfig(
+            implementation="dense", volume_dtype="bfloat16"
+        )
+
+        def dist_loss(a, v, t):
+            return distributed_av_loss(a, v, t, cfg, mesh).total
+
+        def ref_loss(a, v, t):
+            return av_loss(a, v, t, ref_cfg).total
+
+        args = (feats["audio"], feats["visual"], jnp.float32(TEMP))
+        ref_args = (
+            jnp.asarray(feats["audio_np"]), jnp.asarray(feats["visual_np"]),
+            jnp.float32(TEMP),
+        )
+        np.testing.assert_allclose(
+            float(jax.jit(dist_loss)(*args)), float(ref_loss(*ref_args)),
+            rtol=1e-5,
+        )
+        gd = jax.jit(jax.grad(dist_loss, argnums=(0, 1, 2)))(*args)
+        gr = jax.grad(ref_loss, argnums=(0, 1, 2))(*ref_args)
+        # atol floor 1e-4: rounding the volume to bf16 creates EXACT
+        # ties in the per-query max, and dense vs shard-chunked route
+        # tied subgradients differently (measured max |Δ| ≈ 3e-5; a
+        # real backward bug — e.g. the scan-transpose zero-cotangent
+        # sharp edge — is 1e-3-scale and still trips this).
+        for x, y in zip(gd, gr):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-4
+            )
+
     def test_ring_rejects_tuple_axis(self, feats):
         from triad_tpu.parallel.dp import make_multislice_mesh
 
