@@ -456,16 +456,17 @@ def aggregate_crossbatch(
     unroll = False
     if implementation == "chunked_unrolled":
         implementation, unroll = "chunked", True
-    if implementation == "chunked" and volume_dtype == "bfloat16":
-        # lax.scan's TRANSPOSE mis-handles a bf16 dot output inside the
-        # body in this JAX version: autodiff through the scanned chunk
-        # loop returns all-ZERO cotangents with jax.checkpoint and NaN
-        # without it, while the Python-unrolled loop (and the dense and
-        # custom-VJP paths) differentiate correctly — measured on CPU,
-        # tests/test_losses.py::TestBf16Volume pins dense == chunked ==
-        # chunked_vjp grads. Force the unrolled form so a future caller
-        # cannot silently train with zero loss gradients.
-        unroll = True
+    # HISTORY (ADVICE r4): this branch used to force-unroll the scan at
+    # volume_dtype=bfloat16, citing scan-transpose zero/NaN cotangents
+    # for a bf16 dot in the body. Re-verified on JAX 0.9.0 (round 5,
+    # scripts/tpu_scan_bf16_check.py): scanned gradients are finite,
+    # non-zero, and equal to the unrolled form on CPU in every
+    # {checkpoint, jit} combination; on TPU they differ from unrolled
+    # only by bf16 max-tie subgradient routing. The forced unroll (whose
+    # HLO size scaled with num_chunks) is therefore dropped;
+    # tests/test_losses.py::TestBf16Volume pins dense == chunked ==
+    # chunked_vjp gradients at bf16 volume and would catch a
+    # reintroduction of the sharp edge.
     if implementation == "dense":
         return _aggregate_dense(
             query, key, temperature, clamp_min, query_mask, compute_diag,
