@@ -211,9 +211,15 @@ def main() -> None:
         # step — diagnostic mode, throughput number invalid) so the
         # EXACT culprit batch of a NaN is still in hand for forensics.
         probe_every = 1 if os.environ.get("TRIAD_INGEST_PROBE") else 5
+        wait_s = 0.0  # time blocked on the prefetchers = host starvation
+        disp_s = 0.0  # step dispatch (async submit, not completion)
         for i in range(steps):
+            tw = time.perf_counter()
             av_b, tv_b = next(av_it), next(tv_it)
+            td = time.perf_counter()
+            wait_s += td - tw
             state, metrics = step(state, av_b, tv_b, one, one)
+            disp_s += time.perf_counter() - td
             if (i + 1) % probe_every == 0 and i + 1 < steps:
                 # Cheap progress probes (one ~30 ms readback each):
                 # pins WHERE a divergence/NaN enters a long run.
@@ -261,6 +267,11 @@ def main() -> None:
             "value": round(B / dt, 1),
             "unit": "clips/s/chip",
             "step_ms": round(dt * 1e3, 1),
+            # where the wall lives: blocked-on-prefetcher time is host
+            # ingest starvation; the remainder of step_ms is device
+            # compute + the (tunnel-serialized) h2d transfers.
+            "host_wait_ms": round(wait_s / steps * 1e3, 1),
+            "dispatch_ms": round(disp_s / steps * 1e3, 1),
             "steps": steps,
             "final_loss": round(loss, 4),
         }))
