@@ -128,22 +128,11 @@ def main() -> None:
     # cached reruns start instantly.
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    import jax.numpy as jnp
 
     from triad_tpu.core.config import (
         perf_eval_loss_config,
         perf_eval_model_config,
     )
-    from triad_tpu.models import TriadModel, init_triad_model
-    from triad_tpu.ops import av_loss, tv_loss
-
-    B = 64  # per-chip share of the global-512 target config
-    # 10 s @ 16 kHz. (Zero-padding to 163,920 samples for Na=512
-    # tile alignment measured 430 vs 448 clips/s — the 2.6% extra
-    # FLOPs cost more than the aligned tiles save; XLA handles the
-    # ragged 499 fine.)
-    AUDIO_SAMPLES = 160_000
-    TEXT_LEN = 32
 
     # Production eval knobs — shared with scripts/tpu_profile_trace.py
     # so the profiled program IS the judged program. Everything computes
@@ -159,6 +148,16 @@ def main() -> None:
     # run conditions (tunnel/thermal drift is ~1-2%).
     import dataclasses as _dc
     import os as _os
+
+    # Same-day drift discipline (VERDICT r4 item 8): the record holds
+    # 651.8 / 646.1 / 653.4 for one config across days (~1% drift), so
+    # a knob result is only interpretable next to a SAME-RUN baseline.
+    # When any TRIAD_BENCH_* knob is set, this invocation also measures
+    # the codified config and the one JSON line carries the pair.
+    _knob_envs = sorted(
+        k for k in _os.environ if k.startswith("TRIAD_BENCH_")
+        and k not in ("TRIAD_BENCH_RETRY_S", "TRIAD_BENCH_PROBE_S")
+    )
 
     _loss_ov = _os.environ.get("TRIAD_BENCH_LOSS")
     if _loss_ov:
@@ -259,10 +258,48 @@ def main() -> None:
         from triad_tpu.core.config import ModelConfig
 
         cfg = ModelConfig()  # default xla impls, full size
+
+    dp512 = "--dp512" in _sys_pre.argv
+    clips_per_sec = _measure(cfg, loss_cfg, _quant, dp512)
+
+    target_per_chip = 5000.0 / 8.0
+    metric = (
+        "tri-modal clips/sec/chip (fwd+loss, bf16, DP-512 composed: "
+        "B=64 vs 512 global keys)"
+        if dp512
+        else "tri-modal clips/sec/chip (fwd+loss, bf16, B=64, 10s audio)"
+    )
+    out = {
+        "metric": metric,
+        "value": round(clips_per_sec, 1),
+        "unit": "clips/s/chip",
+        "vs_baseline": round(clips_per_sec / target_per_chip, 3),
+    }
+    if _knob_envs:
+        base = _measure(
+            perf_eval_model_config(), perf_eval_loss_config(), None, dp512
+        )
+        out["knobs"] = _knob_envs
+        out["same_day_codified_baseline"] = round(base, 1)
+    print(json.dumps(out))
+
+
+def _measure(cfg, loss_cfg, _quant, dp512: bool) -> float:
+    """Compile + time one configuration; returns clips/s/chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from triad_tpu.models import TriadModel, init_triad_model
+    from triad_tpu.ops import av_loss, tv_loss
+
+    B = 64  # per-chip share of the global-512 target config
+    # 10 s @ 16 kHz. (Zero-padding to 163,920 samples for Na=512 tile
+    # alignment measured 430 vs 448 clips/s — ragged 499 is fine.)
+    AUDIO_SAMPLES = 160_000
+    TEXT_LEN = 32
     model = TriadModel(cfg)
     params = init_triad_model(cfg, jax.random.key(0))
 
-    dp512 = "--dp512" in _sys_pre.argv
     if dp512:
         # The composed DP-512 design point: this chip's 64 clips scored
         # against the 512-clip all-gathered global key set, row-block
@@ -364,24 +401,7 @@ def main() -> None:
     float(run(params, images, audio, token_ids, text_mask, iters=iters))
     dt = (time.perf_counter() - t0) / iters
 
-    clips_per_sec = B / dt
-    target_per_chip = 5000.0 / 8.0
-    metric = (
-        "tri-modal clips/sec/chip (fwd+loss, bf16, DP-512 composed: "
-        "B=64 vs 512 global keys)"
-        if dp512
-        else "tri-modal clips/sec/chip (fwd+loss, bf16, B=64, 10s audio)"
-    )
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(clips_per_sec, 1),
-                "unit": "clips/s/chip",
-                "vs_baseline": round(clips_per_sec / target_per_chip, 3),
-            }
-        )
-    )
+    return B / dt
 
 
 if __name__ == "__main__":

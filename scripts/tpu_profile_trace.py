@@ -115,6 +115,11 @@ def build_train_fn():
     loss_cfg = LossConfig(
         implementation=os.environ.get("TRIAD_TRAIN_LOSS", "chunked"),
         chunk_size=int(os.environ.get("TRIAD_TRAIN_CHUNK", "32")),
+        # Production train loss runs bf16-operand/f32-accum matmuls
+        # (configs/v5e8_scale.yaml matmul_precision: default); the
+        # LossConfig default is "highest" (parity), which would trace a
+        # 4x-slower aggregation than the step being accounted for.
+        matmul_precision=os.environ.get("TRIAD_TRAIN_PRECISION", "default"),
     )
     optim_cfg = OptimConfig(gradient_accumulation_steps=1)
     params = init_triad_model(model_cfg, jax.random.key(0))
