@@ -78,6 +78,11 @@ def test_v5e8_yaml_resolves_to_tuned_train_kernels():
     assert cfg.model.vit.mlp_gelu == tuned.vit.mlp_gelu
     assert cfg.mesh.num_devices == 8
     assert cfg.data.batch_size_av == 512
+    # r5 codification: bf16 chunk volumes in the train loss VJP
+    # (447.2 -> 441.1 ms same-session A/B at B=64).
+    assert cfg.loss.implementation == "chunked_vjp"
+    assert cfg.loss.chunk_size == 32
+    assert cfg.loss.volume_dtype == "bfloat16"
 
 
 def test_apply_train_knobs_shared_parser():
