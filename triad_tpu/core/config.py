@@ -45,6 +45,13 @@ class ViTConfig:
     # r=8, alpha=16, targets ["attn.qkv", "attn.proj"], dropout 0.0).
     lora_rank: int = 8
     lora_alpha: float = 16.0
+    # "folded": y = x @ (W + s·A@B) — one MXU pass over the activation,
+    # but re-materializes the merged (768, 2304) qkv weight every apply
+    # (fwd AND remat recompute; the r5 train trace prices those
+    # bf16[768,2304] assembly fusions at 9.75 ms/step across 24 calls).
+    # "separate": peft-shaped x@W + s·(x@A)@B — no weight assembly,
+    # two extra skinny matmuls on the activation.
+    lora_compute: str = "folded"
     # "float32" = torch-parity softmax; "bfloat16" = fast TPU softmax.
     attention_scores_dtype: str = "float32"
     # "xla" = materialized softmax attention; "flash" = fused pallas
@@ -700,7 +707,7 @@ def apply_train_knobs(model_cfg: ModelConfig, knobs) -> ModelConfig:
     known = {
         "perf", "tanh", "pkattn", "mqkv", "vitpk", "vitmq", "monofe",
         "posconv", "wave640", "wavext", "rematconv", "noremat",
-        "mlprows2", "mlprows4", "attnpad", "pad128",
+        "mlprows2", "mlprows4", "attnpad", "pad128", "lorasep",
     }
     unknown = knobs - known
     if unknown:
@@ -814,6 +821,13 @@ def apply_train_knobs(model_cfg: ModelConfig, knobs) -> ModelConfig:
                 model_cfg.hubert, attention_pad="hbm"
             ),
             vit=dataclasses.replace(model_cfg.vit, attention_pad="hbm"),
+        )
+    # "lorasep": peft-shaped separate LoRA compute in the ViT (no
+    # per-apply merged-weight assembly; see ViTConfig.lora_compute).
+    if "lorasep" in knobs:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            vit=dataclasses.replace(model_cfg.vit, lora_compute="separate"),
         )
     # Fused-MLP batch-row merging (must divide B=64; numerics identical;
     # rb=4 is eval-only — the backward's VMEM caps at rb=2).

@@ -72,7 +72,7 @@ class ViTAttention(nn.Module):
         qkv = LoRADense(
             3 * c.hidden_size, rank=rank, alpha=c.lora_alpha,
             use_bias=c.qkv_bias, dtype=self.dtype, param_dtype=self.param_dtype,
-            name="qkv",
+            lora_compute=c.lora_compute, name="qkv",
         )(x)
         if c.attention_impl in (
             "packed_merged", "fused_packed_merged", "packed_merged_pair"
@@ -98,7 +98,8 @@ class ViTAttention(nn.Module):
             )
             return LoRADense(
                 c.hidden_size, rank=rank, alpha=c.lora_alpha,
-                dtype=self.dtype, param_dtype=self.param_dtype, name="proj",
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                lora_compute=c.lora_compute, name="proj",
             )(out)
         # Split along the LAST dim (768-element, lane-aligned slices):
         # reshaping to (B, N, 3, H, Dh) and slicing axis 2 makes XLA
@@ -128,7 +129,8 @@ class ViTAttention(nn.Module):
         out = out.reshape(B, N, D)
         return LoRADense(
             c.hidden_size, rank=rank, alpha=c.lora_alpha,
-            dtype=self.dtype, param_dtype=self.param_dtype, name="proj",
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            lora_compute=c.lora_compute, name="proj",
         )(out)
 
 
