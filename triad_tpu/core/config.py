@@ -708,6 +708,7 @@ def apply_train_knobs(model_cfg: ModelConfig, knobs) -> ModelConfig:
         "perf", "tanh", "pkattn", "mqkv", "vitpk", "vitmq", "monofe",
         "posconv", "wave640", "wavext", "rematconv", "noremat",
         "mlprows2", "mlprows4", "attnpad", "pad128", "lorasep",
+        "vitrows2",
     }
     unknown = knobs - known
     if unknown:
@@ -840,4 +841,14 @@ def apply_train_knobs(model_cfg: ModelConfig, knobs) -> ModelConfig:
                 ),
                 vit=dataclasses.replace(model_cfg.vit, mlp_block_rows=rb),
             )
+    # ViT-ONLY row merging: at s=261 each one-batch-row grid step
+    # underfills the pipeline far more than at HuBERT's s=499 (the r5
+    # train trace prices ViT MLP kernels at ~63% of floor vs ~96% for
+    # HuBERT's); the earlier both-encoder rows A/Bs may have hidden a
+    # ViT win behind a HuBERT loss.
+    if "vitrows2" in knobs:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            vit=dataclasses.replace(model_cfg.vit, mlp_block_rows=2),
+        )
     return model_cfg
