@@ -459,8 +459,10 @@ class MeshConfig:
     # Requires the XLA impl knobs (pallas kernels are opaque to the
     # GSPMD partitioner) — "auto" knobs are resolved to "xla", explicit
     # pallas knobs are rejected. Composes with zero1 (moments shard
-    # over 'data' on top of their param's TP spec) but not with
-    # num_slices > 1 yet.
+    # over 'data' on top of their param's TP spec) AND with
+    # num_slices > 1 (3-D (replica, data, model) mesh — each TP group
+    # stays inside one slice so no Megatron psum crosses DCN;
+    # parallel/tp.py make_multislice_tp_mesh).
     tp: int = 1
     model_axis: str = "model"
     # FSDP / ZeRO-3: store every large parameter sharded over the data

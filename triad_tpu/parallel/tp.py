@@ -85,6 +85,35 @@ def make_dp_tp_mesh(
     return Mesh(grid, (data_axis, model_axis))
 
 
+def make_multislice_tp_mesh(
+    num_slices: int,
+    data_per_slice: int,
+    tp: int,
+    replica_axis: str = "replica",
+    data_axis: str = "data",
+    model_axis: str = "model",
+) -> Mesh:
+    """3-D (num_slices, data_per_slice, tp) mesh — TP composed with the
+    multi-slice layout: ``replica_axis`` spans pod slices (DCN),
+    ``data_axis`` the data-parallel groups within a slice, and
+    ``model_axis`` (minor, adjacent chips — shortest ICI hops for the
+    per-layer Megatron psums) the tensor-parallel group. The batch and
+    the loss collectives ride the (replica, data) axis tuple exactly as
+    in the 2-D multi-slice mesh (parallel/dp.py); every model-parallel
+    group stays INSIDE one slice, so no Megatron psum ever crosses DCN.
+    jax.devices() orders devices slice-major on real multi-slice TPU,
+    so the reshape maps replica_axis onto DCN."""
+    devices = jax.devices()
+    n = num_slices * data_per_slice * tp
+    if len(devices) < n:
+        raise ValueError(
+            f"need {n} devices for {num_slices}x{data_per_slice}x{tp}, "
+            f"have {len(devices)}"
+        )
+    grid = np.array(devices[:n]).reshape(num_slices, data_per_slice, tp)
+    return Mesh(grid, (replica_axis, data_axis, model_axis))
+
+
 def resolve_xla_impls(model_cfg):
     """ModelConfig with every impl knob on the GSPMD-partitionable XLA
     path: "auto" knobs resolve to the XLA impl; explicit pallas knobs

@@ -209,8 +209,8 @@ class Trainer:
             from triad_tpu.parallel import make_mesh
             from triad_tpu.parallel.dp import make_multislice_mesh
 
-            if (tp > 1 or fsdp) and config.mesh.num_slices > 1:
-                raise ValueError("mesh.tp/mesh.fsdp do not compose with "
+            if fsdp and config.mesh.num_slices > 1:
+                raise ValueError("mesh.fsdp does not compose with "
                                  "mesh.num_slices yet")
             if tp > 1 or fsdp:
                 # pallas kernels are opaque to the GSPMD partitioner —
@@ -221,7 +221,24 @@ class Trainer:
                     config, model=resolve_xla_impls(config.model)
                 )
                 self.config = config
-            if tp > 1:
+            if tp > 1 and config.mesh.num_slices > 1:
+                # TP x multi-slice: 3-D (replica, data, model) mesh —
+                # batch + loss collectives over the (replica, data)
+                # tuple, Megatron params over 'model' (each TP group
+                # inside one slice; no per-layer psum crosses DCN).
+                from triad_tpu.parallel.tp import make_multislice_tp_mesh
+
+                ns = config.mesh.num_slices
+                self.mesh = make_multislice_tp_mesh(
+                    ns, n_dev // ns // tp, tp,
+                    replica_axis=config.mesh.replica_axis,
+                    data_axis=config.mesh.data_axis,
+                    model_axis=config.mesh.model_axis,
+                )
+                self.mesh_axis = (
+                    config.mesh.replica_axis, config.mesh.data_axis
+                )
+            elif tp > 1:
                 from triad_tpu.parallel.tp import make_dp_tp_mesh
 
                 self.mesh = make_dp_tp_mesh(
