@@ -240,3 +240,81 @@ def test_fsdp_accumulation_step_matches_single_device(params):
             np.asarray(leaf), np.asarray(ref[path]),
             rtol=5e-5, atol=1e-5, err_msg=jax.tree_util.keystr(path),
         )
+
+
+class TestMultisliceFSDP:
+    """FSDP composed with the multi-slice layout: FSDP shards live over
+    'data' ONLY (intra-slice gathers), params replicate across
+    'replica', batch + loss ride the (replica, data) tuple. 2x4 on the
+    8-device CPU mesh must reproduce the single-device step."""
+
+    def test_step_matches_single_device(self, params):
+        from triad_tpu.parallel.dp import make_multislice_mesh
+        from triad_tpu.parallel.fsdp import fsdp_param_specs
+        from triad_tpu.parallel.zero import apply_zero1
+        from triad_tpu.train import StepFactory, init_train_state
+
+        helper = TestStepEquivalence()
+        av = helper._batch()
+        (ns0, m0), (model_cfg, loss_cfg, optim_cfg, partition, bank) = (
+            helper._single_device(params, av)
+        )
+
+        mesh = make_multislice_mesh(2, 4)
+        axis = ("replica", "data")
+        specs = fsdp_param_specs(params, mesh, data_axis="data")
+        f1 = StepFactory(
+            model_cfg, loss_cfg, optim_cfg, bank, mesh=mesh, mesh_axis=axis
+        )
+        s1 = init_train_state(params, bank, jax.random.key(1))
+        s1 = apply_zero1(
+            s1, mesh, axis, param_specs=specs, partition=partition
+        )
+        sh = NamedSharding(mesh, P(axis))
+        one = jnp.float32(1.0)
+        ns1, m1 = jax.jit(f1.make_step("av"))(
+            s1,
+            {k: jax.device_put(jnp.asarray(v), sh) for k, v in av.items()},
+            None, one, one,
+        )
+        np.testing.assert_allclose(
+            float(m0["train_loss"]), float(m1["train_loss"]), rtol=2e-5
+        )
+        ref = dict(jax.tree_util.tree_leaves_with_path(ns0.params))
+        for path, leaf in jax.tree_util.tree_leaves_with_path(ns1.params):
+            np.testing.assert_allclose(
+                np.asarray(leaf), np.asarray(ref[path]),
+                rtol=5e-5, atol=1e-5, err_msg=jax.tree_util.keystr(path),
+            )
+        # sharded over 'data' (intra-slice), replicated over 'replica'
+        k = ns1.params["audio_backbone"]["layer_0"]["intermediate_dense"][
+            "kernel"]
+        leaves = jax.tree.leaves(tuple(k.sharding.spec))
+        assert "data" in leaves and "replica" not in leaves, k.sharding
+
+    def test_trainer_level(self, tmp_path):
+        """Production Trainer at mesh(fsdp=True, num_slices=2)."""
+        import dataclasses as dc
+        import math
+
+        from tests.test_trainer import tiny_config
+        from triad_tpu.core.config import MeshConfig
+        from triad_tpu.parallel.distributed import fetch
+        from triad_tpu.train.trainer import Trainer
+
+        cfg = tiny_config(tmp_path)
+        cfg = dc.replace(
+            cfg,
+            mesh=MeshConfig(num_devices=8, fsdp=True, num_slices=2),
+            data=dc.replace(
+                cfg.data, batch_size_av=8, batch_size_tv=8,
+                synthetic_av_size=16, synthetic_tv_size=16,
+            ),
+        )
+        tr = Trainer(cfg, force_new_training=True)
+        assert tr.mesh.shape == {"replica": 2, "data": 4}
+        assert tr.mesh_axis == ("replica", "data")
+        t0 = float(fetch(tr.state.params["temperature"]))
+        tr.train()
+        t1 = float(fetch(tr.state.params["temperature"]))
+        assert t0 != t1 and math.isfinite(t1)

@@ -469,7 +469,9 @@ class MeshConfig:
     # axis; GSPMD all-gathers each layer's weights at use and
     # reduce-scatters their grads (parallel/fsdp.py). Same per-step
     # wire bytes as DP's grad all-reduce. Composes with tp (extends the
-    # Megatron specs) and zero1 (moments inherit the sharded specs).
+    # Megatron specs), zero1 (moments inherit the sharded specs), and
+    # num_slices > 1 (shards stay over the intra-slice 'data' axis —
+    # per-use gathers ride ICI, params replicate across 'replica').
     # Like tp, forces the XLA impl knobs.
     fsdp: bool = False
     # ZeRO-1: shard Adam moments (+ grad accumulator) over the data axis

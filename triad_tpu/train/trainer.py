@@ -209,9 +209,10 @@ class Trainer:
             from triad_tpu.parallel import make_mesh
             from triad_tpu.parallel.dp import make_multislice_mesh
 
-            if fsdp and config.mesh.num_slices > 1:
-                raise ValueError("mesh.fsdp does not compose with "
-                                 "mesh.num_slices yet")
+            # fsdp x num_slices composes: the FSDP shards live over
+            # 'data' ONLY (intra-slice — per-use gathers ride ICI);
+            # params replicate across 'replica', so only the loss-path
+            # gathers and the grad reduction cross DCN.
             if tp > 1 or fsdp:
                 # pallas kernels are opaque to the GSPMD partitioner —
                 # sharded params need the XLA impls (parallel/tp.py)
