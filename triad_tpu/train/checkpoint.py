@@ -131,6 +131,12 @@ class CheckpointManager:
                 json.dumps(meta, indent=2)
             )
 
+    def wait_until_finished(self) -> None:
+        """Block until any in-flight async save has committed — call
+        before process exit so the writer's thread pool never races
+        interpreter shutdown."""
+        self._mgr.wait_until_finished()
+
     # -- restore --------------------------------------------------------
 
     def latest_step(self) -> Optional[int]:

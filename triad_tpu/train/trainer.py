@@ -635,6 +635,11 @@ class Trainer:
             self.progress.epoch = epoch + 1
             self.progress.current_batch_idx = 0
             self.save_checkpoint(is_best=is_best)
+        # Drain the async checkpoint writer before returning: letting
+        # its thread pool race interpreter shutdown raises a cosmetic
+        # "cannot schedule new futures after interpreter shutdown" from
+        # the final save's commit callbacks (observed in the r5 soak).
+        self.ckpt.wait_until_finished()
         self.metrics.info("Training complete!")
 
     @staticmethod
