@@ -222,6 +222,13 @@ class Trainer:
                     config, model=resolve_xla_impls(config.model)
                 )
                 self.config = config
+            if config.mesh.num_slices > 1 and n_dev % (
+                config.mesh.num_slices * tp
+            ):
+                raise ValueError(
+                    f"mesh.num_devices={n_dev} not divisible by "
+                    f"num_slices({config.mesh.num_slices}) x tp({tp})"
+                )
             if tp > 1 and config.mesh.num_slices > 1:
                 # TP x multi-slice: 3-D (replica, data, model) mesh —
                 # batch + loss collectives over the (replica, data)
