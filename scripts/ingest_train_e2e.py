@@ -69,10 +69,12 @@ def main() -> None:
     from triad_tpu.train.optim import OptimizerBank, ParamPartition
     from triad_tpu.train.step import StepFactory, init_train_state
 
+    from triad_tpu.core.config import perf_train_loss_config
+
     model_cfg = apply_train_knobs(ModelConfig(), knobs)
-    loss_cfg = LossConfig(
-        implementation="chunked", chunk_size=16, matmul_precision="default"
-    )
+    # The codified production train loss (was a drifting hand copy at
+    # chunked/16/f32-volume through r5's measurements).
+    loss_cfg = perf_train_loss_config()
     # Tiny LR: this script measures INGEST THROUGHPUT, not convergence —
     # at the default lr the random-noise toy objective drifts upward
     # (r3b: 45.6 -> 46.4 over 100 steps) and can blow up to NaN after

@@ -73,11 +73,10 @@ def main() -> None:
     from triad_tpu.train.step import StepFactory, init_train_state
 
     # The CODIFIED production train config (configs/v5e8_scale.yaml).
+    from triad_tpu.core.config import perf_train_loss_config
+
     model_cfg = apply_train_knobs(ModelConfig(), {"perf"})
-    loss_cfg = LossConfig(
-        implementation="chunked_vjp", chunk_size=32,
-        matmul_precision="default",
-    )
+    loss_cfg = perf_train_loss_config()
     # Reference LR schedule at the real learning rate: OneCycle over the
     # soak's own horizon so the run covers warmup, PEAK 1e-4 and the
     # descent (pct_start 0.1, train.py:302-343 semantics). Backbone

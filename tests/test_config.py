@@ -103,3 +103,21 @@ def test_apply_train_knobs_shared_parser():
         apply_train_knobs(ModelConfig(), "mqkvv")
     # iterables work too, and no knobs is the parity config
     assert apply_train_knobs(ModelConfig(), []) == ModelConfig()
+
+
+def test_perf_train_loss_config_matches_yaml():
+    """perf_train_loss_config() and configs/v5e8_scale.yaml must agree —
+    one source of truth for the codified training loss path (the
+    harnesses import the helper; the Trainer reads the yaml)."""
+    from triad_tpu.cli.train import _deep_update, load_config_file
+    from triad_tpu.core.config import Config, perf_train_loss_config
+
+    cfg_dict = load_config_file(str(REPO / "configs" / "v5e8_scale.yaml"))
+    base = Config().to_dict()
+    _deep_update(base, cfg_dict)
+    cfg = Config.from_dict(base)
+    helper = perf_train_loss_config()
+    assert cfg.loss.implementation == helper.implementation
+    assert cfg.loss.chunk_size == helper.chunk_size
+    assert cfg.loss.matmul_precision == helper.matmul_precision
+    assert cfg.loss.volume_dtype == helper.volume_dtype

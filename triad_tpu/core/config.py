@@ -654,6 +654,29 @@ def perf_train_model_config() -> ModelConfig:
     )
 
 
+def perf_train_loss_config() -> LossConfig:
+    """The codified production TRAINING loss path — one source of truth
+    shared by configs/v5e8_scale.yaml, the soak/ingest harnesses and
+    scripts/tpu_train_bench.py (each previously hand-built a drifting
+    copy):
+
+    - chunked_vjp: hand-written bf16 chunk-recompute backward (the
+      measured training winner — 461.8 ms vs 463.6 for loss=pallas at
+      B=64; docs/TRAINING_PERF.md round 2);
+    - chunk_size 32: the DP-512 composed winner (r3h sweep), neutral at
+      the single-chip B=64 shape;
+    - matmul_precision "default": bf16-operand / f32-accum aggregation;
+    - volume_dtype "bfloat16" (r5): the VJP's per-chunk sim volumes
+      ride HBM as bf16 fwd AND in the recompute backward — 447.2 ->
+      441.1 ms same-session A/B at B=64 (the loss backward's f32 chunk
+      volumes dominated its 46.5 ms bucket in the r5 accounting
+      table). Grad equivalence pinned by TestBf16Volume."""
+    return LossConfig(
+        implementation="chunked_vjp", chunk_size=32,
+        matmul_precision="default", volume_dtype="bfloat16",
+    )
+
+
 def perf_eval_loss_config() -> LossConfig:
     """Production loss path for the eval bench: chunked bf16-operand
     aggregation with fp32 accumulation (bit-equal to the fp32-HIGHEST
