@@ -50,14 +50,13 @@ def main() -> None:
     model_cfg = apply_train_knobs(ModelConfig(), knobs)
     loss_cfg = LossConfig(
         implementation=loss_impl, chunk_size=chunk, matmul_precision="default",
-        # TRIAD_TRAIN_VOLUME_DTYPE=bfloat16: round the (chunk, Nq, Nk)
-        # sim volume to bf16 between the f32-accumulated matmul and its
-        # max/clamp consumers, fwd AND custom-VJP recompute — the r5
-        # trace shows the loss backward's f32 chunk volumes
-        # (f32[32,256,64,499] fusions) dominating its 46.5 ms bucket
-        # (~24% of roofline); bf16 halves that HBM traffic. Same knob
-        # the eval bench codified (+7.1 clips/s, r4c).
-        volume_dtype=os.environ.get("TRIAD_TRAIN_VOLUME_DTYPE", "float32"),
+        # TRIAD_TRAIN_VOLUME_DTYPE: the (chunk, Nq, Nk) sim-volume
+        # storage dtype, fwd AND custom-VJP recompute. Default bf16 ==
+        # the r5 CODIFIED config (447.2 -> 441.1 ms same-session A/B;
+        # the r5 trace showed the f32 chunk volumes dominating the loss
+        # backward's 46.5 ms bucket). Set float32 to measure the
+        # pre-r5 parity-volume path.
+        volume_dtype=os.environ.get("TRIAD_TRAIN_VOLUME_DTYPE", "bfloat16"),
     )
     optim_cfg = OptimConfig(
         gradient_accumulation_steps=1, mu_dtype=moments, nu_dtype=moments
